@@ -1,0 +1,117 @@
+"""Mergeable Bloom filter (vectorized numpy bit array).
+
+Semantics follow the reference's ``membership/BloomFilter.java``:
+
+- sizing ``m = ceil(-n ln p / ln^2 2)``, ``k = max(1, round(m/n * ln 2))``
+  (``BloomFilter.java:27-31``),
+- double hashing ``idx_j = h1 + j*h2`` (``BloomFilter.java:148-173`` uses an
+  index+stride pair from Carter–Wegman; we use two SplitMix64 streams with
+  the stride forced odd — same 2-universal double-hashing scheme),
+- fill-based empirical FPR ``rho^k`` (``BloomFilter.java:52-59``),
+- distinct estimate ``-m/k * ln(1 - rho)`` (``BloomFilter.java:61-66``),
+- merge = bitwise OR of identically-parameterized filters (implied by the
+  reference's identical-seed requirement; here implemented).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .base import check_mergeable, register_sketch, write_blob
+from .splitmix import U64, derive_seed, hash_u64
+
+
+def bloom_dimensions(n: int, p: float) -> tuple[int, int]:
+    """(m_bits, k) per ``BloomFilter.java:27-31``; m rounded up to 64."""
+    n = max(1, int(n))
+    m = math.ceil(-n * math.log(p) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+@register_sketch
+class BloomFilter:
+    KIND = "bloom"
+
+    def __init__(self, n: int, p: float, seed: int, *, m: int | None = None,
+                 k: int | None = None, words: np.ndarray | None = None):
+        self.n = int(n)
+        self.p = float(p)
+        self.seed = int(seed)
+        if m is None or k is None:
+            m, k = bloom_dimensions(n, p)
+        self.m = int(m)
+        self.k = int(k)
+        self.words = (
+            words if words is not None else np.zeros(self.m // 64, dtype=np.uint64)
+        )
+        self._s1 = derive_seed(self.seed, "bloom_h1")
+        self._s2 = derive_seed(self.seed, "bloom_h2")
+
+    # -- hashing ---------------------------------------------------------
+    def _indices(self, keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) bit indices via double hashing."""
+        h1 = hash_u64(keys, self._s1)
+        h2 = hash_u64(keys, self._s2) | U64(1)  # odd stride
+        j = np.arange(self.k, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + j * h2[:, None]) % U64(self.m)).astype(np.uint64)
+
+    # -- update / query --------------------------------------------------
+    def update(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        idx = self._indices(keys).ravel()
+        np.bitwise_or.at(self.words, (idx >> U64(6)).astype(np.int64),
+                         U64(1) << (idx & U64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership test -> bool array (no false negatives)."""
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(keys)
+        bits = (self.words[(idx >> U64(6)).astype(np.int64)]
+                >> (idx & U64(63))) & U64(1)
+        return bits.all(axis=1)
+
+    # -- estimates -------------------------------------------------------
+    @property
+    def fill_ratio(self) -> float:
+        set_bits = int(np.bitwise_count(self.words).sum()) if hasattr(np, "bitwise_count") else int(
+            np.unpackbits(self.words.view(np.uint8)).sum())
+        return set_bits / self.m
+
+    def fp_rate(self) -> float:
+        """Empirical fill-based FPR rho^k (``BloomFilter.java:52-59``)."""
+        return self.fill_ratio ** self.k
+
+    def estimate_distinct(self) -> float:
+        """-m/k * ln(1 - rho) (``BloomFilter.java:61-66``)."""
+        rho = self.fill_ratio
+        if rho >= 1.0:
+            return float("inf")
+        return -self.m / self.k * math.log1p(-rho)
+
+    # -- merge / serde ---------------------------------------------------
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        check_mergeable(self, other, ("m", "k", "seed"))
+        self.words |= other.words
+        return self
+
+    @property
+    def nbytes(self) -> int:
+        return self.words.nbytes
+
+    def to_bytes(self) -> bytes:
+        return write_blob(self.KIND,
+                          {"n": self.n, "p": self.p, "seed": self.seed,
+                           "m": self.m, "k": self.k},
+                          {"words": self.words})
+
+    @classmethod
+    def _from_parts(cls, meta, arrays):
+        return cls(meta["n"], meta["p"], meta["seed"], m=meta["m"], k=meta["k"],
+                   words=arrays["words"].copy())
