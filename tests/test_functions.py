@@ -1,0 +1,138 @@
+"""Tokenize / textstats kernel tests incl. DuckDB-parity of whitespace
+semantics and the per-row token-array equality invariant."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hierarchical_bloom_filter_index_ray.functions import (
+    doc_fingerprint, flat_tokens_and_offsets, hash_words, lang_id,
+    ngram_keys, quality_stats, split_words, tokenize_documents)
+
+TEXTS = ["the fast  key", "  leading space", "trail ", "", "   ", "one",
+         "a\tb\nc", "x  y", "The THE the"]
+
+
+class TestSplitWords:
+    def test_matches_python_split(self):
+        out = split_words(pa.array(TEXTS)).to_pylist()
+        assert out == [t.split() for t in TEXTS]
+
+    def test_matches_duckdb_trim_regexp(self):
+        out = [len(x) for x in split_words(pa.array(TEXTS)).to_pylist()]
+        sql = duckdb.execute(
+            "select case when trim(s)='' then 0 else "
+            "len(regexp_split_to_array(trim(s), '\\s+')) end "
+            "from (select unnest(?) s)", [TEXTS]).fetchall()
+        assert out == [r[0] for r in sql]
+
+    def test_testdata_documents_parity(self):
+        tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+        ours = [len(x) for x in split_words(tbl["text"]).to_pylist()]
+        theirs = [len(t.split()) for t in tbl["text"].to_pylist()]
+        assert ours == theirs
+
+
+class TestHashTokens:
+    def test_deterministic_and_stable(self):
+        words = pa.array(["alpha", "beta", "alpha", "gamma"])
+        t1 = hash_words(words, seed=42)
+        t2 = hash_words(words, seed=42)
+        assert np.array_equal(t1, t2)
+        assert t1[0] == t1[2] and t1[0] != t1[1]
+        assert (t1 >= 0).all()  # int32 non-negative
+        t3 = hash_words(words, seed=43)
+        assert not np.array_equal(t1, t3)
+
+    def test_tokenize_documents_shape_and_invariant(self):
+        tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        seq = tokenize_documents(tbl, seed=42)
+        assert seq.schema.names == ["doc_id", "tokens", "n_tok", "source"]
+        assert seq["tokens"].type == pa.list_(pa.int32())
+        assert seq["n_tok"].type == pa.int32()
+        # per-row invariant: n_tok == len(tokens) == len(text.split())
+        n_tok = seq["n_tok"].to_pylist()
+        toks = seq["tokens"].to_pylist()
+        texts = tbl["text"].to_pylist()
+        for n, tk, tx in zip(n_tok, toks, texts):
+            assert n == len(tk) == len(tx.split())
+        # same word -> same token everywhere (check across docs)
+        word_to_tok = {}
+        for tk, tx in zip(toks, texts):
+            for t, w in zip(tk, tx.split()):
+                assert word_to_tok.setdefault(w, t) == t
+
+
+class TestNgrams:
+    def test_unigram_counts_and_boundaries(self):
+        flat = np.array([1, 2, 3, 4, 5, 6], dtype=np.int32)
+        offsets = np.array([0, 3, 3, 6])  # docs of len 3, 0, 3
+        keys, off = ngram_keys(flat, offsets, n=1, seed=1)
+        assert len(keys) == 6 and off.tolist() == [0, 3, 3, 6]
+        keys2, off2 = ngram_keys(flat, offsets, n=2, seed=1)
+        assert off2.tolist() == [0, 2, 2, 4]
+        # bigram (2,3) in doc0 must equal bigram (2,3) nowhere else; but
+        # same tokens -> same key: doc2 starts 4,5 — craft equality check:
+        flat_b = np.array([9, 2, 3], dtype=np.int32)
+        keys_b, _ = ngram_keys(flat_b, np.array([0, 3]), n=2, seed=1)
+        assert keys2[1] == keys_b[1]  # (2,3) == (2,3)
+        assert keys2[0] != keys_b[0]  # (1,2) != (9,2)
+
+    def test_no_cross_doc_ngrams(self):
+        # doc boundary between 3 and 4: bigram (3,4) must not exist
+        flat = np.array([1, 2, 3, 4, 5], dtype=np.int32)
+        joined, _ = ngram_keys(flat, np.array([0, 5]), n=2, seed=7)
+        split_, _ = ngram_keys(flat, np.array([0, 3, 5]), n=2, seed=7)
+        assert len(joined) == 4 and len(split_) == 3
+        assert set(split_.tolist()) <= set(joined.tolist())
+        cross = set(joined.tolist()) - set(split_.tolist())
+        assert len(cross) == 1  # exactly the (3,4) bigram
+
+    def test_short_docs_yield_nothing(self):
+        flat = np.array([1, 2], dtype=np.int32)
+        keys, off = ngram_keys(flat, np.array([0, 1, 2]), n=3, seed=1)
+        assert len(keys) == 0 and off.tolist() == [0, 0, 0]
+
+
+class TestTextStats:
+    def test_quality_stats_values(self):
+        t = pa.table({"text": pa.array(["Hello World 99!", "", "the the the"])})
+        out = quality_stats(t)
+        assert out["n_words"].to_pylist() == [3, 0, 3]
+        row0 = {c: out[c][0].as_py() for c in out.column_names}
+        assert row0["digit_ratio"] == pytest.approx(2 / 15)
+        assert row0["upper_ratio"] == pytest.approx(2 / 15)
+        assert row0["punct_ratio"] == pytest.approx(1 / 15)
+        assert out["stop_ratio"][2].as_py() == pytest.approx(1.0)
+
+    def test_lang_id(self):
+        t = pa.table({"text": pa.array([
+            "the cat and the dog are in the house",
+            "el perro y el gato en la casa no se ve",
+            "zzz qqq xxx",
+        ])})
+        out = lang_id(t)
+        assert out["lang_pred"].to_pylist() == ["en", "es", "und"]
+
+    def test_fingerprint_order_sensitive(self):
+        a = np.array([1, 2, 3], dtype=np.int32)
+        b = np.array([3, 2, 1], dtype=np.int32)
+        off = np.array([0, 3])
+        fa = doc_fingerprint(a, off, seed=5)
+        fb = doc_fingerprint(b, off, seed=5)
+        assert fa[0] != fb[0]
+        assert fa[0] == doc_fingerprint(a, off, seed=5)[0]
+
+
+class TestZeroCopyFlatten:
+    def test_roundtrip_and_slices(self):
+        arr = pa.array([[1, 2], [], [3]], type=pa.list_(pa.int32()))
+        flat, off = flat_tokens_and_offsets(arr)
+        assert flat.tolist() == [1, 2, 3] and off.tolist() == [0, 2, 2, 3]
+        sl = arr.slice(1, 2)
+        flat2, off2 = flat_tokens_and_offsets(sl)
+        assert flat2.tolist() == [3] and off2.tolist() == [0, 0, 1]
