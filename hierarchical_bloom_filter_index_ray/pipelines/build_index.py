@@ -1,0 +1,134 @@
+"""Index build pipeline: sequences Dataset -> persisted hierarchical sketch
+index + manifest (resumable).
+
+Ray shape (SURVEY.md §3.1 "Ray shape"):
+
+    read_parquet -> map_batches(add_window_columns)                 [stateless]
+                 -> map_batches(PartialSketchBuilder, actor pool)   [stateful]
+                 -> groupby(source, window_id).map_groups(Merge)    [shuffle of
+                                                                     sketches]
+                 -> write_parquet(out/partitions, partition_cols=[source])
+
+The shuffle moves only serialized partial sketches (the map stage is the
+combiner), mirroring the reference's per-tree locality where tokens never
+leave the tree that indexed them (``PMIndex/HBI.java:230-261``).
+
+Checkpoint/resume (north_rule "resumable from checkpoint with per-partition
+lineage + metrics"): completed sources are recorded in ``manifest.json``
+with per-source row/token/byte metrics; a resumed build prunes completed
+sources from the read and appends only the missing partitions. Incomplete
+partition dirs from a crashed run are deleted before rebuilding.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..config import HbiConfig
+from ..stages.merge import merge_partials_group
+from ..stages.resources import default_concurrency
+from ..stages.sketch_build import PartialSketchBuilder
+from ..stages.window import add_window_columns
+
+MANIFEST = "manifest.json"
+PARTITIONS = "partitions"
+
+
+def load_manifest(out_dir: str) -> dict | None:
+    p = Path(out_dir) / MANIFEST
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
+                batch_size: int = 1024, concurrency=None,
+                num_cpus: float = 1.0, resume: bool = True) -> dict:
+    """Build (or resume) the index; returns the manifest dict."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+
+    if concurrency is None:
+        concurrency = default_concurrency()
+    manifest = load_manifest(out_dir) if resume else None
+    if manifest is not None and manifest["params_hash"] != cfg.params_hash():
+        raise ValueError(
+            f"existing index at {out_dir} was built with different params "
+            f"({manifest['params_hash']} != {cfg.params_hash()}); "
+            "pass resume=False to rebuild")
+    completed = set(manifest["completed_sources"]) if manifest else set()
+
+    all_sources = sorted(ds.unique("source"))
+    todo = [s for s in all_sources if s not in completed]
+    if todo:
+        # clear partial leftovers from a crashed run for the todo sources
+        for s in todo:
+            leftover = out / PARTITIONS / f"source={s}"
+            if leftover.exists():
+                shutil.rmtree(leftover)
+        work = ds
+        if completed:
+            keep = pa.array(sorted(todo))
+            work = work.map_batches(
+                lambda t: t.filter(pc.is_in(t["source"], value_set=keep)),
+                batch_format="pyarrow")
+        partials = (
+            work
+            .map_batches(add_window_columns, batch_format="pyarrow",
+                         zero_copy_batch=True, fn_kwargs={"cfg": cfg})
+            .map_batches(PartialSketchBuilder, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=batch_size,
+                         fn_constructor_kwargs={"cfg": cfg},
+                         concurrency=concurrency, num_cpus=num_cpus)
+        )
+        merged = partials.groupby(["source", "window_id"]).map_groups(
+            merge_partials_group, batch_format="pandas",
+            fn_kwargs={"params_hash": cfg.params_hash()})
+        merged.write_parquet(str(out / PARTITIONS), partition_cols=["source"],
+                             mode="append")
+
+    # manifest: lineage + per-source metrics read back from the partitions
+    stats = pq.read_table(
+        str(out / PARTITIONS),
+        columns=["source", "window_id", "n_docs", "n_tokens", "index_bytes"])
+    per_source: dict[str, dict] = {}
+    df = stats.to_pandas()
+    df["source"] = df["source"].astype(str)
+    for s, g in df.groupby("source"):
+        per_source[s] = {
+            "windows": int(g["window_id"].nunique()),
+            "n_docs": int(g["n_docs"].sum()),
+            "n_tokens": int(g["n_tokens"].sum()),
+            "index_bytes": int(g["index_bytes"].sum()),
+        }
+    manifest = {
+        "format_version": 1,
+        "params_hash": cfg.params_hash(),
+        "config": cfg.to_json(),
+        "completed_sources": sorted(set(per_source) | completed),
+        "sources": per_source,
+        "built_unix": time.time(),
+        "build_seconds": round(time.perf_counter() - t0, 3),
+        "total_windows": int(df["window_id"].count()),
+        "total_docs": int(df["n_docs"].sum()),
+        "total_tokens": int(df["n_tokens"].sum()),
+        "total_index_bytes": int(df["index_bytes"].sum()),
+    }
+    (out / MANIFEST).write_text(json.dumps(manifest, indent=2))
+    return manifest
+
+
+def load_index(out_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
+    """The persisted index as a Dataset (hive partition col `source`
+    restored as a string column)."""
+    return rd.read_parquet(str(Path(out_dir) / PARTITIONS), columns=columns)

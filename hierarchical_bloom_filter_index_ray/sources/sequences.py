@@ -1,0 +1,130 @@
+"""Sources: the north-rule sequences table, tokenized documents, and the
+deterministic synthetic corpus generator.
+
+Reference analogues: ``utilities/DatasetReader.java`` / ``SegmentReader.java``
+(readers — here ``ray.data.read_parquet`` of the pre-tokenized table) and
+``datagenerators/Generator.java:27-73`` (seeded Zipf/uniform synthetic
+streams — here a per-row-id counter-based generator, deterministic under any
+batching/parallelism, mirroring FIXTURES.md F1).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.tokenize import tokenize_documents
+from ..state.splitmix import U64, derive_seed, splitmix64
+
+SEQ_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+])
+
+
+def read_sequences(path: str, **kwargs) -> "rd.Dataset":
+    """Read an F1-shaped Parquet table (pruned to the 4 north-rule cols)."""
+    return rd.read_parquet(path, columns=["doc_id", "tokens", "n_tok",
+                                          "source"], **kwargs)
+
+
+def documents_as_sequences(sf_dir: str, *, seed: int = 42, **kwargs) -> "rd.Dataset":
+    """Driver ``documents`` table -> sequences shape via whitespace
+    tokenization + vocab hashing (FIXTURES.md F5)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"], **kwargs)
+    return ds.map_batches(tokenize_documents, batch_format="pyarrow",
+                          fn_kwargs={"seed": seed})
+
+
+# --------------------------------------------------------------------------
+# synthetic corpus (counter-based; identical output for any block layout)
+# --------------------------------------------------------------------------
+
+_SOURCE_EXPONENTS = (1.0, 1.3, 1.5, 0.0)  # 0.0 = uniform; cf. reference
+# data families wzipf_21_e{1,13,15} + uniform w19..w21 (FIXTURES.md F1)
+
+
+@lru_cache(maxsize=8)
+def _zipf_cdfs(n_sources: int, vocab: int) -> tuple[np.ndarray, ...]:
+    """Per-source inverse-CDF tables (cached per worker process)."""
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    out = []
+    for si in range(n_sources):
+        s = _SOURCE_EXPONENTS[si % len(_SOURCE_EXPONENTS)]
+        w = np.ones(vocab) if s == 0.0 else ranks ** -s
+        cdf = np.cumsum(w / w.sum())
+        cdf[-1] = 1.0
+        out.append(cdf)
+    return tuple(out)
+
+
+def _uniform(keys: np.ndarray) -> np.ndarray:
+    return (splitmix64(keys) >> U64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _gen_sequences(batch: dict, *, seed: int, n_sources: int, vocab: int,
+                   len_mu: float, len_sigma: float, len_min: int,
+                   len_max: int) -> pa.Table:
+    """Counter-based generator over ``ray.data.range`` ids: every value is a
+    pure function of (seed, row id), so output is identical under any block
+    layout or retry (plain function -> elastic task pool)."""
+    cdfs = _zipf_cdfs(n_sources, vocab)
+    row_seed = derive_seed(seed, "synth_row")
+    tok_seed = derive_seed(seed, "synth_tok")
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    src_idx = (ids % n_sources).astype(np.int64)
+    doc_idx = ids // n_sources
+    # doc length: lognormal via Box-Muller on two counter-derived uniforms
+    u1 = _uniform(ids.astype(np.uint64) ^ U64(row_seed))
+    u2 = _uniform(splitmix64(ids.astype(np.uint64)) ^ U64(row_seed))
+    z = np.sqrt(-2.0 * np.log(np.maximum(u1, 1e-300))) * np.cos(2 * np.pi * u2)
+    n_tok = np.clip(np.exp(len_mu + len_sigma * z), len_min,
+                    len_max).astype(np.int64)
+    total = int(n_tok.sum())
+    # per-position counter key: id * 2^16 + pos (pos < len_max <= 2^16)
+    pos = np.arange(total, dtype=np.uint64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_tok)[:-1]]).astype(np.uint64), n_tok)
+    rep_ids = np.repeat(ids.astype(np.uint64), n_tok)
+    with np.errstate(over="ignore"):
+        u = _uniform((rep_ids << U64(16)) + pos ^ U64(tok_seed))
+    flat = np.empty(total, dtype=np.int32)
+    rep_src = np.repeat(src_idx, n_tok)
+    for si in range(n_sources):
+        mask = rep_src == si
+        if mask.any():
+            flat[mask] = np.searchsorted(cdfs[si], u[mask],
+                                         side="left").astype(np.int32)
+    offsets = np.zeros(len(ids) + 1, dtype=np.int32)
+    np.cumsum(n_tok, out=offsets[1:])
+    doc_ids = [f"src{s:02d}-doc{d:08d}" for s, d in
+               zip(src_idx.tolist(), doc_idx.tolist())]
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "tokens": pa.ListArray.from_arrays(pa.array(offsets),
+                                           pa.array(flat, pa.int32())),
+        "n_tok": pa.array(n_tok.astype(np.int32), pa.int32()),
+        "source": pa.array([f"src{s:02d}" for s in src_idx.tolist()],
+                           pa.string()),
+    })
+
+
+def synth_sequences(n_rows: int, *, seed: int = 42, n_sources: int = 4,
+                    vocab: int = 32768, len_mu: float = 4.5,
+                    len_sigma: float = 0.6, len_min: int = 8,
+                    len_max: int = 512, override_num_blocks: int | None = None
+                    ) -> "rd.Dataset":
+    """Deterministic F1-shaped synthetic corpus as a streaming Dataset."""
+    gen = rd.range(n_rows, override_num_blocks=override_num_blocks)
+    return gen.map_batches(
+        _gen_sequences, batch_format="numpy",
+        fn_kwargs=dict(seed=seed, n_sources=n_sources, vocab=vocab,
+                       len_mu=len_mu, len_sigma=len_sigma,
+                       len_min=len_min, len_max=len_max),
+        batch_size=8192)

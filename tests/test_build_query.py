@@ -1,0 +1,223 @@
+"""End-to-end: build the hierarchical sketch index on Ray, query it, and
+compare everything against exact oracles (SURVEY.md §5.2 differential
+strategy; the reference's exact baselines RegexIndex/SuffixTree are played
+by numpy/pyarrow exact computations)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hierarchical_bloom_filter_index_ray import HbiConfig
+from hierarchical_bloom_filter_index_ray.functions import (
+    flat_tokens_and_offsets, tokenize_documents)
+from hierarchical_bloom_filter_index_ray.pipelines import (
+    build_index, load_index, load_manifest, membership_query)
+from hierarchical_bloom_filter_index_ray.sources import (
+    documents_as_sequences, synth_sequences)
+from hierarchical_bloom_filter_index_ray.state import sketch_from_bytes
+
+CFG = HbiConfig(seed=42, docs_per_window=64, fp=0.01, ngram=1,
+                expected_tokens_per_doc=64, expected_distinct_per_doc=48,
+                hll_p=12, cms_eps=0.02, cms_delta=0.05)
+
+
+@pytest.fixture(scope="module")
+def seq_table(ray_session):
+    """Exact-oracle copy of the tokenized sf0.001 documents."""
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    return tokenize_documents(tbl, seed=CFG.seed)
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    out = tmp_path_factory.mktemp("index")
+    ds = documents_as_sequences("/root/testdata/sf0.001", seed=CFG.seed)
+    build_index(ds, CFG, str(out), batch_size=128, concurrency=2)
+    return str(out)
+
+
+class TestBuild:
+    def test_manifest_counts_match_exact(self, index_dir, seq_table):
+        man = load_manifest(index_dir)
+        assert man["total_docs"] == seq_table.num_rows
+        assert man["total_tokens"] == int(
+            np.sum(seq_table["n_tok"].to_numpy()))
+        assert man["params_hash"] == CFG.params_hash()
+        assert man["completed_sources"]
+
+    def test_window_partition_stats(self, index_dir, seq_table, ray_session):
+        idx = load_index(index_dir, columns=["source", "window_id", "n_docs",
+                                             "n_tokens"]).to_pandas()
+        idx["source"] = idx["source"].astype(str)
+        import pandas as pd
+        df = seq_table.select(["doc_id", "n_tok", "source"]).to_pandas()
+        df["window_id"] = df["doc_id"] // CFG.docs_per_window
+        exact = df.groupby(["source", "window_id"]).agg(
+            n_docs=("doc_id", "count"), n_tokens=("n_tok", "sum")
+        ).reset_index()
+        m = exact.merge(idx, on=["source", "window_id"],
+                        suffixes=("_x", "_y"))
+        assert len(m) == len(exact) == len(idx)
+        assert (m["n_docs_x"] == m["n_docs_y"]).all()
+        assert (m["n_tokens_x"] == m["n_tokens_y"]).all()
+
+    def test_hll_per_window_within_bound(self, index_dir, seq_table):
+        idx = load_index(index_dir).to_pandas()
+        idx["source"] = idx["source"].astype(str)
+        df = seq_table.to_pandas()
+        df["window_id"] = df["doc_id"] // CFG.docs_per_window
+        for _, row in idx.iterrows():
+            h = sketch_from_bytes(row["hll"])
+            g = df[(df["source"] == row["source"])
+                   & (df["window_id"] == row["window_id"])]
+            true = len({t for toks in g["tokens"] for t in toks})
+            assert abs(h.estimate() - true) / max(true, 1) < 4 * h.rel_error
+
+    def test_cms_heavy_hitter_bound(self, index_dir, seq_table):
+        idx = load_index(index_dir).to_pandas()
+        row = idx.iloc[0]
+        cms = sketch_from_bytes(row["cms"])
+        df = seq_table.to_pandas()
+        df["window_id"] = df["doc_id"] // CFG.docs_per_window
+        g = df[(df["source"].astype(str) == str(row["source"]))
+               & (df["window_id"] == row["window_id"])]
+        toks = np.concatenate([np.asarray(t) for t in g["tokens"]])
+        uk, counts = np.unique(toks, return_counts=True)
+        est = cms.estimate(uk.astype(np.uint64))
+        n = len(toks)
+        assert (est >= counts).all()
+        assert ((est - counts) <= CFG.cms_eps * n * 2).all()
+
+    def test_ntok_quantile_sketches(self, index_dir, seq_table):
+        idx = load_index(index_dir).to_pandas()
+        df = seq_table.to_pandas()
+        df["window_id"] = df["doc_id"] // CFG.docs_per_window
+        row = idx.iloc[0]
+        g = df[(df["source"].astype(str) == str(row["source"]))
+               & (df["window_id"] == row["window_id"])]
+        vals = np.sort(g["n_tok"].to_numpy())
+        kll = sketch_from_bytes(row["kll_ntok"])
+        td = sketch_from_bytes(row["tdigest_ntok"])
+        assert kll.n == len(vals)
+        for q in (0.1, 0.5, 0.9):
+            for est in (kll.quantile(q), td.quantile(q)):
+                # ties make a value cover a rank interval; require the
+                # interval (±tol) to contain q
+                r_lo = np.searchsorted(vals, est, side="left") / len(vals)
+                r_hi = np.searchsorted(vals, est, side="right") / len(vals)
+                assert r_lo - 0.12 <= q <= r_hi + 0.12, (q, est, r_lo, r_hi)
+
+    def test_merge_order_irrelevant_across_batch_sizes(self, ray_session,
+                                                       tmp_path):
+        """Same data, different batch partitioning -> byte-identical bloom
+        trees, HLL registers and CMS tables (north_rule merge-associativity
+        evidence at the pipeline level)."""
+        outs = []
+        for bs in (32, 257):
+            out = tmp_path / f"idx_{bs}"
+            ds = documents_as_sequences("/root/testdata/sf0.001",
+                                        seed=CFG.seed)
+            build_index(ds, CFG, str(out), batch_size=bs, concurrency=2)
+            idx = load_index(str(out)).to_pandas()
+            idx["source"] = idx["source"].astype(str)
+            outs.append(idx.sort_values(["source", "window_id"])
+                        .reset_index(drop=True))
+        a, b = outs
+        assert len(a) == len(b)
+        for col in ("bloom_tree", "hll", "cms", "hops", "bottomk"):
+            assert (a[col] == b[col]).all(), col
+
+
+class TestQuery:
+    def _oracle_hits(self, seq_table, pattern):
+        flat, offsets = flat_tokens_and_offsets(seq_table["tokens"])
+        doc_ids = seq_table["doc_id"].to_pylist()
+        q = np.asarray(pattern, dtype=np.int32)
+        hits = []
+        for r in range(seq_table.num_rows):
+            toks = flat[offsets[r]:offsets[r + 1]]
+            if len(toks) >= len(q):
+                sw = np.lib.stride_tricks.sliding_window_view(toks, len(q))
+                if (sw == q).all(axis=1).any():
+                    hits.append(doc_ids[r])
+        return sorted(hits)
+
+    def test_membership_exact_vs_oracle(self, index_dir, seq_table,
+                                        ray_session):
+        flat, offsets = flat_tokens_and_offsets(seq_table["tokens"])
+        # present unigram + present trigram + missing token
+        t0 = int(flat[0])
+        tri = [int(x) for x in flat[offsets[3]:offsets[3] + 3]]
+        queries = [("q_uni", [t0]), ("q_tri", tri), ("q_missing", [2**30 + 7])]
+        idx = load_index(index_dir)
+        seqs = documents_as_sequences("/root/testdata/sf0.001", seed=CFG.seed)
+        res = membership_query(idx, seqs, queries, CFG).to_pandas()
+        got = {qid: sorted(g["doc_id"].tolist())
+               for qid, g in res.groupby("query_id")}
+        assert got.get("q_uni", []) == self._oracle_hits(seq_table, [t0])
+        assert got.get("q_tri", []) == self._oracle_hits(seq_table, tri)
+        assert got.get("q_missing", []) == []
+
+
+class TestResume:
+    def test_resume_equals_full_build(self, ray_session, tmp_path):
+        full_dir = tmp_path / "full"
+        part_dir = tmp_path / "part"
+        cfg = HbiConfig(seed=7, docs_per_window=32, hll_p=12,
+                        cms_eps=0.05, cms_delta=0.1)
+        ds_full = synth_sequences(400, seed=9, n_sources=4, vocab=512)
+        build_index(ds_full, cfg, str(full_dir), batch_size=64)
+        # partial build: only 2 sources, then resume with everything
+        import pyarrow.compute as pc
+        two = ds_full.map_batches(
+            lambda t: t.filter(pc.is_in(t["source"],
+                                        value_set=pa.array(["src00", "src01"]))),
+            batch_format="pyarrow")
+        build_index(two, cfg, str(part_dir), batch_size=64)
+        man1 = load_manifest(str(part_dir))
+        assert sorted(man1["completed_sources"]) == ["src00", "src01"]
+        build_index(ds_full, cfg, str(part_dir), batch_size=64, resume=True)
+        man2 = load_manifest(str(part_dir))
+        assert len(man2["completed_sources"]) == 4
+        a = load_index(str(full_dir)).to_pandas()
+        b = load_index(str(part_dir)).to_pandas()
+        for df in (a, b):
+            df["source"] = df["source"].astype(str)
+            df.sort_values(["source", "window_id"], inplace=True)
+            df.reset_index(drop=True, inplace=True)
+        assert len(a) == len(b)
+        for col in ("source", "window_id", "n_docs", "n_tokens",
+                    "bloom_tree", "hll", "cms"):
+            assert (a[col] == b[col]).all(), col
+
+    def test_params_mismatch_refuses_resume(self, ray_session, tmp_path):
+        cfg1 = HbiConfig(seed=1, docs_per_window=32, hll_p=12)
+        cfg2 = HbiConfig(seed=2, docs_per_window=32, hll_p=12)
+        ds = synth_sequences(100, seed=3, n_sources=2, vocab=128)
+        build_index(ds, cfg1, str(tmp_path / "i"), batch_size=64)
+        with pytest.raises(ValueError, match="different params"):
+            build_index(ds, cfg2, str(tmp_path / "i"), batch_size=64)
+
+
+class TestSynthSource:
+    def test_deterministic_across_block_layouts(self, ray_session):
+        a = synth_sequences(300, seed=5, vocab=256,
+                            override_num_blocks=2).to_pandas()
+        b = synth_sequences(300, seed=5, vocab=256,
+                            override_num_blocks=7).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert (a["doc_id"] == b["doc_id"]).all()
+        assert all(np.array_equal(x, y) for x, y in
+                   zip(a["tokens"], b["tokens"]))
+
+    def test_schema_and_invariant(self, ray_session):
+        t = synth_sequences(50, seed=5, vocab=256).take_all()
+        for row in t:
+            assert row["n_tok"] == len(row["tokens"])
+            assert row["source"].startswith("src")
