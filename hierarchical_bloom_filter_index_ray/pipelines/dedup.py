@@ -1,0 +1,241 @@
+"""Deduplication pipelines over the sequences/documents tables.
+
+Training-data-pipeline requirement (build brief): exact dedup,
+MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard verification.
+Ray shapes follow the public MinHash-LSH recipe (shingle -> minhash ->
+band -> bucket groupby -> verify -> cluster):
+
+- exact: content hash per row (vectorized) -> ``groupby(hash)`` keep the
+  min doc_id (deterministic survivor).
+- minhash-lsh: signatures per batch -> explode to (band, band_hash) rows ->
+  ``groupby`` buckets -> candidate pairs -> signature-Jaccard (and exact
+  n-gram Jaccard) verify -> union-find on the driver over the verified
+  pair list (bounded: only near-dup pairs survive).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..config import HbiConfig
+from ..functions.textstats import doc_fingerprint
+from ..functions.tokenize import flat_tokens_and_offsets, ngram_keys
+from ..state import minhash_signatures, simhash64, hamming64
+from ..state.splitmix import derive_seed
+
+
+# ------------------------------------------------------------------ exact --
+def add_content_hash(batch: pa.Table, *, seed: int = 42,
+                     shingle: int = 1) -> pa.Table:
+    """Append ``content_hash``: order-sensitive fingerprint of the token
+    sequence (identical token arrays <=> identical hash, w.h.p.)."""
+    flat, offsets = flat_tokens_and_offsets(batch["tokens"])
+    fp = doc_fingerprint(flat, offsets, seed)
+    # uint64 -> int64 view for parquet/duckdb friendliness
+    return batch.append_column("content_hash",
+                               pa.array(fp.view(np.int64), pa.int64()))
+
+
+def exact_dedup(ds: "rd.Dataset", *, seed: int = 42) -> "rd.Dataset":
+    """Exact duplicate removal: keep the min doc_id per content hash.
+    Hash-partition + per-group first (deterministic survivor)."""
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
+                            zero_copy_batch=True, fn_kwargs={"seed": seed})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    return hashed.groupby("content_hash").map_groups(
+        keep_first, batch_format="pandas")
+
+
+# ------------------------------------------------------------- minhash-lsh --
+class MinHashStage:
+    """Actor-pool stage: per-doc minhash signature + LSH band rows."""
+
+    def __init__(self, cfg: HbiConfig, num_perm: int, bands: int,
+                 shingle: int):
+        from ..state.minhash import lsh_bands
+        self.cfg = cfg
+        self.num_perm = num_perm
+        self.bands = bands
+        self.shingle = shingle
+        self.sig_seed = derive_seed(cfg.seed, "minhash_sig")
+        self.band_seed = derive_seed(cfg.seed, "minhash_band")
+        self.shingle_seed = derive_seed(cfg.seed, "minhash_shingle")
+        self._lsh_bands = lsh_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens_and_offsets(batch["tokens"])
+        sh_keys, sh_off = ngram_keys(flat, offsets, self.shingle,
+                                     self.shingle_seed)
+        sig = minhash_signatures(sh_keys, sh_off, self.num_perm,
+                                 self.sig_seed)
+        bands = self._lsh_bands(sig, self.bands, self.band_seed)
+        n = batch.num_rows
+        doc_ids = batch["doc_id"]
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        band_hash = bands.reshape(-1).view(np.int64)
+        rep_idx = np.repeat(np.arange(n), self.bands)
+        return pa.table({
+            "doc_id": doc_ids.take(pa.array(rep_idx)),
+            "band_id": pa.array(band_id, pa.int32()),
+            "band_hash": pa.array(band_hash, pa.int64()),
+            "signature": pa.array(
+                [sig[i].tobytes() for i in rep_idx], pa.binary()),
+        })
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (anchor = min doc to keep the
+    pair count linear in bucket size; near-dup clusters stay connected)."""
+    if len(g) < 2:
+        return pd.DataFrame({"a": [], "b": [], "sig_a": [], "sig_b": []})
+    g = g.sort_values("doc_id")
+    a0 = g.iloc[0]
+    rest = g.iloc[1:]
+    return pd.DataFrame({
+        "a": [a0["doc_id"]] * len(rest), "b": rest["doc_id"].tolist(),
+        "sig_a": [a0["signature"]] * len(rest),
+        "sig_b": rest["signature"].tolist(),
+    })
+
+
+def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
+                      bands: int = 32, shingle: int = 3,
+                      threshold: float = 0.7, concurrency=None
+                      ) -> pd.DataFrame:
+    """Verified near-duplicate pairs (est. Jaccard >= threshold).
+
+    Returns pandas (a, b, est_jaccard) — the pair list is bounded by the
+    true near-dup count (LSH false positives are filtered by the signature
+    Jaccard estimate).
+    """
+    from ..stages.resources import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency(cap=8)
+    band_rows = ds.map_batches(
+        MinHashStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=concurrency,
+        fn_constructor_kwargs={"cfg": cfg, "num_perm": num_perm,
+                               "bands": bands, "shingle": shingle})
+    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas").to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+    cand = cand.drop_duplicates(subset=["a", "b"])
+    sig_a = np.stack([np.frombuffer(s, dtype=np.uint64)
+                      for s in cand["sig_a"]])
+    sig_b = np.stack([np.frombuffer(s, dtype=np.uint64)
+                      for s in cand["sig_b"]])
+    est = (sig_a == sig_b).mean(axis=1)
+    out = pd.DataFrame({"a": cand["a"].values, "b": cand["b"].values,
+                        "est_jaccard": est})
+    out = out[out["est_jaccard"] >= threshold]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def cluster_pairs(pairs: pd.DataFrame, cols=("a", "b")) -> dict:
+    """Union-find over the verified near-dup pair list (driver-side: the
+    pair list is already reduced to true near-dups)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[cols[0]], pairs[cols[1]]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def minhash_dedup(ds: "rd.Dataset", cfg: HbiConfig, **kwargs) -> pd.DataFrame:
+    """-> (doc_id, cluster_id) for every doc in a near-dup cluster."""
+    pairs = minhash_lsh_pairs(ds, cfg, **kwargs)
+    clusters = cluster_pairs(pairs)
+    return pd.DataFrame(
+        {"doc_id": list(clusters), "cluster_id": list(clusters.values())}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------- simhash --
+def add_simhash(batch: pa.Table, *, seed: int) -> pa.Table:
+    flat, offsets = flat_tokens_and_offsets(batch["tokens"])
+    h = simhash64(flat, offsets, seed)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "simhash": pa.array(h.view(np.int64), pa.int64()),
+    })
+
+
+def simhash_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, max_hamming: int = 3
+                  ) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4 x 16-bit
+    chunks (any pair at Hamming distance <= 3 shares at least one chunk by
+    pigeonhole) -> bucket groupby -> exact Hamming verify."""
+    seed = derive_seed(cfg.seed, "simhash")
+    sims = ds.map_batches(add_simhash, batch_format="pyarrow",
+                          zero_copy_batch=True, fn_kwargs={"seed": seed})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(h)
+        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
+        chunks = np.empty(4 * n, dtype=np.int64)
+        for c in range(4):
+            chunks[c::4] = ((h >> np.uint64(16 * c)) &
+                            np.uint64(0xFFFF)).astype(np.int64)
+        rep = np.repeat(np.arange(n), 4)
+        return pa.table({
+            "doc_id": batch["doc_id"].take(pa.array(rep)),
+            "chunk_id": pa.array(chunk_id, pa.int32()),
+            "chunk_val": pa.array(chunks, pa.int64()),
+            "simhash": batch["simhash"].take(pa.array(rep)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []})
+        g = g.sort_values("doc_id")
+        a0 = g.iloc[0]
+        rest = g.iloc[1:]
+        return pd.DataFrame({
+            "a": [a0["doc_id"]] * len(rest), "b": rest["doc_id"].tolist(),
+            "ha": [a0["simhash"]] * len(rest),
+            "hb": rest["simhash"].tolist(),
+        })
+
+    cand = sims.map_batches(explode, batch_format="pyarrow").groupby(
+        ["chunk_id", "chunk_val"]).map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    cand = cand.drop_duplicates(subset=["a", "b"])
+    d = hamming64(cand["ha"].to_numpy().astype(np.int64).view(np.uint64),
+                  cand["hb"].to_numpy().astype(np.int64).view(np.uint64))
+    out = pd.DataFrame({"a": cand["a"].values, "b": cand["b"].values,
+                        "hamming": d})
+    out = out[out["hamming"] <= max_hamming]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------- exact ngram jaccard --
+def ngram_jaccard(tokens_a: np.ndarray, tokens_b: np.ndarray, n: int,
+                  seed: int) -> float:
+    """Exact n-gram Jaccard between two token arrays (verification oracle)."""
+    ka, _ = ngram_keys(tokens_a.astype(np.int32),
+                       np.array([0, len(tokens_a)]), n, seed)
+    kb, _ = ngram_keys(tokens_b.astype(np.int32),
+                       np.array([0, len(tokens_b)]), n, seed)
+    sa, sb = set(ka.tolist()), set(kb.tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

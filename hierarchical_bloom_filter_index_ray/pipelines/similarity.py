@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Build-brief requirement: brute-force cosine top-k as the exact baseline
+(numpy matmul per batch against a broadcast query matrix) and an
+LSH-bucketed (random-hyperplane / SimHash-style) variant as the scale path
+— probe only matching buckets instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..state.splitmix import derive_seed, splitmix64
+
+
+def _matrix(col) -> np.ndarray:
+    """(n, d) float64 from a list<float> column (zero-copy flat child)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    d = int(offsets[1] - offsets[0])
+    return flat.reshape(len(col), d).astype(np.float64)
+
+
+class _BatchTopK:
+    """Per-batch exact cosine top-k for every broadcast query vector."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) \
+            else queries_ref
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        self.q = q / np.maximum(qn, 1e-30)          # (Q, d), normalized
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _matrix(batch[self.vec_col])
+        xn = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.maximum(xn, 1e-30)
+        sims = self.q @ x.T                          # (Q, n)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        k = min(self.k, sims.shape[1])
+        # per query: local top-k (deterministic tie-break: sim desc, id asc)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            cols = part[qi]
+            out_q.extend([qi] * len(cols))
+            out_id.extend(ids[cols].tolist())
+            out_sim.extend(sims[qi, cols].tolist())
+        return pa.table({
+            "query_idx": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_sim, pa.float64()),
+        })
+
+
+def knn_bruteforce(ds: "rd.Dataset", query_vectors: np.ndarray, k: int = 10,
+                   *, id_col: str = "vec_id", vec_col: str = "embedding",
+                   exclude_self: bool = True,
+                   query_ids: np.ndarray | None = None) -> pd.DataFrame:
+    """Exact cosine top-k: map side emits per-batch local top-k per query
+    (bounded: Q*k rows per batch), driver merges. -> (query_idx,
+    neighbor_id, cosine, rank)."""
+    q = np.asarray(query_vectors, dtype=np.float64)
+    ref = ray.put(q)
+    parts = ds.map_batches(
+        _BatchTopK, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=2,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col,
+                               "vec_col": vec_col}).to_pandas()
+    out_rows = []
+    for qi, g in parts.groupby("query_idx"):
+        if exclude_self and query_ids is not None:
+            g = g[g["neighbor_id"] != query_ids[qi]]
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            out_rows.append((int(qi), int(r["neighbor_id"]),
+                             float(r["cosine"]), rank))
+    return pd.DataFrame(out_rows, columns=["query_idx", "neighbor_id",
+                                           "cosine", "rank"])
+
+
+# ------------------------------------------------------- LSH-bucketed ANN --
+def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes via counter-based gaussians."""
+    n = d * n_bits
+    keys = np.arange(n, dtype=np.uint64) ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    u1 = (splitmix64(keys) >> np.uint64(11)).astype(np.float64) / (1 << 53)
+    u2 = (splitmix64(splitmix64(keys)) >> np.uint64(11)).astype(
+        np.float64) / (1 << 53)
+    z = np.sqrt(-2 * np.log(np.maximum(u1, 1e-300))) * np.cos(2 * np.pi * u2)
+    return z.reshape(n_bits, d)
+
+
+def lsh_bucket_ids(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (x @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def knn_lsh(ds: "rd.Dataset", query_vectors: np.ndarray, k: int = 10, *,
+            n_bits: int = 8, seed: int = 42, id_col: str = "vec_id",
+            vec_col: str = "embedding", multiprobe: int = 1) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane buckets; queries probe their own
+    bucket (+ Hamming-1 neighbors when ``multiprobe``). The scale path —
+    each batch only scores rows whose bucket is probed."""
+    q = np.asarray(query_vectors, dtype=np.float64)
+    d = q.shape[1]
+    planes = _hyperplanes(d, n_bits, derive_seed(seed, "ann_lsh"))
+    qb = lsh_bucket_ids(q, planes)
+    probe: set[int] = set(qb.tolist())
+    if multiprobe:
+        for b in qb.tolist():
+            for j in range(n_bits):
+                probe.add(b ^ (1 << j))
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+    planes_ref = ray.put(planes)
+    q_ref = ray.put(q)
+
+    class BucketTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            qn = np.linalg.norm(self.q, axis=1, keepdims=True)
+            self.qn = self.q / np.maximum(qn, 1e-30)
+            self.planes = ray.get(planes_ref)
+            self.qb = qb
+            self.probe = probe_arr
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _matrix(batch[vec_col])
+            xb = lsh_bucket_ids(x, self.planes)
+            mask = np.isin(xb, self.probe)
+            empty = pa.table({"query_idx": pa.array([], pa.int64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            if not mask.any():
+                return empty
+            x = x[mask]
+            ids = batch[id_col].to_numpy(zero_copy_only=False)[mask]
+            xb = xb[mask]
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(xn, 1e-30)
+            sims = self.qn @ x.T
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(sims.shape[0]):
+                # candidate rows: bucket within multiprobe distance of query
+                cand = np.nonzero(np.isin(xb, np.concatenate(
+                    [[self.qb[qi]],
+                     self.qb[qi] ^ (1 << np.arange(n_bits))])))[0] \
+                    if multiprobe else np.nonzero(xb == self.qb[qi])[0]
+                if len(cand) == 0:
+                    continue
+                kk = min(k, len(cand))
+                top = cand[np.argpartition(-sims[qi, cand], kk - 1)[:kk]]
+                out_q.extend([qi] * len(top))
+                out_id.extend(ids[top].tolist())
+                out_sim.extend(sims[qi, top].tolist())
+            return pa.table({
+                "query_idx": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            })
+
+    parts = ds.map_batches(BucketTopK, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=4096,
+                           concurrency=2).to_pandas()
+    out_rows = []
+    for qi, g in parts.groupby("query_idx"):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            out_rows.append((int(qi), int(r["neighbor_id"]),
+                             float(r["cosine"]), rank))
+    return pd.DataFrame(out_rows, columns=["query_idx", "neighbor_id",
+                                           "cosine", "rank"])

@@ -1,0 +1,99 @@
+"""Text-analysis pipelines over the ``documents`` table (SQL-oracle-able
+shapes; the vectorized kernels live in ``functions/``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.textstats import lang_id, quality_stats
+from ..functions.tokenize import split_words, tokenize_documents
+
+
+def read_documents(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_counts(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_tok, source): whitespace token count per document."""
+    def fn(batch: pa.Table) -> pa.Table:
+        words = split_words(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tok": pc.cast(pc.list_value_length(words), pa.int64()),
+            "source": batch["source"],
+        })
+    return read_documents(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def source_token_totals(sf_dir: str) -> "rd.Dataset":
+    """(source, n_docs, total_tokens): pre-aggregated inside map_batches,
+    tiny groupby of partials (one row per source per batch)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        words = split_words(batch["text"])
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        sd = src.dictionary_encode()
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        codes = sd.indices.to_numpy(zero_copy_only=False)
+        names = sd.dictionary.to_pylist()
+        docs = np.bincount(codes, minlength=len(names))
+        toks = np.bincount(codes, weights=counts,
+                           minlength=len(names)).astype(np.int64)
+        return pa.table({"source": pa.array(names, pa.string()),
+                         "n_docs": pa.array(docs.astype(np.int64)),
+                         "total_tokens": pa.array(toks)})
+
+    from ray.data.aggregate import Sum
+    return (read_documents(sf_dir, ["text", "source"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("total_tokens", alias_name="total_tokens")))
+
+
+def word_frequencies(sf_dir: str) -> "rd.Dataset":
+    """(word, cnt): per-batch partial counts (combiner) -> small groupby."""
+    def partial(batch: pa.Table) -> pa.Table:
+        words = split_words(batch["text"]).values
+        de = words.dictionary_encode()
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        idx = de.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx, minlength=len(de.dictionary))
+        return pa.table({"word": de.dictionary,
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (read_documents(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def top_words(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """Global top-k words, deterministic tie-break (cnt desc, word asc)."""
+    return word_frequencies(sf_dir).sort(
+        ["cnt", "word"], descending=[True, False]).limit(k)
+
+
+def quality_pipeline(sf_dir: str) -> "rd.Dataset":
+    return read_documents(sf_dir).map_batches(
+        quality_stats, batch_format="pyarrow")
+
+
+def lang_id_pipeline(sf_dir: str) -> "rd.Dataset":
+    return read_documents(sf_dir).map_batches(lang_id, batch_format="pyarrow")
+
+
+def sequences_table(sf_dir: str, seed: int = 42) -> "rd.Dataset":
+    """documents -> north-rule sequences shape (passthrough pipeline; the
+    per-row token-array equality invariant is tested on this)."""
+    return read_documents(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        tokenize_documents, batch_format="pyarrow", fn_kwargs={"seed": seed})

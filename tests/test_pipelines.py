@@ -1,0 +1,248 @@
+"""Stats / dedup / similarity / text / events / multimodal pipeline tests
+against exact oracles at small scale."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from hierarchical_bloom_filter_index_ray import HbiConfig
+from hierarchical_bloom_filter_index_ray.functions import (
+    flat_tokens_and_offsets, tokenize_documents)
+from hierarchical_bloom_filter_index_ray.pipelines import (
+    distinct_tokens, exact_dedup, heavy_hitters, knn_bruteforce, knn_lsh,
+    minhash_dedup, minhash_lsh_pairs, ntok_quantiles, simhash_pairs)
+from hierarchical_bloom_filter_index_ray.pipelines.events import (
+    sessionize, tumbling_window_agg)
+from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+    MediaFeatureExtractor, extract_features, synth_media)
+from hierarchical_bloom_filter_index_ray.pipelines.text import (
+    sequences_table, source_token_totals, top_words)
+
+SF = "/root/testdata/sf0.001"
+CFG = HbiConfig(seed=42, hll_p=12, cms_eps=0.02, cms_delta=0.05)
+
+
+@pytest.fixture(scope="module")
+def seq_ds(ray_session):
+    return sequences_table(SF, seed=42)
+
+
+@pytest.fixture(scope="module")
+def seq_table(ray_session):
+    return tokenize_documents(pq.read_table(f"{SF}/documents.parquet"),
+                              seed=42)
+
+
+class TestStats:
+    def test_distinct_tokens_vs_exact(self, seq_ds, seq_table):
+        got = distinct_tokens(seq_ds, CFG, by_source=True)
+        df = seq_table.to_pandas()
+        for _, row in got.iterrows():
+            toks = df[df["source"] == row["source"]]["tokens"]
+            true = len({t for arr in toks for t in arr})
+            assert abs(row["hll_estimate"] - true) / max(true, 1) \
+                < 4 * row["rel_error_bound"] + 0.01
+            # KMV exact below k
+            if true < CFG.bottomk_k:
+                assert row["kmv_estimate"] == true
+
+    def test_heavy_hitters_match_exact_topk(self, seq_ds, seq_table):
+        got = heavy_hitters(seq_ds, CFG, k=10)
+        flat, _ = flat_tokens_and_offsets(seq_table["tokens"])
+        uk, counts = np.unique(flat, return_counts=True)
+        exact = pd.DataFrame({"token": uk.astype(np.int64), "cnt": counts})
+        exact = exact.sort_values(["cnt", "token"],
+                                  ascending=[False, True]).head(10)
+        # CMS is an upper bound; candidate gen is exact per batch — the
+        # returned top-10 token SET should match the exact one at this scale
+        assert set(got["token"]) == set(exact["token"])
+        n = len(flat)
+        m = got.merge(exact, on="token")
+        assert (m["est_count"] >= m["cnt"]).all()
+        assert ((m["est_count"] - m["cnt"]) <= CFG.cms_eps * n * 2).all()
+
+    def test_ntok_quantiles(self, seq_ds, seq_table):
+        got = ntok_quantiles(seq_ds, CFG, qs=(0.1, 0.5, 0.9))
+        vals = np.sort(seq_table["n_tok"].to_numpy())
+        for _, row in got.iterrows():
+            for est in (row["kll"], row["tdigest"]):
+                r_lo = np.searchsorted(vals, est, "left") / len(vals)
+                r_hi = np.searchsorted(vals, est, "right") / len(vals)
+                assert r_lo - 0.05 <= row["q"] <= r_hi + 0.05
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def dup_ds(self, ray_session):
+        """60 docs: 3 exact-dup groups + 2 near-dup pairs + uniques."""
+        rng = np.random.default_rng(77)
+        rows = []
+        for i in range(50):
+            rows.append((i, rng.integers(0, 500, 40).tolist()))
+        rows.append((50, rows[0][1]))            # exact dup of 0
+        rows.append((51, rows[0][1]))            # exact dup of 0
+        rows.append((52, rows[1][1]))            # exact dup of 1
+        near = list(rows[2][1])
+        near[0] = 999                             # near dup of 2
+        rows.append((53, near))
+        near2 = list(rows[3][1])
+        near2[-1] = 998
+        rows.append((54, near2))                  # near dup of 3
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+        })
+        return rd.from_arrow(tbl), tbl
+
+    def test_exact_dedup(self, dup_ds):
+        ds, tbl = dup_ds
+        kept = exact_dedup(ds, seed=42).to_pandas()
+        assert len(kept) == tbl.num_rows - 3       # 3 exact dups removed
+        assert 0 in kept["doc_id"].values          # min doc_id survives
+        assert not {50, 51, 52} & set(kept["doc_id"].values)
+
+    def test_minhash_near_dups(self, dup_ds):
+        ds, tbl = dup_ds
+        pairs = minhash_lsh_pairs(ds, CFG, num_perm=128, bands=32,
+                                  shingle=3, threshold=0.5)
+        got = {frozenset(p) for p in zip(pairs["a"], pairs["b"])}
+        assert {frozenset({0, 50}), frozenset({0, 51}),
+                frozenset({1, 52})} <= got or \
+               {frozenset({0, 50}), frozenset({50, 51}),
+                frozenset({1, 52})} <= got
+        assert any(2 in p and 53 in p for p in got)
+        clusters = minhash_dedup(ds, CFG, num_perm=128, bands=32,
+                                 shingle=3, threshold=0.5)
+        cmap = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+        assert cmap[50] == cmap[51] == cmap[0]
+
+    def test_simhash_near_dups(self, dup_ds):
+        ds, tbl = dup_ds
+        pairs = simhash_pairs(ds, CFG, max_hamming=6)
+        got = {frozenset(p) for p in zip(pairs["a"], pairs["b"])}
+        assert any(0 in p and (50 in p or 51 in p) for p in got)
+        assert (pairs["hamming"] <= 6).all()
+
+
+class TestSimilarity:
+    def _exact_topk(self, emb_tbl, q, k):
+        flat = emb_tbl["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        x = flat.reshape(emb_tbl.num_rows, -1).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        sims = qn @ x.T
+        ids = emb_tbl["vec_id"].to_numpy()
+        out = []
+        for qi in range(len(q)):
+            df = pd.DataFrame({"id": ids, "s": sims[qi]})
+            df = df.sort_values(["s", "id"], ascending=[False, True]).head(k)
+            out.append(df["id"].tolist())
+        return out
+
+    def test_bruteforce_matches_exact(self, ray_session):
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        flat = emb["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        x = flat.reshape(emb.num_rows, -1)
+        q = x[:5].astype(np.float64)
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        got = knn_bruteforce(ds, q, k=5, exclude_self=False)
+        exact = self._exact_topk(emb, q, 5)
+        for qi in range(5):
+            g = got[got["query_idx"] == qi].sort_values("rank")
+            assert g["neighbor_id"].tolist() == exact[qi]
+            assert g["cosine"].iloc[0] == pytest.approx(1.0)
+
+    def test_lsh_recall(self, ray_session):
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        flat = emb["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        x = flat.reshape(emb.num_rows, -1)
+        q = x[:8].astype(np.float64)
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        got = knn_lsh(ds, q, k=5, n_bits=6, multiprobe=1)
+        exact = self._exact_topk(emb, q, 5)
+        # recall of top-1 (self vector) must be perfect; overall recall decent
+        hits = total = top1 = 0
+        for qi in range(8):
+            g = set(got[got["query_idx"] == qi]["neighbor_id"])
+            if exact[qi][0] in g:
+                top1 += 1
+            hits += len(g & set(exact[qi]))
+            total += 5
+        assert top1 == 8
+        # random test vectors have weak neighborhood structure; require
+        # recall far above the 1% random-pick baseline, not near-exact
+        assert hits / total > 0.2
+
+
+class TestTextAndEvents:
+    def test_source_token_totals_vs_pandas(self, ray_session):
+        got = source_token_totals(SF).to_pandas().sort_values(
+            "source").reset_index(drop=True)
+        df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        df["n"] = df["text"].str.split().str.len()
+        exact = df.groupby("source").agg(
+            n_docs=("doc_id", "count"), total_tokens=("n", "sum")
+        ).reset_index().sort_values("source").reset_index(drop=True)
+        assert (got["source"] == exact["source"]).all()
+        assert (got["n_docs"] == exact["n_docs"]).all()
+        assert (got["total_tokens"] == exact["total_tokens"]).all()
+
+    def test_top_words_vs_pandas(self, ray_session):
+        got = top_words(SF, k=10).to_pandas()
+        df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        from collections import Counter
+        c = Counter(w for t in df["text"] for w in t.split())
+        exact = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(zip(got["word"], got["cnt"])) == exact
+
+    def test_tumbling_window_vs_pandas(self, ray_session):
+        got = tumbling_window_agg(SF, window_minutes=60).to_pandas()
+        df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        exact = df.groupby(["event_type", "window_start"]).agg(
+            n_events=("event_id", "count"), sum_value=("value", "sum")
+        ).reset_index()
+        m = exact.merge(got, on=["event_type", "window_start"],
+                        suffixes=("_x", "_y"))
+        assert len(m) == len(exact) == len(got)
+        assert (m["n_events_x"] == m["n_events_y"]).all()
+        assert np.allclose(m["sum_value_x"], m["sum_value_y"])
+
+    def test_sessionize(self, ray_session):
+        got = sessionize(SF, gap_minutes=30).to_pandas()
+        df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        assert got["n_events"].sum() == len(df)
+        assert (got["session_end"] >= got["session_start"]).all()
+        u13 = got[got["user_id"] == df["user_id"].iloc[0]]
+        assert len(u13) >= 1
+
+
+class TestMultimodal:
+    def test_real_decoder_raises(self):
+        with pytest.raises(NotImplementedError):
+            MediaFeatureExtractor(decoder="real")
+
+    def test_fake_decode_pipeline(self, ray_session):
+        ds = synth_media(32, seed=42)
+        out = extract_features(ds, decoder="fake", feature_dim=8).take_all()
+        assert len(out) == 32
+        for row in out:
+            assert len(row["features"]) == 8
+            assert row["n_bytes"] == 64
+        # determinism
+        out2 = extract_features(synth_media(32, seed=42), decoder="fake",
+                                feature_dim=8).take_all()
+        a = sorted([(r["media_id"], tuple(r["features"])) for r in out])
+        b = sorted([(r["media_id"], tuple(r["features"])) for r in out2])
+        assert a == b
