@@ -1,44 +1,487 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator callables, and
+oracle_sql() DuckDB equivalents (run side-by-side at sf=0.01).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name parity: every aggregate/computed column is named identically in
+the Ray pipeline and the SQL string (the driver hash-compares values after
+sorting columns by name).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+SEED = 42
+K_TOP_WORDS = 20
+K_HH_PER_SOURCE = 5
+KNN_QUERIES = 5
+KNN_K = 5
+QUANTILES = (0.05, 0.25, 0.5, 0.75, 0.95)
+# fixed membership query literals (words/phrases from the synthetic SQL-ish
+# vocabulary of the documents table; two are guaranteed-missing)
+MEMBER_WORDS = ["scan", "join", "window", "merge", "stream", "zzzznope"]
+MEMBER_PHRASES = ["batch batch", "order sort", "zzz yyy qqq"]
+
+# SQL fragment: whitespace tokenization identical to functions/tokenize.py
+_WORDS = ("SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), "
+          "'\\s+')) AS word FROM documents WHERE trim(text) <> ''")
+_NTOK = ("CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array("
+         "trim(text), '\\s+')) END")
+
+
+def _cfg():
+    from hierarchical_bloom_filter_index_ray import HbiConfig
+
+    return HbiConfig(seed=SEED, docs_per_window=256, fp=0.01, ngram=1,
+                     hll_p=12, cms_eps=0.02, cms_delta=0.05,
+                     expected_tokens_per_doc=64,
+                     expected_distinct_per_doc=48)
+
+
+def _index_dir(sf_dir: str) -> str:
+    """Build-once cache of the hierarchical index per (params, sf_dir)."""
+    from hierarchical_bloom_filter_index_ray.pipelines import build_index, \
+        load_manifest
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+
+    cfg = _cfg()
+    slug = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = Path("/tmp/hbi_entry_cache") / f"{cfg.params_hash()}-{slug}"
+    man = load_manifest(str(out))
+    if man is None:
+        build_index(sequences_table(sf_dir, seed=SEED), cfg, str(out),
+                    batch_size=256)
+    return str(out)
+
+
+def _membership(sf_dir: str):
+    import pyarrow as pa
+
+    from hierarchical_bloom_filter_index_ray.functions import hash_words
+    from hierarchical_bloom_filter_index_ray.pipelines import (load_index,
+                                                               membership_query)
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+
+    cfg = _cfg()
+    queries = []
+    for w in MEMBER_WORDS:
+        toks = hash_words(pa.array([w]), seed=SEED)
+        queries.append((w, [int(toks[0])]))
+    for p in MEMBER_PHRASES:
+        toks = hash_words(pa.array(p.split()), seed=SEED)
+        queries.append((p, [int(t) for t in toks]))
+    idx = load_index(_index_dir(sf_dir))
+    seqs = sequences_table(sf_dir, seed=SEED)
+    res = membership_query(idx, seqs, queries, cfg)
+    return res.rename_columns(["query", "doc_id"])
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: tokenize -> build hierarchical sketch index ->
+    exact membership query through bloom-tree prune + verify."""
+    return _membership("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_token_count(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines.text import token_counts
+    return token_counts(sf_dir)
+
+
+def _q_lang_dist(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+            .groupby("lang").aggregate(Count(alias_name="cnt")))
+
+
+def _q_source_token_totals(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        source_token_totals
+    return source_token_totals(sf_dir)
+
+
+def _q_top_words(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines.text import top_words
+    return top_words(sf_dir, k=K_TOP_WORDS)
+
+
+def _q_distinct_words_per_source(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from hierarchical_bloom_filter_index_ray.functions import split_words
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        words = split_words(batch["text"])
+        lengths = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "source": pa.array(np.repeat(src, lengths)),
+            "word": words.values,
+        })
+        # in-batch distinct (combiner) so the shuffle moves unique pairs
+        import pyarrow.compute as pc
+        return t.group_by(["source", "word"]).aggregate([]) \
+            if hasattr(t, "group_by") else t
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    pairs_ds = ds.map_batches(pairs, batch_format="pyarrow")
+    distinct = pairs_ds.groupby(["source", "word"]).aggregate(
+        Count(alias_name="_c")).drop_columns(["_c"])
+    return distinct.groupby("source").aggregate(
+        Count(alias_name="n_distinct"))
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Min
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"]))
+
+
+def _q_ntok_quantiles_exact(sf_dir: str):
+    """Exact n_tok quantiles via distributed value histogram + driver
+    cumsum (left-continuous rank pick == duckdb quantile_disc)."""
+    import math
+
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from hierarchical_bloom_filter_index_ray.pipelines.text import token_counts
+
+    hist = (token_counts(sf_dir).groupby("n_tok")
+            .aggregate(Count(alias_name="cnt")).to_pandas()
+            .sort_values("n_tok").reset_index(drop=True))
+    cum = hist["cnt"].cumsum()
+    n = int(cum.iloc[-1])
+    rows = []
+    for q in QUANTILES:
+        rank = max(0, math.ceil(q * n) - 1)
+        i = int((cum >= rank + 1).idxmax())
+        rows.append({"q": float(q), "n_tok": int(hist["n_tok"].iloc[i])})
+    return pd.DataFrame(rows)
+
+
+def _q_heavy_hitters_per_source(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hierarchical_bloom_filter_index_ray.functions import split_words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = split_words(batch["text"])
+        lengths = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": np.repeat(src, lengths),
+                           "word": words.values.to_pandas()})
+        out = df.value_counts().reset_index(name="cnt")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    freqs = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["source", "word"])
+             .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cnt", "word"],
+                             ascending=[False, True]).head(K_HH_PER_SOURCE)
+
+    return freqs.groupby("source").map_groups(topk, batch_format="pandas")
+
+
+def _q_events_hourly(sf_dir: str):
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_ray.pipelines.events import \
+        tumbling_window_agg
+
+    out = tumbling_window_agg(sf_dir, window_minutes=60).to_pandas()
+    out["sum_cents"] = np.round(out["sum_value"] * 100).astype(np.int64)
+    # epoch seconds (int64) on both sides: no timestamp-unit ambiguity
+    out["window_start"] = (out["window_start"].astype("datetime64[s]")
+                           .astype("int64"))
+    return out[["event_type", "window_start", "n_events", "sum_cents"]]
+
+
+def _q_distinct_users_per_event_type(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    distinct = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_c")).drop_columns(["_c"])
+    return distinct.groupby("event_type").aggregate(
+        Count(alias_name="n_users"))
+
+
+def _q_doc_quality(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray.functions import split_words
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = split_words(texts)
+        nospace = pc.utf8_length(
+            pc.replace_substring_regex(texts, r"\s+", ""))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pc.cast(pc.list_value_length(words), pa.int64()),
+            "n_chars_nospace": pc.cast(nospace, pa.int64()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def _q_window_partition_stats(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines import load_index
+    return load_index(_index_dir(sf_dir),
+                      columns=["source", "window_id", "n_docs", "n_tokens"]
+                      ).to_pandas().astype({"source": str}) \
+        .sort_values(["source", "window_id"]).reset_index(drop=True)
+
+
+def _q_word_membership(sf_dir: str):
+    return _membership(sf_dir)
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray.pipelines import knn_bruteforce
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    flat = head["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    x = flat.reshape(head.num_rows, -1)
+    ids = head["vec_id"].to_numpy()
+    order = np.argsort(ids)[:KNN_QUERIES]
+    q = x[order].astype(np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = knn_bruteforce(ds, q, k=KNN_K, exclude_self=True,
+                         query_ids=ids[order])
+    got["query_id"] = ids[order][got["query_idx"].to_numpy()]
+    return got[["query_id", "neighbor_id", "rank"]]
+
+
+# ---- sketch-estimate queries (non-SQL-expressible -> rows-only checks) ----
+
+def _q_hll_distinct(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines import distinct_tokens
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+    return distinct_tokens(sequences_table(sf_dir, seed=SEED), _cfg())
+
+
+def _q_cms_heavy_hitters(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines import heavy_hitters
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+    return heavy_hitters(sequences_table(sf_dir, seed=SEED), _cfg(), k=20)
+
+
+def _q_ntok_quantiles_sketch(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines import ntok_quantiles
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+    return ntok_quantiles(sequences_table(sf_dir, seed=SEED), _cfg(),
+                          qs=QUANTILES)
+
+
+def _q_minhash_dup_clusters(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines import minhash_dedup
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+    return minhash_dedup(sequences_table(sf_dir, seed=SEED), _cfg(),
+                         threshold=0.6)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines import simhash_pairs
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+    return simhash_pairs(sequences_table(sf_dir, seed=SEED), _cfg(),
+                         max_hamming=3)
+
+
+def _q_knn_lsh(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray.pipelines import knn_lsh
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    flat = head["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    x = flat.reshape(head.num_rows, -1)
+    q = x[:KNN_QUERIES].astype(np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_lsh(ds, q, k=KNN_K, n_bits=6, seed=SEED, multiprobe=1)
+
+
+def _q_lang_id_pred(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        lang_id_pipeline
+    return (lang_id_pipeline(sf_dir).groupby("lang_pred")
+            .aggregate(Count(alias_name="cnt")))
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines.dedup import \
+        add_content_hash
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+    return sequences_table(sf_dir, seed=SEED).map_batches(
+        add_content_hash, batch_format="pyarrow",
+        fn_kwargs={"seed": SEED}).select_columns(["doc_id", "content_hash"])
+
+
+def _q_media_features(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+        extract_features, synth_media)
+    return extract_features(synth_media(64, seed=SEED), decoder="fake",
+                            feature_dim=8)
+
+
+def _q_index_manifest(sf_dir: str):
+    import pandas as pd
+
+    from hierarchical_bloom_filter_index_ray.pipelines import load_manifest
+    man = load_manifest(_index_dir(sf_dir))
+    rows = [{"source": s, **v} for s, v in sorted(man["sources"].items())]
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled (exact parity with DuckDB)
+        "token_count": _q_token_count,
+        "lang_dist": _q_lang_dist,
+        "source_token_totals": _q_source_token_totals,
+        "top_words": _q_top_words,
+        "distinct_words_per_source": _q_distinct_words_per_source,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "ntok_quantiles_exact": _q_ntok_quantiles_exact,
+        "heavy_hitters_per_source": _q_heavy_hitters_per_source,
+        "events_hourly": _q_events_hourly,
+        "distinct_users_per_event_type": _q_distinct_users_per_event_type,
+        "doc_quality": _q_doc_quality,
+        "window_partition_stats": _q_window_partition_stats,
+        "word_membership": _q_word_membership,
+        "knn_bruteforce": _q_knn_bruteforce,
+        # sketch / approximate (rows-only driver check; bounds tested in
+        # pytest against exact oracles)
+        "hll_distinct": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "ntok_quantiles_sketch": _q_ntok_quantiles_sketch,
+        "minhash_dup_clusters": _q_minhash_dup_clusters,
+        "simhash_pairs": _q_simhash_pairs,
+        "knn_lsh": _q_knn_lsh,
+        "lang_id_pred": _q_lang_id_pred,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "media_features": _q_media_features,
+        "index_manifest": _q_index_manifest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    member_values = " ,".join(
+        f"('{w}')" for w in MEMBER_WORDS + MEMBER_PHRASES)
+    quant_union = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, quantile_disc(n_tok, {q}) AS "
+        f"n_tok FROM tc" for q in QUANTILES)
+    return {
+        "token_count": (
+            f"SELECT doc_id, {_NTOK} AS n_tok, source FROM documents"),
+        "lang_dist": (
+            "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang"),
+        "source_token_totals": (
+            f"SELECT source, COUNT(*) AS n_docs, SUM({_NTOK}) AS "
+            "total_tokens FROM documents GROUP BY source"),
+        "top_words": (
+            f"SELECT word, COUNT(*) AS cnt FROM ({_WORDS}) GROUP BY word "
+            f"ORDER BY cnt DESC, word ASC LIMIT {K_TOP_WORDS}"),
+        "distinct_words_per_source": (
+            f"SELECT source, COUNT(DISTINCT word) AS n_distinct FROM "
+            f"({_WORDS}) GROUP BY source"),
+        "exact_dedup_docs": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"),
+        "ntok_quantiles_exact": (
+            f"WITH tc AS (SELECT {_NTOK} AS n_tok FROM documents) "
+            + quant_union),
+        "heavy_hitters_per_source": (
+            f"WITH wf AS (SELECT source, word, COUNT(*) AS cnt FROM "
+            f"({_WORDS}) GROUP BY source, word) SELECT source, word, cnt "
+            "FROM wf QUALIFY row_number() OVER (PARTITION BY source ORDER "
+            f"BY cnt DESC, word ASC) <= {K_HH_PER_SOURCE}"),
+        "events_hourly": (
+            "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS "
+            "BIGINT) AS window_start, COUNT(*) AS n_events, "
+            "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
+            "FROM events GROUP BY 1, 2"),
+        "distinct_users_per_event_type": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM "
+            "events GROUP BY event_type"),
+        "doc_quality": (
+            "SELECT doc_id, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE len("
+            "regexp_split_to_array(trim(text), '\\s+')) END AS n_words, "
+            "length(regexp_replace(text, '\\s+', '', 'g')) AS "
+            "n_chars_nospace FROM documents"),
+        "window_partition_stats": (
+            "SELECT source, CAST(floor(doc_id / 256) AS BIGINT) AS "
+            f"window_id, COUNT(*) AS n_docs, SUM({_NTOK}) AS n_tokens "
+            "FROM documents GROUP BY 1, 2"),
+        "word_membership": (
+            f"WITH q(query) AS (VALUES {member_values}) "
+            "SELECT q.query, d.doc_id FROM documents d JOIN q ON "
+            "' ' || regexp_replace(trim(d.text), '\\s+', ' ', 'g') || ' ' "
+            "LIKE '% ' || q.query || ' %'"),
+        "knn_bruteforce": (
+            f"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "CAST(row_number() OVER w AS BIGINT) AS rank "
+            "FROM embeddings q, embeddings e "
+            f"WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY "
+            f"vec_id LIMIT {KNN_QUERIES}) AND e.vec_id != q.vec_id "
+            "WINDOW w AS (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, e.embedding) DESC, "
+            f"e.vec_id ASC) QUALIFY row_number() OVER w <= {KNN_K}"),
+    }

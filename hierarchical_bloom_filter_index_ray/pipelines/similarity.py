@@ -72,10 +72,13 @@ def knn_bruteforce(ds: "rd.Dataset", query_vectors: np.ndarray, k: int = 10,
     neighbor_id, cosine, rank)."""
     q = np.asarray(query_vectors, dtype=np.float64)
     ref = ray.put(q)
+    # fetch one extra local candidate when self-matches will be dropped
+    k_local = k + 1 if exclude_self else k
     parts = ds.map_batches(
         _BatchTopK, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=4096, concurrency=2,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k_local,
+                               "id_col": id_col,
                                "vec_col": vec_col}).to_pandas()
     out_rows = []
     for qi, g in parts.groupby("query_idx"):
