@@ -90,19 +90,51 @@ class MinHashStage:
         })
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (anchor = min doc to keep the
-    pair count linear in bucket size; near-dup clusters stay connected)."""
-    if len(g) < 2:
-        return pd.DataFrame({"a": [], "b": [], "sig_a": [], "sig_b": []})
-    g = g.sort_values("doc_id")
-    a0 = g.iloc[0]
-    rest = g.iloc[1:]
-    return pd.DataFrame({
-        "a": [a0["doc_id"]] * len(rest), "b": rest["doc_id"].tolist(),
-        "sig_a": [a0["signature"]] * len(rest),
-        "sig_b": rest["signature"].tolist(),
-    })
+def _hot_bucket_rows(band_rows: "rd.Dataset", key_cols: tuple[str, str]
+                     ) -> pd.DataFrame:
+    """Rows belonging to LSH buckets with >= 2 members.
+
+    Avoids ``map_groups`` over millions of singleton buckets (per-group
+    Python overhead): a fast ``groupby().count()`` finds hot buckets, their
+    hash values are broadcast as a filter set (near-dup buckets are rare),
+    and only matching rows are collected. Overmatching on the hash column
+    alone is corrected by exact pairing on (band_id, band_hash) afterwards.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    counts = band_rows.groupby(list(key_cols)).aggregate(
+        Count(alias_name="cnt"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return pd.DataFrame()
+    hot_hashes = pa.array(hot[key_cols[1]].unique())
+    rows = band_rows.map_batches(
+        lambda t: t.filter(pc.is_in(t[key_cols[1]], value_set=hot_hashes)),
+        batch_format="pyarrow").to_pandas()
+    return rows
+
+
+def _pairs_from_buckets(rows: pd.DataFrame, key_cols, payload_col: str
+                        ) -> pd.DataFrame:
+    """Anchor-min candidate pairs per bucket (linear in bucket size; keeps
+    clusters connected)."""
+    out_a, out_b, pa_, pb_ = [], [], [], []
+    for _, g in rows.groupby(list(key_cols), sort=False):
+        if len(g) < 2:
+            continue
+        g = g.sort_values("doc_id")
+        a0 = g.iloc[0]
+        for _, r in g.iloc[1:].iterrows():
+            out_a.append(a0["doc_id"])
+            out_b.append(r["doc_id"])
+            pa_.append(a0[payload_col])
+            pb_.append(r[payload_col])
+    return pd.DataFrame({"a": out_a, "b": out_b, "pa": pa_, "pb": pb_})
 
 
 def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
@@ -123,15 +155,17 @@ def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
         batch_size=4096, concurrency=concurrency,
         fn_constructor_kwargs={"cfg": cfg, "num_perm": num_perm,
                                "bands": bands, "shingle": shingle})
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas").to_pandas()
+    rows = _hot_bucket_rows(band_rows, ("band_id", "band_hash"))
+    if not len(rows):
+        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+    cand = _pairs_from_buckets(rows, ("band_id", "band_hash"), "signature")
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
     cand = cand.drop_duplicates(subset=["a", "b"])
     sig_a = np.stack([np.frombuffer(s, dtype=np.uint64)
-                      for s in cand["sig_a"]])
+                      for s in cand["pa"]])
     sig_b = np.stack([np.frombuffer(s, dtype=np.uint64)
-                      for s in cand["sig_b"]])
+                      for s in cand["pb"]])
     est = (sig_a == sig_b).mean(axis=1)
     out = pd.DataFrame({"a": cand["a"].values, "b": cand["b"].values,
                         "est_jaccard": est})
@@ -201,26 +235,16 @@ def simhash_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, max_hamming: int = 3
             "simhash": batch["simhash"].take(pa.array(rep)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []})
-        g = g.sort_values("doc_id")
-        a0 = g.iloc[0]
-        rest = g.iloc[1:]
-        return pd.DataFrame({
-            "a": [a0["doc_id"]] * len(rest), "b": rest["doc_id"].tolist(),
-            "ha": [a0["simhash"]] * len(rest),
-            "hb": rest["simhash"].tolist(),
-        })
-
-    cand = sims.map_batches(explode, batch_format="pyarrow").groupby(
-        ["chunk_id", "chunk_val"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
+    band_rows = sims.map_batches(explode, batch_format="pyarrow")
+    rows = _hot_bucket_rows(band_rows, ("chunk_id", "chunk_val"))
+    if not len(rows):
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    cand = _pairs_from_buckets(rows, ("chunk_id", "chunk_val"), "simhash")
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
     cand = cand.drop_duplicates(subset=["a", "b"])
-    d = hamming64(cand["ha"].to_numpy().astype(np.int64).view(np.uint64),
-                  cand["hb"].to_numpy().astype(np.int64).view(np.uint64))
+    d = hamming64(cand["pa"].to_numpy().astype(np.int64).view(np.uint64),
+                  cand["pb"].to_numpy().astype(np.int64).view(np.uint64))
     out = pd.DataFrame({"a": cand["a"].values, "b": cand["b"].values,
                         "hamming": d})
     out = out[out["hamming"] <= max_hamming]

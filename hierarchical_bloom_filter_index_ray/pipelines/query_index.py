@@ -157,9 +157,17 @@ class ExactVerifier:
         from ..stages.window import doc_index
         di = doc_index(batch)
         srcs = batch["source"].to_pylist()
-        mask = np.fromiter(
-            ((s, int(d)) in self.cands for s, d in zip(srcs, di)),
-            dtype=bool, count=len(di))
+        # vectorized candidate mask: np.isin per source present in the batch
+        by_src: dict[str, np.ndarray] = {}
+        mask = np.zeros(len(di), dtype=bool)
+        for s in set(srcs):
+            if s not in by_src:
+                by_src[s] = np.array(
+                    [d for (cs, d) in self.cands if cs == s], dtype=np.int64)
+            rows = np.fromiter((x == s for x in srcs), dtype=bool,
+                               count=len(srcs))
+            if len(by_src[s]):
+                mask |= rows & np.isin(di, by_src[s])
         out_qid, out_doc = [], []
         if mask.any():
             sub = batch.filter(pa.array(mask))
@@ -195,16 +203,14 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     is bounded by true_hits + FPR * windows * docs_per_window, kilobytes at
     any realistic FPR (the same asymmetry the reference exploits).
     """
-    from ..stages.resources import default_concurrency
-    if probe_concurrency is None:
-        probe_concurrency = default_concurrency()
     compiled = compile_queries(queries, cfg)
-    q_ref = ray.put(compiled)
+    # plain callable INSTANCES -> elastic task pool (no actor-pool startup
+    # cost; the compiled queries ride along in the serialized closure —
+    # they are small by construction)
     cand = index_ds.select_columns(
         ["source", "window_id", "bloom_tree"]).map_batches(
-        BloomProbe, batch_format="pyarrow",
-        fn_constructor_kwargs={"cfg": cfg, "queries_ref": q_ref},
-        concurrency=probe_concurrency, batch_size=64).take_all()
+        BloomProbe(cfg, compiled), batch_format="pyarrow",
+        batch_size=64).take_all()
 
     qid_to_idx = {q["query_id"]: i for i, q in enumerate(compiled)}
     cand_map: dict[tuple[str, int], list[int]] = {}
@@ -212,12 +218,9 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
         di = (int(row["window_id"]) << cfg.window_bits) | int(row["slot"])
         cand_map.setdefault((row["source"], di), []).append(
             qid_to_idx[row["query_id"]])
-    c_ref = ray.put(cand_map)
     hits = sequences_ds.map_batches(
-        ExactVerifier, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=probe_concurrency,
-        fn_constructor_kwargs={"cfg": cfg, "cand_ref": c_ref,
-                               "queries_ref": q_ref}).take_all()
+        ExactVerifier(cfg, cand_map, compiled), batch_format="pyarrow",
+        zero_copy_batch=True).take_all()
     tbl = pa.table({
         "query_id": pa.array([h["query_id"] for h in hits], pa.string()),
         "doc_id": pa.array([h["doc_id"] for h in hits]),

@@ -40,7 +40,9 @@ def _new_global(cfg: HbiConfig) -> dict:
 
 
 class GlobalSketchPartials:
-    """Actor-pool map stage: one partial row per (source x batch)."""
+    """Map stage: one partial row per (source x batch). Passed as a pickled
+    INSTANCE -> elastic task pool (its only state is the config; an actor
+    pool's startup cost buys nothing here)."""
 
     def __init__(self, cfg: HbiConfig, by_source: bool = True):
         self.cfg = cfg
@@ -96,13 +98,9 @@ def build_global_sketches(ds: "rd.Dataset", cfg: HbiConfig, *,
     on the driver — at any scale the partial stream is O(batches), not
     O(tokens).
     """
-    from ..stages.resources import default_concurrency
-    if concurrency is None:
-        concurrency = default_concurrency()
     parts = ds.map_batches(
-        GlobalSketchPartials, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency,
-        fn_constructor_kwargs={"cfg": cfg, "by_source": by_source}).take_all()
+        GlobalSketchPartials(cfg, by_source), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=batch_size).take_all()
     out: dict[str, dict] = {}
     for row in parts:
         blob = pickle.loads(row["payload"])
@@ -162,10 +160,9 @@ def heavy_hitters(ds: "rd.Dataset", cfg: HbiConfig, k: int = 20, *,
     pigeonhole when factor covers skew), counts estimated by the merged CMS
     (upper bound, eps*N error). Deterministic tie-break (cnt desc, token
     asc)."""
-    cand = ds.map_batches(_BatchTopK, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=8192,
-                          concurrency=2,
-                          fn_constructor_kwargs={"m": k * candidate_factor})
+    cand = ds.map_batches(_BatchTopK(k * candidate_factor),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=8192)
     cand_df = cand.to_pandas().groupby("token", as_index=False)["cnt"].sum()
     agg = build_global_sketches(ds, cfg, by_source=False)["__all__"]
     cms = agg["sketches"]["cms"]

@@ -24,11 +24,16 @@ from .splitmix import U64, derive_seed, hash_u64
 
 
 def bloom_dimensions(n: int, p: float) -> tuple[int, int]:
-    """(m_bits, k) per ``BloomFilter.java:27-31``; m rounded up to 64."""
+    """(m_bits, k) per ``BloomFilter.java:27-31``, with one deliberate
+    divergence: m is rounded UP to a power of two so bit addressing is a
+    mask instead of a 64-bit modulo (the modulo dominated build profiles).
+    k stays sized from the un-rounded optimal m, so the realized FPR is
+    <= the configured p (the bound the reference checks,
+    ``BloomFilter.java:52-59``)."""
     n = max(1, int(n))
-    m = math.ceil(-n * math.log(p) / (math.log(2) ** 2))
-    m = ((m + 63) // 64) * 64
-    k = max(1, round(m / n * math.log(2)))
+    m_raw = max(64, math.ceil(-n * math.log(p) / (math.log(2) ** 2)))
+    k = max(1, round(m_raw / n * math.log(2)))
+    m = 1 << math.ceil(math.log2(m_raw))
     return m, k
 
 
@@ -53,19 +58,19 @@ class BloomFilter:
 
     # -- hashing ---------------------------------------------------------
     def _indices(self, keys: np.ndarray) -> np.ndarray:
-        """(len(keys), k) bit indices via double hashing."""
+        """(len(keys), k) bit indices via double hashing (mask, m = 2^j)."""
         h1 = hash_u64(keys, self._s1)
         h2 = hash_u64(keys, self._s2) | U64(1)  # odd stride
         j = np.arange(self.k, dtype=np.uint64)[None, :]
-        return ((h1[:, None] + j * h2[:, None]) % U64(self.m)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + j * h2[:, None]) & U64(self.m - 1)
 
     # -- update / query --------------------------------------------------
     def update(self, keys: np.ndarray) -> None:
         if len(keys) == 0:
             return
         idx = self._indices(keys).ravel()
-        np.bitwise_or.at(self.words, (idx >> U64(6)).astype(np.int64),
-                         U64(1) << (idx & U64(63)))
+        np.bitwise_or.at(self.words, idx >> U64(6), U64(1) << (idx & U64(63)))
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         """Vectorized membership test -> bool array (no false negatives)."""
@@ -73,8 +78,7 @@ class BloomFilter:
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
         idx = self._indices(keys)
-        bits = (self.words[(idx >> U64(6)).astype(np.int64)]
-                >> (idx & U64(63))) & U64(1)
+        bits = (self.words[idx >> U64(6)] >> (idx & U64(63))) & U64(1)
         return bits.all(axis=1)
 
     # -- estimates -------------------------------------------------------
