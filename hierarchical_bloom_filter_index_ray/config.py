@@ -47,6 +47,12 @@ class HbiConfig:
     tdigest_delta: float = 200.0
     hops_buckets: int = 2048            # reference default B=2500 (SamplingSketchExperiment.java:50)
     bottomk_k: int = 1024
+    # --- memory policy (reference REACTIVE policy, HBI.java:288-323):
+    # when set, each window keeps only bloom levels >= the safe Lp derived
+    # from its q-quantile token frequency (shallow filters that cannot
+    # prune are dropped at merge time) ---
+    policy_quantile: float | None = None
+    policy_conf: float = 0.95
     # --- which sketch families to build per (source, window) partition ---
     sketches: tuple[str, ...] = field(default=(
         "bloom_tree", "hll", "cms", "kll_ntok", "tdigest_ntok", "hops",

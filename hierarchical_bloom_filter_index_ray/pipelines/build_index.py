@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..config import HbiConfig
-from ..stages.merge import merge_partials_group
+from ..stages.merge import finalize_unique_partials, merge_partials_group
 from ..stages.resources import default_concurrency
 from ..stages.sketch_build import PartialSketchBuilder
 from ..stages.window import add_window_columns
@@ -68,11 +68,16 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
             "pass resume=False to rebuild")
     completed = set(manifest["completed_sources"]) if manifest else set()
 
-    all_sources = sorted(ds.unique("source"))
-    todo = [s for s in all_sources if s not in completed]
-    if todo:
+    if completed:
+        # source discovery only needed to prune a resumed build (projection
+        # is pushed into the parquet read; a fresh build skips this job)
+        all_sources = sorted(ds.select_columns(["source"]).unique("source"))
+        todo = [s for s in all_sources if s not in completed]
+    else:
+        todo = None  # fresh build: everything, no discovery pass
+    if todo is None or todo:
         # clear partial leftovers from a crashed run for the todo sources
-        for s in todo:
+        for s in (todo or []):
             leftover = out / PARTITIONS / f"source={s}"
             if leftover.exists():
                 shutil.rmtree(leftover)
@@ -90,10 +95,30 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
                          zero_copy_batch=True, batch_size=batch_size,
                          fn_constructor_kwargs={"cfg": cfg},
                          concurrency=concurrency, num_cpus=num_cpus)
-        )
-        merged = partials.groupby(["source", "window_id"]).map_groups(
-            merge_partials_group, batch_format="pandas",
-            fn_kwargs={"params_hash": cfg.params_hash()})
+        ).materialize()  # pin partials: consumed by the key check + finalize
+        policy = None
+        if cfg.policy_quantile is not None:
+            policy = {"quantile": cfg.policy_quantile,
+                      "conf": cfg.policy_conf, "fp": cfg.fp,
+                      "max_depth": cfg.window_bits}
+        # keys-only duplicate check (shuffles two int columns, not
+        # payloads): with window-aligned batches every (source, window) has
+        # exactly one partial and the payload shuffle can be skipped
+        from ray.data.aggregate import Count
+        key_counts = partials.select_columns(["source", "window_id"]) \
+            .groupby(["source", "window_id"]).aggregate(
+                Count(alias_name="cnt"))
+        max_cnt = key_counts.max("cnt")
+        if max_cnt <= 1:
+            merged = partials.map_batches(
+                finalize_unique_partials, batch_format="pandas",
+                fn_kwargs={"params_hash": cfg.params_hash(),
+                           "policy": policy})
+        else:
+            merged = partials.groupby(["source", "window_id"]).map_groups(
+                merge_partials_group, batch_format="pandas",
+                fn_kwargs={"params_hash": cfg.params_hash(),
+                           "policy": policy})
         merged.write_parquet(str(out / PARTITIONS), partition_cols=["source"],
                              mode="append")
 

@@ -61,11 +61,18 @@ def compile_queries(queries: list[tuple[str, list[int]]], cfg: HbiConfig
 
 
 class BloomProbe:
-    """Index-partition probe actor. One deserialization of each window's
-    bloom tree per batch row; all queries probed vectorized per node."""
+    """Index-partition probe. One deserialization of each window's bloom
+    tree per batch row; all queries probed vectorized per node.
 
-    def __init__(self, cfg: HbiConfig, queries_ref):
+    With ``conf`` set, a ``MostFreqPlanner`` chooses a per-query seed
+    level from the window's CMS (``search/MostFreqPruning.java:31-52``);
+    the DFS then starts at all intervals of that level. Seed choice only
+    affects probe cost, never results.
+    """
+
+    def __init__(self, cfg: HbiConfig, queries_ref, conf: float | None = None):
         self.cfg = cfg
+        self.conf = conf
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.queries = qs
@@ -114,13 +121,43 @@ class BloomProbe:
             sources = batch["source"].to_pylist()
             windows = batch["window_id"].to_pylist()
             blobs = batch["bloom_tree"].to_pylist()
+            has_planner = (self.conf is not None
+                           and "cms" in batch.column_names)
+            cms_blobs = batch["cms"].to_pylist() if has_planner else None
+            n_tokens = (batch["n_tokens"].to_pylist()
+                        if "n_tokens" in batch.column_names else None)
             all_q = np.arange(len(self.queries), dtype=np.int64)
-            for src, win, blob in zip(sources, windows, blobs):
+            for r, (src, win, blob) in enumerate(zip(sources, windows,
+                                                     blobs)):
                 if blob is None:
                     continue
-                blooms = [sketch_from_bytes(b) for b in pickle.loads(blob)]
+                tree = pickle.loads(blob)
+                blooms = {int(lv): sketch_from_bytes(b)
+                          for lv, b in tree.items()}
+                min_lvl = min(blooms)
                 rows: list = []
-                self._probe_window(blooms, all_q, 0, 0, rows)
+                if has_planner and cms_blobs[r] is not None:
+                    from .planner import MostFreqPlanner
+                    planner = MostFreqPlanner(self.conf, cfg.fp,
+                                              cfg.window_bits)
+                    cms = sketch_from_bytes(cms_blobs[r])
+                    wtok = int(n_tokens[r]) if n_tokens else 0
+                    by_lp: dict[int, list[int]] = {}
+                    for qi in all_q:
+                        keys = self.q_keys[self.q_bounds[qi]:
+                                           self.q_bounds[qi + 1]]
+                        lp = planner.plan(cms, wtok, keys)
+                        lp = min(max(lp, min_lvl), cfg.window_bits)
+                        by_lp.setdefault(lp, []).append(int(qi))
+                    for lp, qidx in by_lp.items():
+                        qarr = np.array(qidx, dtype=np.int64)
+                        for interval in range(1 << lp):
+                            self._probe_window(blooms, qarr, lp, interval,
+                                               rows)
+                else:
+                    for interval in range(1 << min_lvl):
+                        self._probe_window(blooms, all_q, min_lvl, interval,
+                                           rows)
                 for slot, survivors in rows:
                     for qi in survivors.tolist():
                         out_qid.append(self.queries[qi]["query_id"])
@@ -195,7 +232,8 @@ class ExactVerifier:
 
 def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      queries: list[tuple[str, list[int]]], cfg: HbiConfig,
-                     *, probe_concurrency=None) -> pa.Table:
+                     *, probe_concurrency=None,
+                     conf: float | None = None) -> pa.Table:
     """Exact pattern-membership results for a batch of queries.
 
     Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
@@ -204,12 +242,14 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     any realistic FPR (the same asymmetry the reference exploits).
     """
     compiled = compile_queries(queries, cfg)
+    cols = ["source", "window_id", "bloom_tree"]
+    if conf is not None:
+        cols += ["cms", "n_tokens"]
     # plain callable INSTANCES -> elastic task pool (no actor-pool startup
     # cost; the compiled queries ride along in the serialized closure —
     # they are small by construction)
-    cand = index_ds.select_columns(
-        ["source", "window_id", "bloom_tree"]).map_batches(
-        BloomProbe(cfg, compiled), batch_format="pyarrow",
+    cand = index_ds.select_columns(cols).map_batches(
+        BloomProbe(cfg, compiled, conf=conf), batch_format="pyarrow",
         batch_size=64).take_all()
 
     qid_to_idx = {q["query_id"]: i for i, q in enumerate(compiled)}

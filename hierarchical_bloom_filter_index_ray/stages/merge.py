@@ -43,28 +43,70 @@ def merge_payloads(payloads) -> dict:
     return acc
 
 
-def merge_partials_group(group: pd.DataFrame, *, params_hash: str
-                         ) -> pd.DataFrame:
+def finalize_unique_partials(batch: pd.DataFrame, *, params_hash: str,
+                             policy: dict | None = None) -> pd.DataFrame:
+    """No-shuffle finalize: every partial row is already the only one for
+    its (source, window) key (verified by a keys-only aggregate before this
+    path is taken), so each row becomes an index row directly — the 900x
+    heavier payload shuffle is skipped entirely."""
+    out = [merge_partials_group(batch.iloc[i:i + 1], params_hash=params_hash,
+                                policy=policy)
+           for i in range(len(batch))]
+    return pd.concat(out, ignore_index=True) if out else \
+        merge_partials_group(batch, params_hash=params_hash, policy=policy)
+
+
+def merge_partials_group(group: pd.DataFrame, *, params_hash: str,
+                         policy: dict | None = None) -> pd.DataFrame:
     """map_groups fn (plain function -> elastic task pool, no CPU pinning):
     partial rows of one (source, window) -> one index row with per-kind blob
-    columns + stats."""
-    merged = merge_payloads(group["payload"].tolist())
+    columns + stats. The ``bloom_tree`` column holds a pickled
+    ``{level: bytes}`` dict (levels may be dropped by the memory policy).
+
+    Fast path: when the window received exactly ONE partial (the common
+    case when batch boundaries align with windows) and no policy is
+    active, its serialized bytes are reused verbatim — no
+    deserialize/merge/recompress round-trip.
+    """
+    n_tokens_total = int(group["n_tokens"].sum())
+    if len(group) == 1 and policy is None:
+        blobs = {k: ({lv: bytes(b) for lv, b in enumerate(v)}
+                     if isinstance(v, list) else bytes(v))
+                 for k, v in pickle.loads(group["payload"].iloc[0]).items()}
+    else:
+        merged = merge_payloads(group["payload"].tolist())
+        keep_from = 0
+        if policy is not None and "bloom_tree" in merged:
+            from ..pipelines.planner import memory_policy_level
+            cms = merged.get("cms")
+            sampler = merged.get("bottomk") or merged.get("hops")
+            if cms is not None and sampler is not None:
+                reps = sampler.sample_keys()
+                freqs = cms.estimate(reps) if len(reps) else []
+                keep_from = memory_policy_level(
+                    freqs, n_tokens_total, quantile=policy["quantile"],
+                    conf=policy["conf"], fp=policy["fp"],
+                    max_depth=policy["max_depth"])
+        blobs = {}
+        for k, v in merged.items():
+            if isinstance(v, list):
+                blobs[k] = {lv: s.to_bytes() for lv, s in enumerate(v)
+                            if lv >= keep_from}
+            else:
+                blobs[k] = v.to_bytes()
     row = {
         "source": [group["source"].iloc[0]],
         "window_id": [int(group["window_id"].iloc[0])],
         "n_docs": [int(group["n_docs"].sum())],
-        "n_tokens": [int(group["n_tokens"].sum())],
+        "n_tokens": [n_tokens_total],
         "params_hash": [params_hash],
     }
     total_bytes = 0
     for kind in INDEX_BLOB_COLS:
-        if kind in merged:
-            obj = merged[kind]
-            if isinstance(obj, list):
-                blob = pickle.dumps([s.to_bytes() for s in obj],
-                                    protocol=pickle.HIGHEST_PROTOCOL)
-            else:
-                blob = obj.to_bytes()
+        if kind in blobs:
+            obj = blobs[kind]
+            blob = (pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+                    if isinstance(obj, dict) else obj)
             total_bytes += len(blob)
             row[kind] = [blob]
         else:

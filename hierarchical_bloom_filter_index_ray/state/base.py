@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import json
+import zlib
 
 import numpy as np
 
@@ -39,7 +40,12 @@ def sketch_from_bytes(data: bytes):
 
 
 def write_blob(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
-    """Compact self-describing binary: json header + raw little-endian arrays."""
+    """Compact self-describing binary: json header + little-endian arrays.
+
+    Array payloads > 4 KiB are zlib-compressed (level 1, deterministic) when
+    that wins — partial sketches are mostly zeros, so this shrinks the
+    groupby shuffle of serialized partials by 1-2 orders of magnitude.
+    """
     header = {
         "kind": kind,
         "meta": meta,
@@ -48,28 +54,35 @@ def write_blob(kind: str, meta: dict, arrays: dict[str, np.ndarray]) -> bytes:
             for name, a in arrays.items()
         },
     }
+    raw = b"".join(np.ascontiguousarray(a).tobytes() for a in arrays.values())
+    if len(raw) > 4096:
+        z = zlib.compress(raw, 1)
+        if len(z) < len(raw):
+            header["z"] = 1
+            raw = z
     hb = json.dumps(header, separators=(",", ":")).encode()
     buf = io.BytesIO()
     buf.write(len(hb).to_bytes(4, "little"))
     buf.write(hb)
-    for a in arrays.values():
-        buf.write(np.ascontiguousarray(a).tobytes())
+    buf.write(raw)
     return buf.getvalue()
 
 
 def read_blob(data: bytes):
     n = int.from_bytes(data[:4], "little")
     header = json.loads(data[4 : 4 + n])
-    off = 4 + n
+    payload = data[4 + n:]
+    if header.get("z"):
+        payload = zlib.decompress(payload)
+    off = 0
     arrays = {}
     for name, spec in header["arrays"].items():
         dt = np.dtype(spec["dtype"])
         shape = tuple(spec["shape"])
         size = dt.itemsize * int(np.prod(shape)) if shape else dt.itemsize
         count = int(np.prod(shape)) if shape else 1
-        arrays[name] = np.frombuffer(data, dtype=dt, count=count, offset=off).reshape(
-            shape
-        )
+        arrays[name] = np.frombuffer(payload, dtype=dt, count=count,
+                                     offset=off).reshape(shape)
         off += size
     return header["kind"], header["meta"], arrays
 

@@ -56,6 +56,11 @@ class BloomFilter:
         self._s1 = derive_seed(self.seed, "bloom_h1")
         self._s2 = derive_seed(self.seed, "bloom_h2")
 
+    # chunk size keeps the (chunk, k) index temporaries L2-resident —
+    # full-batch temporaries streamed through DRAM and capped multi-worker
+    # scaling on memory bandwidth
+    _CHUNK = 8192
+
     # -- hashing ---------------------------------------------------------
     def _indices(self, keys: np.ndarray) -> np.ndarray:
         """(len(keys), k) bit indices via double hashing (mask, m = 2^j)."""
@@ -67,19 +72,20 @@ class BloomFilter:
 
     # -- update / query --------------------------------------------------
     def update(self, keys: np.ndarray) -> None:
-        if len(keys) == 0:
-            return
-        idx = self._indices(keys).ravel()
-        np.bitwise_or.at(self.words, idx >> U64(6), U64(1) << (idx & U64(63)))
+        for c0 in range(0, len(keys), self._CHUNK):
+            idx = self._indices(keys[c0:c0 + self._CHUNK]).ravel()
+            np.bitwise_or.at(self.words, idx >> U64(6),
+                             U64(1) << (idx & U64(63)))
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         """Vectorized membership test -> bool array (no false negatives)."""
         keys = np.asarray(keys)
-        if len(keys) == 0:
-            return np.zeros(0, dtype=bool)
-        idx = self._indices(keys)
-        bits = (self.words[idx >> U64(6)] >> (idx & U64(63))) & U64(1)
-        return bits.all(axis=1)
+        out = np.empty(len(keys), dtype=bool)
+        for c0 in range(0, len(keys), self._CHUNK):
+            idx = self._indices(keys[c0:c0 + self._CHUNK])
+            bits = (self.words[idx >> U64(6)] >> (idx & U64(63))) & U64(1)
+            out[c0:c0 + self._CHUNK] = bits.all(axis=1)
+        return out
 
     # -- estimates -------------------------------------------------------
     @property

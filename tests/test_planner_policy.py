@@ -1,0 +1,142 @@
+"""Planner (seed-level, confidence solver), memory policy, and
+SketchAgg aggregate-adapter tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from hierarchical_bloom_filter_index_ray import HbiConfig
+from hierarchical_bloom_filter_index_ray.pipelines import (build_index,
+                                                           load_index,
+                                                           membership_query)
+from hierarchical_bloom_filter_index_ray.pipelines.planner import (
+    f_prod, memory_policy_level, pruning_level_bloom, solve_b_bisection)
+from hierarchical_bloom_filter_index_ray.sources import synth_sequences
+from hierarchical_bloom_filter_index_ray.stages.aggregate import (
+    CmsAgg, HllAgg, KllQuantileAgg, KmvDistinctAgg, TDigestQuantileAgg)
+from hierarchical_bloom_filter_index_ray.state import sketch_from_bytes
+
+
+class TestPruningMath:
+    def test_level_monotone_in_prob(self):
+        # frequent tokens make shallow levels uninformative -> seed deeper;
+        # rare tokens discriminate at the root -> seed shallow
+        levels = [pruning_level_bloom(128, 8, 0.95, p, 0.01)
+                  for p in (0.5, 0.1, 0.01, 0.001, 1e-6)]
+        assert levels == sorted(levels, reverse=True)
+        assert 0 <= levels[-1] and levels[0] <= 8
+
+    def test_conf_below_beta_goes_deepest(self):
+        assert pruning_level_bloom(128, 8, 0.005, 0.1, 0.01) == 8
+
+    def test_solver_satisfies_target(self):
+        p = np.array([0.12, 0.033, 0.004, 0.44, 0.003, 0.014])
+        a = 0.99
+        b = solve_b_bisection(p, a)
+        assert abs(f_prod(b, p) - a) < 1e-6
+        assert f_prod(b * 0.5, p) < a < f_prod(b * 2, p)
+
+    def test_solver_rejects_bad_inputs(self):
+        with pytest.raises(ValueError):
+            solve_b_bisection([0.5], 1.5)
+        with pytest.raises(ValueError):
+            solve_b_bisection([0.0, 0.5], 0.9)
+
+
+CFG = HbiConfig(seed=11, docs_per_window=64, fp=0.01, hll_p=12,
+                cms_eps=0.02, cms_delta=0.05)
+
+
+class TestPlannerQueries:
+    def test_planner_results_equal_unplanned(self, ray_session, tmp_path):
+        ds = synth_sequences(512, seed=3, n_sources=2, vocab=512)
+        build_index(ds, CFG, str(tmp_path / "idx"), batch_size=128)
+        idx = load_index(str(tmp_path / "idx"))
+        rows = ds.take(4)
+        queries = [(f"q{i}", [int(t) for t in r["tokens"][:2]])
+                   for i, r in enumerate(rows)]
+        queries.append(("miss", [2**30 + 5]))
+        plain = membership_query(idx, ds, queries, CFG).to_pandas()
+        planned = membership_query(idx, ds, queries, CFG,
+                                   conf=0.95).to_pandas()
+        assert plain.equals(planned)
+        assert len(plain) > 0
+
+
+class TestMemoryPolicy:
+    def test_policy_drops_shallow_levels_and_queries_still_exact(
+            self, ray_session, tmp_path):
+        cfg_pol = HbiConfig(seed=11, docs_per_window=64, fp=0.01, hll_p=12,
+                            cms_eps=0.02, cms_delta=0.05,
+                            policy_quantile=0.5, policy_conf=0.95)
+        ds = synth_sequences(512, seed=3, n_sources=2, vocab=4)
+        # tiny vocab -> every token very frequent -> shallow levels useless
+        build_index(ds, cfg_pol, str(tmp_path / "pol"), batch_size=128)
+        idx_pd = load_index(str(tmp_path / "pol")).to_pandas()
+        import pickle
+        trees = [pickle.loads(b) for b in idx_pd["bloom_tree"]]
+        assert any(min(t) > 0 for t in trees)  # some shallow level dropped
+        for t in trees:
+            assert max(t) == cfg_pol.window_bits  # leaves always kept
+        # queries remain exact
+        idx = load_index(str(tmp_path / "pol"))
+        rows = ds.take(3)
+        queries = [(f"q{i}", [int(r["tokens"][0])])
+                   for i, r in enumerate(rows)]
+        res = membership_query(idx, ds, queries, cfg_pol).to_pandas()
+        assert len(res) > 0
+
+    def test_memory_policy_level_bounds(self):
+        freqs = np.full(100, 50.0)
+        lp = memory_policy_level(freqs, 1000, quantile=0.5, conf=0.95,
+                                 fp=0.01, max_depth=8)
+        assert 0 <= lp <= 8
+        # very frequent tokens -> deeper lp than very rare ones
+        lp_rare = memory_policy_level(np.full(100, 0.001), 10**6,
+                                      quantile=0.5, conf=0.95, fp=0.01,
+                                      max_depth=8)
+        assert lp >= lp_rare
+
+
+class TestSketchAgg:
+    def test_groupby_aggregate_sketches(self, ray_session):
+        rng = np.random.default_rng(5)
+        rows = []
+        for g in ("a", "b"):
+            hi = 200 if g == "a" else 1000
+            for i in range(50):
+                rows.append({"grp": g,
+                             "tokens": rng.integers(0, hi, 30).tolist(),
+                             "n_tok": 30 + i})
+        tbl = pa.table({
+            "grp": pa.array([r["grp"] for r in rows]),
+            "tokens": pa.array([r["tokens"] for r in rows],
+                               pa.list_(pa.int32())),
+            "n_tok": pa.array([r["n_tok"] for r in rows], pa.int32()),
+        })
+        ds = rd.from_arrow(tbl)
+        out = ds.groupby("grp").aggregate(
+            HllAgg(7, p=12), KmvDistinctAgg(7),
+            KllQuantileAgg(7, on="n_tok", q=0.5),
+            TDigestQuantileAgg(on="n_tok", q=0.5),
+            CmsAgg(7)).to_pandas().set_index("grp")
+        import pandas as pd
+        df = pd.DataFrame(rows)
+        for g in ("a", "b"):
+            true = len({t for toks in df[df.grp == g]["tokens"]
+                        for t in toks})
+            assert abs(out.loc[g, "hll_distinct"] - true) / true < 0.1
+            assert abs(out.loc[g, "kmv_distinct"] - true) / true < 0.05
+            med = float(np.median(df[df.grp == g]["n_tok"]))
+            assert abs(out.loc[g, "kll_q0.5"] - med) <= 2
+            assert abs(out.loc[g, "tdigest_q0.5"] - med) <= 2
+        cms = sketch_from_bytes(out.loc["a", "cms"])
+        toks_a = np.concatenate(
+            [np.asarray(t) for t in df[df.grp == "a"]["tokens"]])
+        uk, counts = np.unique(toks_a, return_counts=True)
+        est = cms.estimate(uk.astype(np.uint64))
+        assert (est >= counts).all()
