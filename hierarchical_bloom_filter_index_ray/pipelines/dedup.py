@@ -105,8 +105,13 @@ def _hot_bucket_rows(band_rows: "rd.Dataset", key_cols: tuple[str, str]
 
     from ray.data.aggregate import Count
 
-    counts = band_rows.groupby(list(key_cols)).aggregate(
-        Count(alias_name="cnt"))
+    # band_rows is consumed twice (count + filter): pin it so the minhash
+    # stage doesn't recompute
+    band_rows = band_rows.materialize()
+    # keys-only projection: the count shuffle must not drag the signature
+    # payload column along
+    counts = band_rows.select_columns(list(key_cols)).groupby(
+        list(key_cols)).aggregate(Count(alias_name="cnt"))
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t["cnt"], 1)),
         batch_format="pyarrow").to_pandas()
@@ -122,19 +127,22 @@ def _hot_bucket_rows(band_rows: "rd.Dataset", key_cols: tuple[str, str]
 def _pairs_from_buckets(rows: pd.DataFrame, key_cols, payload_col: str
                         ) -> pd.DataFrame:
     """Anchor-min candidate pairs per bucket (linear in bucket size; keeps
-    clusters connected)."""
-    out_a, out_b, pa_, pb_ = [], [], [], []
-    for _, g in rows.groupby(list(key_cols), sort=False):
-        if len(g) < 2:
-            continue
-        g = g.sort_values("doc_id")
-        a0 = g.iloc[0]
-        for _, r in g.iloc[1:].iterrows():
-            out_a.append(a0["doc_id"])
-            out_b.append(r["doc_id"])
-            pa_.append(a0[payload_col])
-            pb_.append(r[payload_col])
-    return pd.DataFrame({"a": out_a, "b": out_b, "pa": pa_, "pb": pb_})
+    clusters connected). Vectorized: sort by (bucket, doc), pair every row
+    with its bucket's first row."""
+    rows = rows.sort_values([*key_cols, "doc_id"], kind="stable")
+    keys = rows[list(key_cols)].to_numpy()
+    new_group = np.ones(len(rows), dtype=bool)
+    new_group[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+    group_id = np.cumsum(new_group) - 1
+    first_idx = np.nonzero(new_group)[0]
+    anchor = first_idx[group_id]
+    member = ~new_group  # every non-first row pairs with its anchor
+    doc = rows["doc_id"].to_numpy()
+    payload = rows[payload_col].to_numpy()
+    return pd.DataFrame({
+        "a": doc[anchor[member]], "b": doc[member],
+        "pa": payload[anchor[member]], "pb": payload[member],
+    })
 
 
 def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,

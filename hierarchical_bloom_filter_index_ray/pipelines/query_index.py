@@ -3,16 +3,18 @@
 Mirrors the reference's query path (``PMIndex/HBI.report``
 ``PMIndex/HBI.java:415-605``) in two Ray stages:
 
-1. **Probe** (``map_batches`` over the *index* Dataset, queries broadcast
-   via ``ray.put`` -> ``fn_constructor_kwargs``): per (source, window)
-   partition, descend the bloom tree from the root — probe every query
-   n-gram at the current interval, all-present -> push children, first-miss
-   -> prune (exactly ``search/BlockSearch.java:15-128`` + the DFS of
-   ``search/IntervalScanner.java:7-89``); leaf hits emit candidate doc
-   slots. No false negatives by Bloom construction.
-2. **Verify** (``map_batches`` over the *sequences* Dataset, candidate doc
-   set broadcast — a semi-join): exact sliding-window token-sequence match
-   against the raw rows, the analogue of
+1. **Probe** (``map_batches`` over the *index* Dataset): per (source,
+   window) partition, sweep the bloom tree level by level — a vectorized
+   BFS over (interval, query) pairs: one bulk ``contains`` per level
+   instead of one per tree node. All-n-grams-present -> descend, first
+   miss -> prune (the semantics of ``search/BlockSearch.java:15-128`` +
+   ``search/IntervalScanner.java:7-89``); leaf survivors emit candidate
+   doc slots. No false negatives by Bloom construction. With ``conf``
+   set, a ``MostFreqPlanner`` injects each query at its seed level
+   (``search/MostFreqPruning.java:31-52``) — cost only, results unchanged.
+2. **Verify** (``map_batches`` over the *sequences* Dataset, compact
+   numpy candidate structs broadcast — a semi-join): exact sliding-window
+   token-sequence match against the raw rows, the analogue of
    ``search/VerifierLinearLeafProbe.java:16-150`` with the Parquet data as
    the reference's ``StreamBuffer`` ground truth.
 
@@ -60,15 +62,19 @@ def compile_queries(queries: list[tuple[str, list[int]]], cfg: HbiConfig
     return out
 
 
-class BloomProbe:
-    """Index-partition probe. One deserialization of each window's bloom
-    tree per batch row; all queries probed vectorized per node.
+def _grouped_arange(starts: np.ndarray, lens: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Flat gather indices for per-pair key segments + segment offsets."""
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(offs[:-1], lens) + np.repeat(starts, lens))
+    return idx, offs
 
-    With ``conf`` set, a ``MostFreqPlanner`` chooses a per-query seed
-    level from the window's CMS (``search/MostFreqPruning.java:31-52``);
-    the DFS then starts at all intervals of that level. Seed choice only
-    affects probe cost, never results.
-    """
+
+class BloomProbe:
+    """Index-partition probe (vectorized level-sweep BFS)."""
 
     def __init__(self, cfg: HbiConfig, queries_ref, conf: float | None = None):
         self.cfg = cfg
@@ -76,48 +82,57 @@ class BloomProbe:
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.queries = qs
-        # concatenated key array + per-query segment bounds for bulk probes
         self.q_keys = (np.concatenate([q["ngram_keys"] for q in qs])
                        if qs else np.empty(0, dtype=np.uint64))
-        counts = np.array([len(q["ngram_keys"]) for q in qs], dtype=np.int64)
+        self.q_lens = np.array([len(q["ngram_keys"]) for q in qs],
+                               dtype=np.int64)
         self.q_bounds = np.zeros(len(qs) + 1, dtype=np.int64)
-        np.cumsum(counts, out=self.q_bounds[1:])
+        np.cumsum(self.q_lens, out=self.q_bounds[1:])
         self.level_salts = np.array(
             [derive_seed(cfg.seed, "interval_salt", lv) & 0xFFFFFFFFFFFFFFFF
              for lv in range(cfg.num_levels)], dtype=np.uint64)
 
-    def _probe_window(self, blooms, active: np.ndarray, level: int,
-                      interval: int, out_rows: list) -> None:
-        """DFS node visit: probe all active queries' keys at (level,
-        interval); survivors descend / emit at leaf."""
-        cfg = self.cfg
-        salt = splitmix64(U64(interval) ^ self.level_salts[level])
-        # bulk-probe concatenated keys of active queries
-        seg_lens = self.q_bounds[active + 1] - self.q_bounds[active]
-        keys = np.concatenate(
-            [self.q_keys[self.q_bounds[a]:self.q_bounds[a + 1]]
-             for a in active]) ^ salt
-        hits = blooms[level].contains(keys)
-        seg_starts = np.zeros(len(active), dtype=np.int64)
-        np.cumsum(seg_lens[:-1], out=seg_starts[1:])
-        all_hit = np.logical_and.reduceat(hits, seg_starts) \
-            if len(hits) else np.empty(0, dtype=bool)
-        # reduceat quirk: empty segments — impossible here (>=1 key/query)
-        survivors = active[all_hit]
-        if len(survivors) == 0:
-            return
-        if level == cfg.window_bits:  # leaf: interval == doc slot
-            out_rows.append((interval, survivors))
-            return
-        self._probe_window(blooms, survivors, level + 1, interval * 2,
-                           out_rows)
-        self._probe_window(blooms, survivors, level + 1, interval * 2 + 1,
-                           out_rows)
+    def _sweep(self, blooms: dict, seed_levels: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """BFS over (interval, query) pairs; returns surviving leaf pairs
+        (slots, query_idx). ``seed_levels[q]`` = level at which query q
+        enters the frontier (clamped to available levels)."""
+        wb = self.cfg.window_bits
+        cur_iv = np.empty(0, dtype=np.int64)
+        cur_qi = np.empty(0, dtype=np.int64)
+        for lv in range(wb + 1):
+            entering = np.nonzero(seed_levels == lv)[0]
+            if len(entering):
+                n_iv = 1 << lv
+                cur_iv = np.concatenate(
+                    [cur_iv, np.repeat(np.arange(n_iv, dtype=np.int64),
+                                       len(entering))])
+                cur_qi = np.concatenate(
+                    [cur_qi, np.tile(entering, n_iv)])
+            if len(cur_iv) == 0:
+                continue
+            bloom = blooms.get(lv)
+            if bloom is not None:  # level may be dropped by memory policy
+                lens = self.q_lens[cur_qi]
+                key_idx, offs = _grouped_arange(self.q_bounds[cur_qi], lens)
+                salts = splitmix64(cur_iv.astype(np.uint64)
+                                   ^ self.level_salts[lv])
+                keys = self.q_keys[key_idx] ^ np.repeat(salts, lens)
+                hits = bloom.contains(keys)
+                ok = np.logical_and.reduceat(hits, offs[:-1]) \
+                    if len(hits) else np.empty(0, dtype=bool)
+                cur_iv, cur_qi = cur_iv[ok], cur_qi[ok]
+            if lv == wb or len(cur_iv) == 0:
+                break
+            cur_iv = np.concatenate([cur_iv * 2, cur_iv * 2 + 1])
+            cur_qi = np.tile(cur_qi, 2)
+        return cur_iv, cur_qi
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        out_qid, out_src, out_win, out_slot = [], [], [], []
-        if len(self.queries):
+        out: list[tuple[str, int, np.ndarray, np.ndarray]] = []
+        n_q = len(self.queries)
+        if n_q:
             sources = batch["source"].to_pylist()
             windows = batch["window_id"].to_pylist()
             blobs = batch["bloom_tree"].to_pylist()
@@ -126,107 +141,101 @@ class BloomProbe:
             cms_blobs = batch["cms"].to_pylist() if has_planner else None
             n_tokens = (batch["n_tokens"].to_pylist()
                         if "n_tokens" in batch.column_names else None)
-            all_q = np.arange(len(self.queries), dtype=np.int64)
             for r, (src, win, blob) in enumerate(zip(sources, windows,
                                                      blobs)):
                 if blob is None:
                     continue
-                tree = pickle.loads(blob)
                 blooms = {int(lv): sketch_from_bytes(b)
-                          for lv, b in tree.items()}
+                          for lv, b in pickle.loads(blob).items()}
                 min_lvl = min(blooms)
-                rows: list = []
                 if has_planner and cms_blobs[r] is not None:
                     from .planner import MostFreqPlanner
                     planner = MostFreqPlanner(self.conf, cfg.fp,
                                               cfg.window_bits)
                     cms = sketch_from_bytes(cms_blobs[r])
                     wtok = int(n_tokens[r]) if n_tokens else 0
-                    by_lp: dict[int, list[int]] = {}
-                    for qi in all_q:
-                        keys = self.q_keys[self.q_bounds[qi]:
-                                           self.q_bounds[qi + 1]]
-                        lp = planner.plan(cms, wtok, keys)
-                        lp = min(max(lp, min_lvl), cfg.window_bits)
-                        by_lp.setdefault(lp, []).append(int(qi))
-                    for lp, qidx in by_lp.items():
-                        qarr = np.array(qidx, dtype=np.int64)
-                        for interval in range(1 << lp):
-                            self._probe_window(blooms, qarr, lp, interval,
-                                               rows)
+                    seed_levels = np.array(
+                        [min(max(planner.plan(
+                            cms, wtok,
+                            self.q_keys[self.q_bounds[q]:self.q_bounds[q + 1]]
+                        ), min_lvl), cfg.window_bits) for q in range(n_q)],
+                        dtype=np.int64)
                 else:
-                    for interval in range(1 << min_lvl):
-                        self._probe_window(blooms, all_q, min_lvl, interval,
-                                           rows)
-                for slot, survivors in rows:
-                    for qi in survivors.tolist():
-                        out_qid.append(self.queries[qi]["query_id"])
-                        out_src.append(src)
-                        out_win.append(win)
-                        out_slot.append(slot)
+                    seed_levels = np.full(n_q, min_lvl, dtype=np.int64)
+                slots, qi = self._sweep(blooms, seed_levels)
+                if len(slots):
+                    out.append((src, win, slots, qi))
+        if not out:
+            return pa.table({
+                "query_idx": pa.array([], pa.int32()),
+                "source": pa.array([], pa.string()),
+                "window_id": pa.array([], pa.int64()),
+                "slot": pa.array([], pa.int32()),
+            })
+        srcs = np.concatenate([[s] * len(sl) for s, _, sl, _ in out])
+        wins = np.concatenate([np.full(len(sl), w, dtype=np.int64)
+                               for _, w, sl, _ in out])
+        slots = np.concatenate([sl for _, _, sl, _ in out])
+        qis = np.concatenate([qi for _, _, _, qi in out])
         return pa.table({
-            "query_id": pa.array(out_qid, pa.string()),
-            "source": pa.array(out_src, pa.string()),
-            "window_id": pa.array(out_win, pa.int64()),
-            "slot": pa.array(out_slot, pa.int32()),
+            "query_idx": pa.array(qis.astype(np.int32), pa.int32()),
+            "source": pa.array(srcs.tolist(), pa.string()),
+            "window_id": pa.array(wins, pa.int64()),
+            "slot": pa.array(slots.astype(np.int32), pa.int32()),
         })
 
 
 class ExactVerifier:
-    """Sequences-side exact verification (semi-join on broadcast candidates).
-
-    ``cand_ref`` holds {doc_index: [query_idx, ...]} plus the query token
-    arrays; rows whose doc_index has no candidates are dropped before any
-    token work.
-    """
+    """Sequences-side exact verification (semi-join on broadcast compact
+    candidate structs ``{source: (sorted_doc_idx, offsets, query_idx)}``)."""
 
     def __init__(self, cfg: HbiConfig, cand_ref, queries_ref):
         self.cfg = cfg
-        # keyed by (source, doc_index): doc indices are per-source
-        self.cands: dict[tuple[str, int], list[int]] = ray.get(cand_ref) \
-            if not isinstance(cand_ref, dict) else cand_ref
+        self.cands = ray.get(cand_ref) if not isinstance(cand_ref, dict) \
+            else cand_ref
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.q_tokens = [np.asarray(q["tokens"], dtype=np.int32) for q in qs]
-        self.q_ids = [q["query_id"] for q in qs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.window import doc_index
         di = doc_index(batch)
-        srcs = batch["source"].to_pylist()
-        # vectorized candidate mask: np.isin per source present in the batch
-        by_src: dict[str, np.ndarray] = {}
-        mask = np.zeros(len(di), dtype=bool)
-        for s in set(srcs):
-            if s not in by_src:
-                by_src[s] = np.array(
-                    [d for (cs, d) in self.cands if cs == s], dtype=np.int64)
-            rows = np.fromiter((x == s for x in srcs), dtype=bool,
-                               count=len(srcs))
-            if len(by_src[s]):
-                mask |= rows & np.isin(di, by_src[s])
-        out_qid, out_doc = [], []
-        if mask.any():
-            sub = batch.filter(pa.array(mask))
-            sub_di = di[mask]
-            sub_src = [s for s, m in zip(srcs, mask) if m]
-            flat, offsets = flat_tokens_and_offsets(sub["tokens"])
-            doc_ids = sub["doc_id"].to_pylist()
-            for r in range(sub.num_rows):
+        srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
+        out_qidx: list[int] = []
+        out_row: list[int] = []
+        flat = offsets = None
+        for src in set(srcs.tolist()):
+            if src not in self.cands:
+                continue
+            uniq_di, offs, qi_flat = self.cands[src]
+            rows = np.nonzero(srcs == src)[0]
+            pos = np.searchsorted(uniq_di, di[rows])
+            pos_ok = pos < len(uniq_di)
+            match = np.zeros(len(rows), dtype=bool)
+            match[pos_ok] = uniq_di[pos[pos_ok]] == di[rows[pos_ok]]
+            m_rows = rows[match]
+            m_pos = pos[match]
+            if not len(m_rows):
+                continue
+            if flat is None:
+                flat, offsets = flat_tokens_and_offsets(batch["tokens"])
+            for r, p in zip(m_rows.tolist(), m_pos.tolist()):
                 doc_toks = flat[offsets[r]:offsets[r + 1]]
-                for qi in self.cands[(sub_src[r], int(sub_di[r]))]:
+                for qi in qi_flat[offs[p]:offs[p + 1]].tolist():
                     q = self.q_tokens[qi]
                     if len(doc_toks) >= len(q):
                         sw = np.lib.stride_tricks.sliding_window_view(
                             doc_toks, len(q))
                         if (sw == q).all(axis=1).any():
-                            out_qid.append(self.q_ids[qi])
-                            out_doc.append(doc_ids[r])
+                            out_qidx.append(qi)
+                            out_row.append(r)
+        doc_col = (batch["doc_id"].take(pa.array(out_row, pa.int64()))
+                   if out_row else
+                   pa.array([], batch["doc_id"].type if batch.num_rows
+                            else pa.string()))
         return pa.table({
-            "query_id": pa.array(out_qid, pa.string()),
-            "doc_id": pa.array(out_doc,
-                               batch["doc_id"].type if batch.num_rows
-                               else pa.string()),
+            "query_idx": pa.array(out_qidx, pa.int32()),
+            "doc_id": doc_col,
         })
 
 
@@ -237,32 +246,45 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     """Exact pattern-membership results for a batch of queries.
 
     Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
-    The candidate set is collected on the driver between the two stages; it
-    is bounded by true_hits + FPR * windows * docs_per_window, kilobytes at
-    any realistic FPR (the same asymmetry the reference exploits).
+    The candidate set travels driver-side between the two stages as
+    compact numpy arrays; it is bounded by true_hits + FPR * windows *
+    docs_per_window (the same asymmetry the reference exploits).
     """
     compiled = compile_queries(queries, cfg)
     cols = ["source", "window_id", "bloom_tree"]
     if conf is not None:
         cols += ["cms", "n_tokens"]
     # plain callable INSTANCES -> elastic task pool (no actor-pool startup
-    # cost; the compiled queries ride along in the serialized closure —
-    # they are small by construction)
+    # cost; compiled queries ride along in the serialized closure)
     cand = index_ds.select_columns(cols).map_batches(
         BloomProbe(cfg, compiled, conf=conf), batch_format="pyarrow",
-        batch_size=64).take_all()
+        batch_size=64).to_pandas()
 
-    qid_to_idx = {q["query_id"]: i for i, q in enumerate(compiled)}
-    cand_map: dict[tuple[str, int], list[int]] = {}
-    for row in cand:
-        di = (int(row["window_id"]) << cfg.window_bits) | int(row["slot"])
-        cand_map.setdefault((row["source"], di), []).append(
-            qid_to_idx[row["query_id"]])
+    cand_structs: dict[str, tuple] = {}
+    if len(cand):
+        di_all = ((cand["window_id"].to_numpy() << cfg.window_bits)
+                  | cand["slot"].to_numpy())
+        qi_all = cand["query_idx"].to_numpy().astype(np.int64)
+        src_all = cand["source"].to_numpy()
+        for src in np.unique(src_all):
+            m = src_all == src
+            di, qi = di_all[m], qi_all[m]
+            order = np.lexsort((qi, di))
+            di, qi = di[order], qi[order]
+            uniq, starts = np.unique(di, return_index=True)
+            offs = np.concatenate([starts, [len(di)]]).astype(np.int64)
+            cand_structs[str(src)] = (uniq, offs, qi)
+    c_ref = ray.put(cand_structs)
+    q_ref = ray.put(compiled)
     hits = sequences_ds.map_batches(
-        ExactVerifier(cfg, cand_map, compiled), batch_format="pyarrow",
-        zero_copy_batch=True).take_all()
+        ExactVerifier(cfg, c_ref, q_ref), batch_format="pyarrow",
+        zero_copy_batch=True).to_pandas()
+    qid_arr = np.array([q["query_id"] for q in compiled], dtype=object)
     tbl = pa.table({
-        "query_id": pa.array([h["query_id"] for h in hits], pa.string()),
-        "doc_id": pa.array([h["doc_id"] for h in hits]),
+        "query_id": pa.array(
+            qid_arr[hits["query_idx"].to_numpy()].tolist() if len(hits)
+            else [], pa.string()),
+        "doc_id": pa.Array.from_pandas(hits["doc_id"]) if len(hits)
+        else pa.array([], pa.string()),
     })
     return tbl.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
