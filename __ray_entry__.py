@@ -227,6 +227,29 @@ def _q_events_hourly(sf_dir: str):
     return out[["event_type", "window_start", "n_events", "sum_cents"]]
 
 
+def _q_event_value_quantiles(sf_dir: str):
+    """Exact quantiles of events.value via distributed value histogram +
+    driver cumsum (left-continuous pick == duckdb quantile_disc)."""
+    import math
+
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    hist = (rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+            .groupby("value").aggregate(Count(alias_name="cnt")).to_pandas()
+            .sort_values("value").reset_index(drop=True))
+    cum = hist["cnt"].cumsum()
+    n = int(cum.iloc[-1])
+    rows = []
+    for q in QUANTILES:
+        rank = max(0, math.ceil(q * n) - 1)
+        i = int((cum >= rank + 1).idxmax())
+        rows.append({"q": float(q), "value": float(hist["value"].iloc[i])})
+    return pd.DataFrame(rows)
+
+
 def _q_distinct_users_per_event_type(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -402,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_quantiles_exact": _q_ntok_quantiles_exact,
         "heavy_hitters_per_source": _q_heavy_hitters_per_source,
         "events_hourly": _q_events_hourly,
+        "event_value_quantiles": _q_event_value_quantiles,
         "distinct_users_per_event_type": _q_distinct_users_per_event_type,
         "doc_quality": _q_doc_quality,
         "window_partition_stats": _q_window_partition_stats,
@@ -457,6 +481,11 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) AS window_start, COUNT(*) AS n_events, "
             "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY 1, 2"),
+        "event_value_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"quantile_disc(value, {q}) AS value FROM events"
+                for q in QUANTILES)),
         "distinct_users_per_event_type": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM "
             "events GROUP BY event_type"),

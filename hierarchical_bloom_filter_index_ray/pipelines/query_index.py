@@ -39,10 +39,16 @@ from ..state import sketch_from_bytes
 from ..state.splitmix import U64, derive_seed, hash_u64, splitmix64
 
 
-def compile_queries(queries: list[tuple[str, list[int]]], cfg: HbiConfig
-                    ) -> list[dict]:
+def compile_queries(queries: list[tuple[str, list[int]]], cfg: HbiConfig,
+                    *, strides: bool = False) -> list[dict]:
     """Pattern compiler (``search/Pattern.java:22-97``): token sequence ->
-    sliding n-gram keys in the same key space as the index build."""
+    sliding n-gram keys in the same key space as the index build.
+
+    ``strides=True`` probes only every ngram-th key (the reference's
+    strided effective-ngram mode, ``search/Pattern.java:37-44`` /
+    ``search/BlockSearch.java:142-155``): fewer probe keys per node, same
+    exact results (verification is exact either way) — a probe-cost knob.
+    """
     ngram_seed = derive_seed(cfg.seed, "ngram")
     out = []
     for qid, tokens in queries:
@@ -58,6 +64,8 @@ def compile_queries(queries: list[tuple[str, list[int]]], cfg: HbiConfig
             shifted[-j:] = 0
             acc = splitmix64(acc ^ shifted)
         keys = acc[: len(toks) - cfg.ngram + 1]
+        if strides and cfg.ngram > 1:
+            keys = keys[:: cfg.ngram]
         out.append({"query_id": qid, "tokens": toks, "ngram_keys": keys})
     return out
 
@@ -241,16 +249,37 @@ class ExactVerifier:
 
 def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      queries: list[tuple[str, list[int]]], cfg: HbiConfig,
-                     *, probe_concurrency=None,
-                     conf: float | None = None) -> pa.Table:
+                     *, probe_concurrency=None, conf: float | None = None,
+                     strides: bool = False,
+                     sources: list[str] | None = None,
+                     window_range: tuple[int, int] | None = None) -> pa.Table:
     """Exact pattern-membership results for a batch of queries.
 
     Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
     The candidate set travels driver-side between the two stages as
     compact numpy arrays; it is bounded by true_hits + FPR * windows *
     docs_per_window (the same asymmetry the reference exploits).
+
+    ``sources`` / ``window_range`` scope the query (FIXTURES.md F3): index
+    partitions outside the scope are pruned before any probe — the Ray
+    analogue of the reference's window-horizon partition pruning
+    (``PMIndex/HBI.java:263-266``).
     """
-    compiled = compile_queries(queries, cfg)
+    import pyarrow.compute as pc
+
+    compiled = compile_queries(queries, cfg, strides=strides)
+    if sources is not None:
+        keep = pa.array(sorted(sources))
+        index_ds = index_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["source"], value_set=keep)),
+            batch_format="pyarrow")
+    if window_range is not None:
+        lo, hi = window_range
+        index_ds = index_ds.map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.greater_equal(t["window_id"], lo),
+                pc.less(t["window_id"], hi))),
+            batch_format="pyarrow")
     cols = ["source", "window_id", "bloom_tree"]
     if conf is not None:
         cols += ["cms", "n_tokens"]

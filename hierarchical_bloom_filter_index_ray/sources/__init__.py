@@ -1,5 +1,5 @@
 from .sequences import (SEQ_SCHEMA, documents_as_sequences, read_sequences,
-                        synth_sequences)
+                        synth_adversarial, synth_sequences)
 
 __all__ = ["SEQ_SCHEMA", "read_sequences", "documents_as_sequences",
-           "synth_sequences"]
+           "synth_sequences", "synth_adversarial"]

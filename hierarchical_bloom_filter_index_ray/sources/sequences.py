@@ -115,6 +115,72 @@ def _gen_sequences(batch: dict, *, seed: int, n_sources: int, vocab: int,
     })
 
 
+@lru_cache(maxsize=8)
+def _de_bruijn(k: int, sigma: int) -> np.ndarray:
+    """De Bruijn sequence B(sigma, k): every k-gram over sigma symbols
+    appears exactly once (standard Lyndon-word construction). Mirrors the
+    reference's worst-case corpus for bloom-tree pruning
+    (``datagenerators/AdversarialGenerators.java:14-124``,
+    ``data/adversarial/debruijn/``)."""
+    seq: list[int] = []
+    a = [0] * sigma * k
+
+    def db(t: int, p: int) -> None:
+        if t > k:
+            if k % p == 0:
+                seq.extend(a[1: p + 1])
+        else:
+            a[t] = a[t - p]
+            db(t + 1, p)
+            for j in range(a[t - p] + 1, sigma):
+                a[t] = j
+                db(t + 1, t)
+
+    db(1, 1)
+    return np.array(seq, dtype=np.int32)
+
+
+def synth_adversarial(n_rows: int, *, seed: int = 42, kind: str = "debruijn",
+                      k: int = 6, sigma: int = 4, doc_len: int = 128,
+                      run_len: int = 64) -> "rd.Dataset":
+    """Adversarial F2 corpus as a Dataset (FIXTURES.md F2).
+
+    - ``debruijn``: docs are consecutive slices of B(sigma, k) (wrapping)
+      — every k-gram occurs exactly once per cycle; worst case for
+      bloom-tree pruning.
+    - ``blocks``: alternating mono-token runs of ``run_len`` — worst case
+      for per-level distinct estimates
+      (``data/adversarial/blocks/``).
+    Deterministic per row id; source name ``adv_{kind}``.
+    """
+    if kind == "debruijn":
+        base = _de_bruijn(k, sigma)
+    elif kind == "blocks":
+        base = np.repeat(np.arange(2, dtype=np.int32), run_len)
+    else:
+        raise ValueError(f"unknown adversarial kind {kind!r}")
+
+    def gen(batch: dict) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        n = len(ids)
+        starts = (ids * doc_len) % len(base)
+        flat = np.empty(n * doc_len, dtype=np.int32)
+        idx = (starts[:, None] + np.arange(doc_len)[None, :]) % len(base)
+        flat = base[idx].reshape(-1)
+        offsets = np.arange(0, (n + 1) * doc_len, doc_len, dtype=np.int32)
+        return pa.table({
+            "doc_id": pa.array([f"adv-doc{int(i):08d}" for i in ids],
+                               pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offsets),
+                                               pa.array(flat, pa.int32())),
+            "n_tok": pa.array(np.full(n, doc_len, dtype=np.int32),
+                              pa.int32()),
+            "source": pa.array([f"adv_{kind}"] * n, pa.string()),
+        })
+
+    return rd.range(n_rows).map_batches(gen, batch_format="numpy")
+
+
 def synth_sequences(n_rows: int, *, seed: int = 42, n_sources: int = 4,
                     vocab: int = 32768, len_mu: float = 4.5,
                     len_sigma: float = 0.6, len_min: int = 8,
