@@ -130,17 +130,26 @@ def main(gen_only: bool = False) -> None:
         timings["build_docs"] = time.perf_counter() - t0
         extras["docs_tokens"] = man_docs["total_tokens"]
 
-    # -- membership query QPS over the synth index (present + missing)
+    # -- membership query QPS over the synth index; mixed selectivity like
+    # the reference's UNIFORM/RARE/MISSING query types
+    # (utilities/BenchmarkOrchestrator.java:32-34)
     if "query" in STAGES:
         rng = np.random.default_rng(7)
-        head = rd.read_parquet(synth_path).take(32)
+        head = rd.read_parquet(synth_path).take(48)
         queries = []
-        for i, row in enumerate(head):
+        for i, row in enumerate(head[:16]):  # short frequent patterns
             toks = row["tokens"]
             start = int(rng.integers(0, max(1, len(toks) - 3)))
             queries.append((f"present{i}", [int(t) for t in
                                             toks[start:start + 3]]))
-        for i in range(32):
+        for i, row in enumerate(head[16:40]):  # longer, selective patterns
+            toks = row["tokens"]
+            if len(toks) < 8:
+                continue
+            start = int(rng.integers(0, len(toks) - 8))
+            queries.append((f"rare{i}", [int(t) for t in
+                                         toks[start:start + 8]]))
+        for i in range(24):
             queries.append((f"missing{i}",
                             [int(2**30 + i), int(2**30 + i + 1)]))
         idx = load_index(f"{SCRATCH}/index")
@@ -201,7 +210,7 @@ def scaling() -> None:
                                              "4,16").split(","))
     rows = int(os.environ.get("GRAFT_SCALING_ROWS", 4 * synth_rows()))
     base_env = dict(os.environ, GRAFT_SYNTH_ROWS=str(rows),
-                    GRAFT_BENCH_STAGES="build")
+                    GRAFT_BENCH_STAGES="build,query")
     # generate the shared corpus once with all CPUs, untimed
     subprocess.run([sys.executable, __file__, "--gen-only"],
                    env=dict(base_env, RAY_GRAFT_CPUS="32"),
@@ -214,7 +223,9 @@ def scaling() -> None:
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
     t_lo = results[lo]["queries"]["build_synth"]
     t_hi = results[hi]["queries"]["build_synth"]
-    print(json.dumps({
+    q_lo = results[lo]["queries"].get("query_membership")
+    q_hi = results[hi]["queries"].get("query_membership")
+    out = {
         "metric": "hbi_ray_scaling",
         "scaling_rows": rows,
         "synth_tokens": results[hi]["synth_tokens"],
@@ -224,7 +235,14 @@ def scaling() -> None:
         f"build_tps_{hi}": results[hi]["build_tokens_per_sec"],
         "scaling_efficiency_build": round((t_lo / t_hi) / (hi / lo), 3),
         "sf": results[hi]["sf"],
-    }))
+    }
+    if q_lo and q_hi:
+        out.update({
+            f"query_qps_{lo}": results[lo]["membership_qps"],
+            f"query_qps_{hi}": results[hi]["membership_qps"],
+            "scaling_efficiency_query": round((q_lo / q_hi) / (hi / lo), 3),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
