@@ -2,14 +2,15 @@ from .build_index import build_index, load_index, load_manifest
 from .dedup import (exact_dedup, minhash_dedup, minhash_lsh_pairs,
                     ngram_jaccard, simhash_pairs)
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
-    membership_query
+    membership_query, membership_query_table
 from .similarity import knn_bruteforce, knn_lsh
 from .stats import (build_global_sketches, distinct_tokens, heavy_hitters,
                     ntok_quantiles)
 
 __all__ = [
     "build_index", "load_index", "load_manifest", "membership_query",
-    "compile_queries", "BloomProbe", "ExactVerifier",
+    "membership_query_table", "compile_queries", "BloomProbe",
+    "ExactVerifier",
     "exact_dedup", "minhash_dedup", "minhash_lsh_pairs", "simhash_pairs",
     "ngram_jaccard", "knn_bruteforce", "knn_lsh",
     "build_global_sketches", "distinct_tokens", "heavy_hitters",

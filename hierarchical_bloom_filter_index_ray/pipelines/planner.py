@@ -108,6 +108,72 @@ class MostFreqPlanner:
                                    self.fp)
 
 
+def cost_at_level(probs: np.ndarray, lp: int, max_depth: int,
+                  window_tokens: int, beta: float) -> float:
+    """Expected probe count when seeding the sweep at level ``lp``.
+
+    Independence-model version of the reference's inclusion-exclusion cost
+    (``estimators/CostFunctionIE.java:29-75`` with ieMaxOrder=1; the full
+    IE orders refine the same expectation): a node at level L spans
+    ``b_L = window_tokens / 2^L`` token slots; it passes the probe of all r
+    query keys with probability ``prod_i min(1, 1-(1-p_i)^{b_L} + beta)``,
+    and each passing node fans out to 2 children.
+
+    cost(lp) = sum over levels L >= lp of E[nodes visited at L] * r.
+    """
+    r = len(probs)
+    nodes = float(1 << lp)
+    total = 0.0
+    for level in range(lp, max_depth + 1):
+        total += nodes * r
+        if level == max_depth:
+            break
+        b = window_tokens / (1 << level)
+        pass_p = float(np.prod(np.minimum(
+            1.0, 1.0 - np.power(1.0 - probs, b) + beta)))
+        nodes = 2.0 * nodes * pass_p
+        if nodes < 1e-9:
+            break
+    return total
+
+
+def minimize_level_cost(probs: np.ndarray, max_depth: int,
+                        window_tokens: int, beta: float,
+                        pattern_len: int = 1) -> tuple[int, float]:
+    """Seed level minimizing expected probes
+    (``estimators/LevelCostMinimizer.java:15-55``): scan Lp in
+    [0, max_depth - ceil(log2(pattern_len))] (a level must still host the
+    pattern — ``MathUtils.childCanHost``) and take the argmin."""
+    probs = np.clip(np.asarray(probs, dtype=np.float64), 1e-12, 1 - 1e-9)
+    max_lp = max(0, max_depth - max(0, math.ceil(
+        math.log2(max(1, pattern_len)))))
+    best_lp, best_cost = 0, float("inf")
+    for lp in range(0, max_lp + 1):
+        c = cost_at_level(probs, lp, max_depth, window_tokens, beta)
+        if c < best_cost:
+            best_lp, best_cost = lp, c
+    return best_lp, best_cost
+
+
+class CostPlanner:
+    """Per-(window, query) seed level by expected-probe-cost minimization
+    (the ``CostFunctionIE``/``LevelCostMinimizer`` seam; independence
+    model). Same results as root-seeded probing, different cost profile."""
+
+    def __init__(self, fp: float, max_depth: int):
+        self.fp = fp
+        self.max_depth = max_depth
+
+    def plan(self, cms, window_tokens: int, query_keys: np.ndarray) -> int:
+        if cms is None or window_tokens <= 0:
+            return 0
+        est = cms.estimate(query_keys).astype(np.float64)
+        probs = est / max(window_tokens, 1)
+        lp, _ = minimize_level_cost(probs, self.max_depth, window_tokens,
+                                    self.fp, pattern_len=len(query_keys))
+        return lp
+
+
 def memory_policy_level(freqs: np.ndarray, window_tokens: int, *,
                         quantile: float, conf: float, fp: float,
                         max_depth: int) -> int:

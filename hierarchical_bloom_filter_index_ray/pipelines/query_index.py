@@ -84,9 +84,14 @@ def _grouped_arange(starts: np.ndarray, lens: np.ndarray
 class BloomProbe:
     """Index-partition probe (vectorized level-sweep BFS)."""
 
-    def __init__(self, cfg: HbiConfig, queries_ref, conf: float | None = None):
+    def __init__(self, cfg: HbiConfig, queries_ref, conf: float | None = None,
+                 planner: str | None = None):
         self.cfg = cfg
         self.conf = conf
+        # planner seam: None | "mostfreq" (MostFreqPruning) | "cost"
+        # (LevelCostMinimizer / CostFunctionIE independence model)
+        self.planner_kind = planner or ("mostfreq" if conf is not None
+                                        else None)
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.queries = qs
@@ -144,7 +149,7 @@ class BloomProbe:
             sources = batch["source"].to_pylist()
             windows = batch["window_id"].to_pylist()
             blobs = batch["bloom_tree"].to_pylist()
-            has_planner = (self.conf is not None
+            has_planner = (self.planner_kind is not None
                            and "cms" in batch.column_names)
             cms_blobs = batch["cms"].to_pylist() if has_planner else None
             n_tokens = (batch["n_tokens"].to_pylist()
@@ -157,9 +162,12 @@ class BloomProbe:
                           for lv, b in pickle.loads(blob).items()}
                 min_lvl = min(blooms)
                 if has_planner and cms_blobs[r] is not None:
-                    from .planner import MostFreqPlanner
-                    planner = MostFreqPlanner(self.conf, cfg.fp,
-                                              cfg.window_bits)
+                    from .planner import CostPlanner, MostFreqPlanner
+                    if self.planner_kind == "cost":
+                        planner = CostPlanner(cfg.fp, cfg.window_bits)
+                    else:
+                        planner = MostFreqPlanner(self.conf or 0.95, cfg.fp,
+                                                  cfg.window_bits)
                     cms = sketch_from_bytes(cms_blobs[r])
                     wtok = int(n_tokens[r]) if n_tokens else 0
                     seed_levels = np.array(
@@ -250,9 +258,10 @@ class ExactVerifier:
 def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      queries: list[tuple[str, list[int]]], cfg: HbiConfig,
                      *, probe_concurrency=None, conf: float | None = None,
-                     strides: bool = False,
+                     planner: str | None = None, strides: bool = False,
                      sources: list[str] | None = None,
-                     window_range: tuple[int, int] | None = None) -> pa.Table:
+                     window_range: tuple[int, int] | None = None,
+                     per_query_scope: list[tuple] | None = None) -> pa.Table:
     """Exact pattern-membership results for a batch of queries.
 
     Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
@@ -281,13 +290,26 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                 pc.less(t["window_id"], hi))),
             batch_format="pyarrow")
     cols = ["source", "window_id", "bloom_tree"]
-    if conf is not None:
+    if conf is not None or planner is not None:
         cols += ["cms", "n_tokens"]
     # plain callable INSTANCES -> elastic task pool (no actor-pool startup
     # cost; compiled queries ride along in the serialized closure)
     cand = index_ds.select_columns(cols).map_batches(
-        BloomProbe(cfg, compiled, conf=conf), batch_format="pyarrow",
-        batch_size=64).to_pandas()
+        BloomProbe(cfg, compiled, conf=conf, planner=planner),
+        batch_format="pyarrow", batch_size=64).to_pandas()
+
+    if per_query_scope is not None and len(cand):
+        # (source|None, window_id|None) per query: filter candidates the
+        # scoped query may not see (FIXTURES.md F3 per-query scoping)
+        q_src = np.array([s if s is not None else "" for s, _ in
+                          per_query_scope], dtype=object)
+        q_win = np.array([w if w is not None else -1 for _, w in
+                          per_query_scope], dtype=np.int64)
+        qi = cand["query_idx"].to_numpy()
+        src_ok = (q_src[qi] == "") | (q_src[qi] == cand["source"].to_numpy())
+        win_ok = (q_win[qi] == -1) | (q_win[qi]
+                                      == cand["window_id"].to_numpy())
+        cand = cand[src_ok & win_ok]
 
     cand_structs: dict[str, tuple] = {}
     if len(cand):
@@ -317,3 +339,25 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
         else pa.array([], pa.string()),
     })
     return tbl.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
+def membership_query_table(index_ds: "rd.Dataset",
+                           sequences_ds: "rd.Dataset",
+                           queries_table: pa.Table, cfg: HbiConfig,
+                           **kwargs) -> pa.Table:
+    """Batch query surface over a queries table (FIXTURES.md F3 schema):
+    ``query_id: string, qtokens: list<int32>`` with optional per-query
+    ``source: string|null`` and ``window_id: int64|null`` scope columns."""
+    qids = queries_table["query_id"].to_pylist()
+    qtoks = queries_table["qtokens"].to_pylist()
+    queries = list(zip(qids, qtoks))
+    scope = None
+    names = queries_table.column_names
+    if "source" in names or "window_id" in names:
+        srcs = (queries_table["source"].to_pylist() if "source" in names
+                else [None] * len(qids))
+        wins = (queries_table["window_id"].to_pylist()
+                if "window_id" in names else [None] * len(qids))
+        scope = list(zip(srcs, wins))
+    return membership_query(index_ds, sequences_ds, queries, cfg,
+                            per_query_scope=scope, **kwargs)

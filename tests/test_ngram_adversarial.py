@@ -89,6 +89,35 @@ class TestScopedQueries:
             d for d in full["doc_id"] if by_doc[d] // 32 < 2}
 
 
+class TestQueryTable:
+    def test_per_query_scope(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            membership_query_table
+        cfg = HbiConfig(seed=6, docs_per_window=32, fp=0.01, hll_p=12,
+                        cms_eps=0.05, cms_delta=0.1)
+        ds = synth_sequences(256, seed=8, n_sources=2, vocab=32)
+        build_index(ds, cfg, str(tmp_path / "idx"), batch_size=64)
+        idx = load_index(str(tmp_path / "idx"))
+        rows = ds.take_all()
+        tok = int(rows[0]["tokens"][0])
+        qt = pa.table({
+            "query_id": pa.array(["global", "only_src01", "only_win0"]),
+            "qtokens": pa.array([[tok]] * 3, pa.list_(pa.int32())),
+            "source": pa.array([None, "src01", None], pa.string()),
+            "window_id": pa.array([None, None, 0], pa.int64()),
+        })
+        res = membership_query_table(idx, ds, qt, cfg).to_pandas()
+        by_q = {q: set(g["doc_id"]) for q, g in res.groupby("query_id")}
+        assert by_q["only_src01"] <= by_q["global"]
+        assert all(d.startswith("src01") for d in by_q["only_src01"])
+        assert all(int(d.split("doc")[1]) < 32 for d in by_q["only_win0"])
+        # scoped results are exactly the global results restricted to scope
+        assert by_q["only_src01"] == {d for d in by_q["global"]
+                                      if d.startswith("src01")}
+
+
 class TestAdversarial:
     def test_debruijn_every_kgram_found_once_per_cycle(self, ray_session,
                                                        tmp_path):

@@ -63,8 +63,21 @@ class TestPlannerQueries:
         plain = membership_query(idx, ds, queries, CFG).to_pandas()
         planned = membership_query(idx, ds, queries, CFG,
                                    conf=0.95).to_pandas()
+        cost = membership_query(idx, ds, queries, CFG,
+                                planner="cost").to_pandas()
         assert plain.equals(planned)
+        assert plain.equals(cost)
         assert len(plain) > 0
+
+    def test_cost_minimizer_prefers_deep_for_frequent(self):
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import \
+            minimize_level_cost
+        lp_freq, _ = minimize_level_cost([0.3, 0.4], 8, 4096, 0.01,
+                                         pattern_len=2)
+        lp_rare, _ = minimize_level_cost([1e-5, 1e-5], 8, 4096, 0.01,
+                                         pattern_len=2)
+        assert lp_freq > lp_rare
+        assert lp_rare == 0
 
 
 class TestMemoryPolicy:
