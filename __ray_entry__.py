@@ -299,6 +299,55 @@ def _q_word_membership(sf_dir: str):
     return _membership(sf_dir)
 
 
+def _q_scoped_word_membership(sf_dir: str):
+    """Membership restricted to one source (index partition pruning)."""
+    import pyarrow as pa
+
+    from hierarchical_bloom_filter_index_ray.functions import hash_words
+    from hierarchical_bloom_filter_index_ray.pipelines import (
+        load_index, membership_query)
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+
+    cfg = _cfg()
+    queries = []
+    for w in MEMBER_WORDS[:4]:
+        toks = hash_words(pa.array([w]), seed=SEED)
+        queries.append((w, [int(toks[0])]))
+    res = membership_query(load_index(_index_dir(sf_dir)),
+                           sequences_table(sf_dir, seed=SEED), queries,
+                           cfg, sources=["src0"])
+    return res.rename_columns(["query", "doc_id"])
+
+
+def _q_hops_freq_quantiles(sf_dir: str):
+    """q-quantiles of the distinct-token frequency distribution via the
+    HOPS sampler + CMS lookups (rows-only; reference semantics
+    SamplingSketchExperiment.java:869-900)."""
+    import pandas as pd
+
+    from hierarchical_bloom_filter_index_ray.pipelines.stats import \
+        build_global_sketches
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+    from hierarchical_bloom_filter_index_ray.state import HOPS, derive_seed
+    import numpy as np
+
+    cfg = _cfg()
+    ds = sequences_table(sf_dir, seed=SEED)
+    agg = build_global_sketches(ds, cfg, by_source=False)["__all__"]
+    cms = agg["sketches"]["cms"]
+    bk = agg["sketches"]["bottomk"]
+    rows = []
+    for q in QUANTILES:
+        rows.append({
+            "q": float(q),
+            "bottomk_freq": bk.quantile_of_freq(
+                q, lambda ks: cms.estimate(np.asarray(ks))),
+        })
+    return pd.DataFrame(rows)
+
+
 def _q_knn_bruteforce(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -430,12 +479,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "window_partition_stats": _q_window_partition_stats,
         "word_membership": _q_word_membership,
+        "scoped_word_membership": _q_scoped_word_membership,
         "knn_bruteforce": _q_knn_bruteforce,
         # sketch / approximate (rows-only driver check; bounds tested in
         # pytest against exact oracles)
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "ntok_quantiles_sketch": _q_ntok_quantiles_sketch,
+        "hops_freq_quantiles": _q_hops_freq_quantiles,
         "minhash_dup_clusters": _q_minhash_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "knn_lsh": _q_knn_lsh,
@@ -504,6 +555,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query, d.doc_id FROM documents d JOIN q ON "
             "' ' || regexp_replace(trim(d.text), '\\s+', ' ', 'g') || ' ' "
             "LIKE '% ' || q.query || ' %'"),
+        "scoped_word_membership": (
+            "WITH q(query) AS (VALUES " +
+            " ,".join(f"('{w}')" for w in MEMBER_WORDS[:4]) + ") "
+            "SELECT q.query, d.doc_id FROM documents d JOIN q ON "
+            "' ' || regexp_replace(trim(d.text), '\\s+', ' ', 'g') || ' ' "
+            "LIKE '% ' || q.query || ' %' WHERE d.source = 'src0'"),
         "knn_bruteforce": (
             f"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
             "CAST(row_number() OVER w AS BIGINT) AS rank "
