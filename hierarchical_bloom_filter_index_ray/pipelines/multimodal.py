@@ -92,6 +92,50 @@ def extract_features(ds: "rd.Dataset", *, decoder: str = "fake",
                                "feature_dim": feature_dim, "seed": seed})
 
 
+class ImageResizer:
+    """Actor-pool resize stage (STUB): real impl would decode -> resize ->
+    re-encode per batch with PIL/cv2 loaded once per actor. The fake path
+    rewrites the typed metadata and passes payloads through so the schema
+    and batch plumbing are exercised."""
+
+    def __init__(self, *, width: int, height: int, decoder: str = "real"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "image codecs unavailable; use decoder='fake'")
+        self.width, self.height = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return (batch.set_column(batch.schema.get_field_index("width"),
+                                 "width",
+                                 pa.array([self.width] * n, pa.int32()))
+                .set_column(batch.schema.get_field_index("height"),
+                            "height",
+                            pa.array([self.height] * n, pa.int32())))
+
+
+class FrameSampler:
+    """Video frame-sampling stage (STUB): emits ``n_frames`` fake frame
+    rows per media item (flat_map-shaped output: one row per frame) with
+    deterministic frame ids — the real impl would seek/decode keyframes."""
+
+    def __init__(self, *, n_frames: int, decoder: str = "real"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "video codecs unavailable; use decoder='fake'")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        rep = np.repeat(np.arange(n), self.n_frames)
+        frame_no = np.tile(np.arange(self.n_frames, dtype=np.int32), n)
+        return pa.table({
+            "media_id": batch["media_id"].take(pa.array(rep)),
+            "frame_no": pa.array(frame_no, pa.int32()),
+            "payload": batch["payload"].take(pa.array(rep)),
+        })
+
+
 def synth_media(n: int, *, seed: int = 42) -> "rd.Dataset":
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     def gen(batch: dict) -> pa.Table:

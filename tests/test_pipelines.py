@@ -233,6 +233,26 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             MediaFeatureExtractor(decoder="real")
 
+    def test_resize_and_frame_sample_stubs(self, ray_session):
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+            FrameSampler, ImageResizer)
+        with pytest.raises(NotImplementedError):
+            ImageResizer(width=4, height=4)
+        ds = synth_media(8, seed=1)
+        resized = ds.map_batches(ImageResizer, batch_format="pyarrow",
+                                 concurrency=2, batch_size=4,
+                                 fn_constructor_kwargs={
+                                     "width": 4, "height": 4,
+                                     "decoder": "fake"}).take_all()
+        assert all(r["width"] == 4 and r["height"] == 4 for r in resized)
+        frames = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                                concurrency=2, batch_size=4,
+                                fn_constructor_kwargs={
+                                    "n_frames": 3,
+                                    "decoder": "fake"}).take_all()
+        assert len(frames) == 24
+        assert {f["frame_no"] for f in frames} == {0, 1, 2}
+
     def test_fake_decode_pipeline(self, ray_session):
         ds = synth_media(32, seed=42)
         out = extract_features(ds, decoder="fake", feature_dim=8).take_all()
