@@ -1,6 +1,6 @@
 from .build_index import build_index, load_index, load_manifest
-from .dedup import (exact_dedup, minhash_dedup, minhash_lsh_pairs,
-                    ngram_jaccard, simhash_pairs)
+from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
+                    minhash_lsh_pairs, ngram_jaccard, simhash_pairs)
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
     membership_query, membership_query_table
 from .similarity import knn_bruteforce, knn_lsh
@@ -11,7 +11,8 @@ __all__ = [
     "build_index", "load_index", "load_manifest", "membership_query",
     "membership_query_table", "compile_queries", "BloomProbe",
     "ExactVerifier",
-    "exact_dedup", "minhash_dedup", "minhash_lsh_pairs", "simhash_pairs",
+    "exact_dedup", "exact_dedup_ids", "minhash_dedup", "minhash_lsh_pairs",
+    "simhash_pairs",
     "ngram_jaccard", "knn_bruteforce", "knn_lsh",
     "build_global_sketches", "distinct_tokens", "heavy_hitters",
     "ntok_quantiles",

@@ -40,17 +40,46 @@ def add_content_hash(batch: pa.Table, *, seed: int = 42,
                                pa.array(fp.view(np.int64), pa.int64()))
 
 
-def exact_dedup(ds: "rd.Dataset", *, seed: int = 42) -> "rd.Dataset":
-    """Exact duplicate removal: keep the min doc_id per content hash.
-    Hash-partition + per-group first (deterministic survivor)."""
+def exact_dedup_ids(ds: "rd.Dataset", *, seed: int = 42) -> "rd.Dataset":
+    """Surviving doc_ids after exact dedup (min doc_id per content hash).
+
+    The scale path: shuffles only (content_hash, doc_id) pairs through an
+    aggregate — no per-group Python, no payload movement. Recovering full
+    rows at scale is a semi join of the input against this id set; note
+    Arrow's hash join rejects ``list<>`` payload columns (``tokens``), so
+    full-row recovery goes through the bucketed ``exact_dedup`` below.
+    """
+    from ray.data.aggregate import Min
+
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
                             zero_copy_batch=True, fn_kwargs={"seed": seed})
+    return (hashed.select_columns(["content_hash", "doc_id"])
+            .groupby("content_hash")
+            .aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"]))
+
+
+def exact_dedup(ds: "rd.Dataset", *, seed: int = 42) -> "rd.Dataset":
+    """Exact duplicate removal returning full surviving rows.
+
+    In-batch pre-dedup (combiner) shrinks every batch to one row per
+    in-batch hash before the ``groupby(content_hash)`` keeps the global
+    min-doc_id row per hash (``ray_guide`` exact-dedup recipe; the
+    deterministic survivor mirrors ``HBIDatasetBenchmark.normalizeMatches``
+    sort+dedup discipline)."""
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
+                            zero_copy_batch=True, fn_kwargs={"seed": seed})
+
+    def batch_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").drop_duplicates(
+            subset="content_hash", keep="first")
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("doc_id").head(1)
 
-    return hashed.groupby("content_hash").map_groups(
-        keep_first, batch_format="pandas")
+    return (hashed.map_batches(batch_combine, batch_format="pandas")
+            .groupby("content_hash")
+            .map_groups(keep_first, batch_format="pandas"))
 
 
 # ------------------------------------------------------------- minhash-lsh --
