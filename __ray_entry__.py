@@ -135,9 +135,7 @@ def _q_distinct_words_per_source(sf_dir: str):
             "word": words.values,
         })
         # in-batch distinct (combiner) so the shuffle moves unique pairs
-        import pyarrow.compute as pc
-        return t.group_by(["source", "word"]).aggregate([]) \
-            if hasattr(t, "group_by") else t
+        return t.group_by(["source", "word"]).aggregate([])
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["text", "source"])
@@ -509,8 +507,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_dist": (
             "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang"),
         "source_token_totals": (
-            f"SELECT source, COUNT(*) AS n_docs, SUM({_NTOK}) AS "
-            "total_tokens FROM documents GROUP BY source"),
+            # CAST: DuckDB SUM(int) widens to HUGEINT -> float64 in pandas;
+            # the pipeline emits int64 (CORRECTNESS_r01 dtype-only fail)
+            f"SELECT source, COUNT(*) AS n_docs, CAST(SUM({_NTOK}) AS "
+            "BIGINT) AS total_tokens FROM documents GROUP BY source"),
         "top_words": (
             f"SELECT word, COUNT(*) AS cnt FROM ({_WORDS}) GROUP BY word "
             f"ORDER BY cnt DESC, word ASC LIMIT {K_TOP_WORDS}"),
@@ -548,8 +548,8 @@ def oracle_sql() -> dict[str, str]:
             "n_chars_nospace FROM documents"),
         "window_partition_stats": (
             "SELECT source, CAST(floor(doc_id / 256) AS BIGINT) AS "
-            f"window_id, COUNT(*) AS n_docs, SUM({_NTOK}) AS n_tokens "
-            "FROM documents GROUP BY 1, 2"),
+            f"window_id, COUNT(*) AS n_docs, CAST(SUM({_NTOK}) AS BIGINT) "
+            "AS n_tokens FROM documents GROUP BY 1, 2"),
         "word_membership": (
             f"WITH q(query) AS (VALUES {member_values}) "
             "SELECT q.query, d.doc_id FROM documents d JOIN q ON "

@@ -62,29 +62,58 @@ def exact_dedup_ids(ds: "rd.Dataset", *, seed: int = 42) -> "rd.Dataset":
 def exact_dedup(ds: "rd.Dataset", *, seed: int = 42) -> "rd.Dataset":
     """Exact duplicate removal returning full surviving rows.
 
-    In-batch pre-dedup (combiner) shrinks every batch to one row per
-    in-batch hash before the ``groupby(content_hash)`` keeps the global
-    min-doc_id row per hash (``ray_guide`` exact-dedup recipe; the
-    deterministic survivor mirrors ``HBIDatasetBenchmark.normalizeMatches``
-    sort+dedup discipline)."""
+    Scale shape: the only shuffle carries (content_hash, doc_id) pairs
+    through a Min/Count aggregate; full rows never move. Hashes with
+    count > 1 (the DUPLICATED hashes — bounded by true dup groups, tiny
+    relative to corpus) come back to the driver as a (hash -> min doc_id)
+    map, and a broadcast vectorized filter drops every row of a duplicated
+    hash except its min-doc_id survivor. The deterministic survivor mirrors
+    ``HBIDatasetBenchmark.normalizeMatches`` sort+dedup discipline; no
+    per-group Python runs over the millions of singleton hash groups."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
                             zero_copy_batch=True, fn_kwargs={"seed": seed})
+    dup = (hashed.select_columns(["content_hash", "doc_id"])
+           .groupby("content_hash")
+           .aggregate(Min("doc_id", alias_name="min_id"),
+                      Count(alias_name="cnt")))
+    dup_df = dup.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if not len(dup_df):
+        return hashed
+    order = np.argsort(dup_df["content_hash"].to_numpy())
+    dup_hashes = dup_df["content_hash"].to_numpy()[order]
+    dup_min = dup_df["min_id"].to_numpy()[order]
 
-    def batch_combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("doc_id").drop_duplicates(
-            subset="content_hash", keep="first")
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        h = batch["content_hash"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dup_hashes, h)
+        posc = np.minimum(pos, len(dup_hashes) - 1)
+        in_dup = dup_hashes[posc] == h
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~in_dup | (ids == dup_min[posc])
+        return batch.filter(pa.array(keep))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
-
-    return (hashed.map_batches(batch_combine, batch_format="pandas")
-            .groupby("content_hash")
-            .map_groups(keep_first, batch_format="pandas"))
+    return hashed.map_batches(drop_losers, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- minhash-lsh --
 class MinHashStage:
-    """Actor-pool stage: per-doc minhash signature + LSH band rows."""
+    """Actor-pool stage: per-doc minhash signature -> LSH band rows.
+
+    Emits ONLY (doc_id, band_id, band_hash) — the bucket groupby must not
+    drag the ``num_perm``-word signature through the shuffle once per band
+    (a ``bands``-fold payload duplication); signatures for the rare
+    hot-bucket docs are recomputed in a second narrow pass
+    (``MinHashSignatures``). Docs with fewer tokens than the shingle size
+    have NO shingles and are dropped here — keeping them would give every
+    short doc the identical uint64-max sentinel signature and declare all
+    short docs mutual near-duplicates.
+    """
 
     def __init__(self, cfg: HbiConfig, num_perm: int, bands: int,
                  shingle: int):
@@ -102,20 +131,57 @@ class MinHashStage:
         flat, offsets = flat_tokens_and_offsets(batch["tokens"])
         sh_keys, sh_off = ngram_keys(flat, offsets, self.shingle,
                                      self.shingle_seed)
+        keep = np.nonzero(np.diff(sh_off) > 0)[0]  # docs with >=1 shingle
+        if not len(keep):
+            return pa.table({
+                "doc_id": batch["doc_id"].take(pa.array([], pa.int64())),
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+            })
         sig = minhash_signatures(sh_keys, sh_off, self.num_perm,
-                                 self.sig_seed)
+                                 self.sig_seed)[keep]
         bands = self._lsh_bands(sig, self.bands, self.band_seed)
-        n = batch.num_rows
-        doc_ids = batch["doc_id"]
+        n = len(keep)
         band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
         band_hash = bands.reshape(-1).view(np.int64)
-        rep_idx = np.repeat(np.arange(n), self.bands)
+        rep_idx = np.repeat(keep, self.bands)
         return pa.table({
-            "doc_id": doc_ids.take(pa.array(rep_idx)),
+            "doc_id": batch["doc_id"].take(pa.array(rep_idx)),
             "band_id": pa.array(band_id, pa.int32()),
             "band_hash": pa.array(band_hash, pa.int64()),
-            "signature": pa.array(
-                [sig[i].tobytes() for i in rep_idx], pa.binary()),
+        })
+
+
+class MinHashSignatures:
+    """Narrow second pass: signatures for a broadcast set of doc_ids only
+    (the hot-bucket docs — bounded by near-dup candidates, not corpus)."""
+
+    def __init__(self, cfg: HbiConfig, num_perm: int, shingle: int,
+                 ids_ref):
+        import ray
+        self.num_perm = num_perm
+        self.shingle = shingle
+        self.sig_seed = derive_seed(cfg.seed, "minhash_sig")
+        self.shingle_seed = derive_seed(cfg.seed, "minhash_shingle")
+        ids = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) \
+            else ids_ref
+        self.ids = pa.array(ids)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.is_in(batch["doc_id"], value_set=self.ids))
+        if not batch.num_rows:
+            return pa.table({"doc_id": batch["doc_id"],
+                             "signature": pa.array([], pa.binary())})
+        flat, offsets = flat_tokens_and_offsets(batch["tokens"])
+        sh_keys, sh_off = ngram_keys(flat, offsets, self.shingle,
+                                     self.shingle_seed)
+        sig = minhash_signatures(sh_keys, sh_off, self.num_perm,
+                                 self.sig_seed)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "signature": pa.array([sig[i].tobytes()
+                                   for i in range(len(sig))], pa.binary()),
         })
 
 
@@ -153,25 +219,53 @@ def _hot_bucket_rows(band_rows: "rd.Dataset", key_cols: tuple[str, str]
     return rows
 
 
-def _pairs_from_buckets(rows: pd.DataFrame, key_cols, payload_col: str
-                        ) -> pd.DataFrame:
-    """Anchor-min candidate pairs per bucket (linear in bucket size; keeps
-    clusters connected). Vectorized: sort by (bucket, doc), pair every row
-    with its bucket's first row."""
+def _pairs_from_buckets(rows: pd.DataFrame, key_cols,
+                        payload_col: str | None = None,
+                        all_pairs_cap: int = 8) -> pd.DataFrame:
+    """Candidate pairs per bucket. Buckets of size <= ``all_pairs_cap``
+    enumerate ALL pairs (so a borderline/false-positive anchor cannot hide
+    true near-dup pairs among the other members); larger buckets fall back
+    to anchor-min pairing (linear in bucket size, keeps clusters connected
+    pre-threshold). Vectorized per bucket size — no per-bucket Python."""
     rows = rows.sort_values([*key_cols, "doc_id"], kind="stable")
     keys = rows[list(key_cols)].to_numpy()
     new_group = np.ones(len(rows), dtype=bool)
     new_group[1:] = (keys[1:] != keys[:-1]).any(axis=1)
     group_id = np.cumsum(new_group) - 1
     first_idx = np.nonzero(new_group)[0]
-    anchor = first_idx[group_id]
-    member = ~new_group  # every non-first row pairs with its anchor
+    sizes = np.diff(np.concatenate([first_idx, [len(rows)]]))
     doc = rows["doc_id"].to_numpy()
-    payload = rows[payload_col].to_numpy()
-    return pd.DataFrame({
-        "a": doc[anchor[member]], "b": doc[member],
-        "pa": payload[anchor[member]], "pb": payload[member],
-    })
+    payload = rows[payload_col].to_numpy() if payload_col else None
+    ai_parts: list[np.ndarray] = []
+    bi_parts: list[np.ndarray] = []
+    # small buckets: all pairs, one vectorized emit per distinct size
+    for s in np.unique(sizes):
+        if s < 2 or s > all_pairs_cap:
+            continue
+        starts = first_idx[sizes == s]           # (g,) bucket starts
+        iu, ju = np.triu_indices(int(s), k=1)    # (p,) combination template
+        ai_parts.append((starts[:, None] + iu[None, :]).ravel())
+        bi_parts.append((starts[:, None] + ju[None, :]).ravel())
+    # large buckets: anchor-min pairing
+    big = sizes > all_pairs_cap
+    if big.any():
+        anchor = first_idx[group_id]
+        member = ~new_group & big[group_id]
+        ai_parts.append(anchor[member])
+        bi_parts.append(np.nonzero(member)[0])
+    if not ai_parts:
+        cols = {"a": np.empty(0, doc.dtype), "b": np.empty(0, doc.dtype)}
+        if payload_col:
+            cols["pa"] = np.empty(0, object)
+            cols["pb"] = np.empty(0, object)
+        return pd.DataFrame(cols)
+    ai = np.concatenate(ai_parts)
+    bi = np.concatenate(bi_parts)
+    out = {"a": doc[ai], "b": doc[bi]}
+    if payload_col:
+        out["pa"] = payload[ai]
+        out["pb"] = payload[bi]
+    return pd.DataFrame(out)
 
 
 def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
@@ -184,6 +278,8 @@ def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
     true near-dup count (LSH false positives are filtered by the signature
     Jaccard estimate).
     """
+    import ray
+
     from ..stages.resources import default_concurrency
     if concurrency is None:
         concurrency = default_concurrency(cap=8)
@@ -195,14 +291,28 @@ def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
     rows = _hot_bucket_rows(band_rows, ("band_id", "band_hash"))
     if not len(rows):
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    cand = _pairs_from_buckets(rows, ("band_id", "band_hash"), "signature")
+    cand = _pairs_from_buckets(rows, ("band_id", "band_hash"))
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
     cand = cand.drop_duplicates(subset=["a", "b"])
-    sig_a = np.stack([np.frombuffer(s, dtype=np.uint64)
-                      for s in cand["pa"]])
-    sig_b = np.stack([np.frombuffer(s, dtype=np.uint64)
-                      for s in cand["pb"]])
+    # narrow second pass: signatures for candidate docs only (bounded by
+    # near-dup candidates, not corpus — no signature ever rides the band
+    # shuffle)
+    hot_ids = np.unique(np.concatenate([cand["a"].to_numpy(),
+                                        cand["b"].to_numpy()]))
+    sigs = ds.map_batches(
+        MinHashSignatures, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=concurrency,
+        fn_constructor_kwargs={"cfg": cfg, "num_perm": num_perm,
+                               "shingle": shingle,
+                               "ids_ref": ray.put(hot_ids)}).to_pandas()
+    sig_mat = np.stack([np.frombuffer(s, dtype=np.uint64)
+                        for s in sigs["signature"]]) if len(sigs) else \
+        np.empty((0, num_perm), np.uint64)
+    pos = pd.Series(np.arange(len(sigs)),
+                    index=sigs["doc_id"].to_numpy())
+    sig_a = sig_mat[pos[cand["a"].to_numpy()].to_numpy()]
+    sig_b = sig_mat[pos[cand["b"].to_numpy()].to_numpy()]
     est = (sig_a == sig_b).mean(axis=1)
     out = pd.DataFrame({"a": cand["a"].values, "b": cand["b"].values,
                         "est_jaccard": est})

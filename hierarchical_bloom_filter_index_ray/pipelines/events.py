@@ -2,8 +2,8 @@
 
 The reference's streaming semantics (SURVEY.md §2.11) are count-based
 tumbling trees inside a sliding window; on a batch engine "streaming"
-becomes deterministic windowing by time bucket (ray_guide
-"Streaming-shaped workloads"): window assignment is a vectorized
+becomes deterministic windowing by time bucket: window assignment is a
+vectorized
 ``map_batches`` and the aggregate is a pre-combined groupby.
 """
 

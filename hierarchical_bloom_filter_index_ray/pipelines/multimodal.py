@@ -83,8 +83,7 @@ def extract_features(ds: "rd.Dataset", *, decoder: str = "fake",
                      batch_size: int = 64, concurrency: int = 2
                      ) -> "rd.Dataset":
     """Media featurization pipeline. Small ``batch_size`` by design: large
-    binary payloads x concurrency must fit the worker heap (ray_guide
-    "Memory-aware")."""
+    binary payloads x concurrency must fit the worker heap."""
     return ds.map_batches(
         MediaFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,

@@ -217,9 +217,9 @@ class ExactVerifier:
         from ..stages.window import doc_index
         di = doc_index(batch)
         srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
-        out_qidx: list[int] = []
-        out_row: list[int] = []
-        flat = offsets = None
+        # 1) collect all candidate (row, query) pairs of this batch
+        pr_parts: list[np.ndarray] = []
+        pq_parts: list[np.ndarray] = []
         for src in set(srcs.tolist()):
             if src not in self.cands:
                 continue
@@ -233,25 +233,59 @@ class ExactVerifier:
             m_pos = pos[match]
             if not len(m_rows):
                 continue
-            if flat is None:
-                flat, offsets = flat_tokens_and_offsets(batch["tokens"])
-            for r, p in zip(m_rows.tolist(), m_pos.tolist()):
-                doc_toks = flat[offsets[r]:offsets[r + 1]]
-                for qi in qi_flat[offs[p]:offs[p + 1]].tolist():
-                    q = self.q_tokens[qi]
-                    if len(doc_toks) >= len(q):
-                        sw = np.lib.stride_tricks.sliding_window_view(
-                            doc_toks, len(q))
-                        if (sw == q).all(axis=1).any():
-                            out_qidx.append(qi)
-                            out_row.append(r)
-        doc_col = (batch["doc_id"].take(pa.array(out_row, pa.int64()))
-                   if out_row else
-                   pa.array([], batch["doc_id"].type if batch.num_rows
-                            else pa.string()))
+            lens = offs[m_pos + 1] - offs[m_pos]
+            take, _ = _grouped_arange(offs[m_pos], lens)
+            pr_parts.append(np.repeat(m_rows, lens))
+            pq_parts.append(qi_flat[take])
+        if not pr_parts:
+            return pa.table({
+                "query_idx": pa.array([], pa.int32()),
+                "doc_id": pa.array([], batch["doc_id"].type
+                                   if batch.num_rows else pa.string()),
+            })
+        pair_rows = np.concatenate(pr_parts)
+        pair_qis = np.concatenate(pq_parts)
+        flat, offsets = flat_tokens_and_offsets(batch["tokens"])
+        # 2) per query: one vectorized shifted-compare sweep over the
+        #    gathered candidate-doc token stream (no per-candidate Python)
+        out_row_parts: list[np.ndarray] = []
+        out_qi_parts: list[np.ndarray] = []
+        for qi in np.unique(pair_qis):
+            q = self.q_tokens[qi]
+            L = len(q)
+            rows_q = pair_rows[pair_qis == qi]
+            seg_lens = offsets[rows_q + 1] - offsets[rows_q]
+            fits = seg_lens >= L
+            rows_q, seg_lens = rows_q[fits], seg_lens[fits]
+            if not len(rows_q):
+                continue
+            take, sub_offs = _grouped_arange(offsets[rows_q], seg_lens)
+            sub = flat[take]
+            m = sub == q[0]
+            for j in range(1, L):
+                m[len(sub) - j:] = False
+                m[:len(sub) - j] &= sub[j:] == q[j]
+            # a match starting at local position t needs t + L <= row_len
+            row_of = np.repeat(np.arange(len(rows_q)), seg_lens)
+            local = (np.arange(len(sub), dtype=np.int64)
+                     - np.repeat(sub_offs[:-1], seg_lens))
+            m &= local <= np.repeat(seg_lens - L, seg_lens)
+            hit = np.unique(row_of[m])
+            if len(hit):
+                out_row_parts.append(rows_q[hit])
+                out_qi_parts.append(np.full(len(hit), qi, dtype=np.int32))
+        if not out_row_parts:
+            return pa.table({
+                "query_idx": pa.array([], pa.int32()),
+                "doc_id": pa.array([], batch["doc_id"].type
+                                   if batch.num_rows else pa.string()),
+            })
+        out_rows = np.concatenate(out_row_parts)
+        out_qis = np.concatenate(out_qi_parts)
         return pa.table({
-            "query_idx": pa.array(out_qidx, pa.int32()),
-            "doc_id": doc_col,
+            "query_idx": pa.array(out_qis, pa.int32()),
+            "doc_id": batch["doc_id"].take(
+                pa.array(out_rows, pa.int64())),
         })
 
 

@@ -8,8 +8,6 @@ LSH-bucketed (random-hyperplane / SimHash-style) variant as the scale path
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -63,34 +61,46 @@ class _BatchTopK:
         })
 
 
+def _merge_topk(parts: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Vectorized driver merge of per-batch local top-k rows: global sort
+    (query asc, cosine desc, neighbor asc) -> head(k) per query -> rank =
+    within-group position. No per-row Python."""
+    parts = parts.sort_values(["query_idx", "cosine", "neighbor_id"],
+                              ascending=[True, False, True],
+                              kind="stable")
+    top = parts.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_idx").cumcount() + 1
+    top["query_idx"] = top["query_idx"].astype(np.int64)
+    top["neighbor_id"] = top["neighbor_id"].astype(np.int64)
+    return top[["query_idx", "neighbor_id", "cosine", "rank"]]
+
+
 def knn_bruteforce(ds: "rd.Dataset", query_vectors: np.ndarray, k: int = 10,
                    *, id_col: str = "vec_id", vec_col: str = "embedding",
                    exclude_self: bool = True,
-                   query_ids: np.ndarray | None = None) -> pd.DataFrame:
+                   query_ids: np.ndarray | None = None,
+                   concurrency=None) -> pd.DataFrame:
     """Exact cosine top-k: map side emits per-batch local top-k per query
-    (bounded: Q*k rows per batch), driver merges. -> (query_idx,
-    neighbor_id, cosine, rank)."""
+    (bounded: Q*k rows per batch), driver merges (vectorized). ->
+    (query_idx, neighbor_id, cosine, rank)."""
+    from ..stages.resources import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
     q = np.asarray(query_vectors, dtype=np.float64)
     ref = ray.put(q)
     # fetch one extra local candidate when self-matches will be dropped
     k_local = k + 1 if exclude_self else k
     parts = ds.map_batches(
         _BatchTopK, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=4096, concurrency=2,
+        batch_size=4096, concurrency=concurrency,
         fn_constructor_kwargs={"queries_ref": ref, "k": k_local,
                                "id_col": id_col,
                                "vec_col": vec_col}).to_pandas()
-    out_rows = []
-    for qi, g in parts.groupby("query_idx"):
-        if exclude_self and query_ids is not None:
-            g = g[g["neighbor_id"] != query_ids[qi]]
-        g = g.sort_values(["cosine", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), 1):
-            out_rows.append((int(qi), int(r["neighbor_id"]),
-                             float(r["cosine"]), rank))
-    return pd.DataFrame(out_rows, columns=["query_idx", "neighbor_id",
-                                           "cosine", "rank"])
+    if exclude_self and query_ids is not None:
+        qi = parts["query_idx"].to_numpy()
+        parts = parts[parts["neighbor_id"].to_numpy()
+                      != np.asarray(query_ids)[qi]]
+    return _merge_topk(parts, k)
 
 
 # ------------------------------------------------------- LSH-bucketed ANN --
@@ -113,7 +123,8 @@ def lsh_bucket_ids(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def knn_lsh(ds: "rd.Dataset", query_vectors: np.ndarray, k: int = 10, *,
             n_bits: int = 8, seed: int = 42, id_col: str = "vec_id",
-            vec_col: str = "embedding", multiprobe: int = 1) -> pd.DataFrame:
+            vec_col: str = "embedding", multiprobe: int = 1,
+            concurrency=None) -> pd.DataFrame:
     """Approximate top-k: random-hyperplane buckets; queries probe their own
     bucket (+ Hamming-1 neighbors when ``multiprobe``). The scale path —
     each batch only scores rows whose bucket is probed."""
@@ -174,15 +185,10 @@ def knn_lsh(ds: "rd.Dataset", query_vectors: np.ndarray, k: int = 10, *,
                 "cosine": pa.array(out_sim, pa.float64()),
             })
 
+    from ..stages.resources import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
     parts = ds.map_batches(BucketTopK, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=4096,
-                           concurrency=2).to_pandas()
-    out_rows = []
-    for qi, g in parts.groupby("query_idx"):
-        g = g.sort_values(["cosine", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), 1):
-            out_rows.append((int(qi), int(r["neighbor_id"]),
-                             float(r["cosine"]), rank))
-    return pd.DataFrame(out_rows, columns=["query_idx", "neighbor_id",
-                                           "cosine", "rank"])
+                           concurrency=concurrency).to_pandas()
+    return _merge_topk(parts, k)

@@ -2,12 +2,14 @@
 
 The "wide" aggregations of SURVEY.md §2.5 expressed as mergeable-UDAF
 pre-aggregation: ``map_batches`` emits ONE serialized partial sketch row per
-(group x batch) — tokens never leave the map stage — and the tiny partial
-stream is merged per group (``groupby().map_groups`` for many groups,
-driver-side for the constant-key global case). Reference analogues:
-exact truth map ``SamplingSketchExperiment.java:819-825`` (test oracle),
-distinct counting :563, heavy hitters via CS estimates
-``estimators/CSEstimator.java:67-91``, quantile rank pick :744-761.
+(group x batch) — tokens never leave the map stage — then an in-batch
+combiner merges same-source partials per block and a
+``groupby("source").map_groups`` reduce merges the survivors per group.
+The driver only receives the final one-row-per-source result (O(#sources),
+never O(batches)). Reference analogues: exact truth map
+``SamplingSketchExperiment.java:819-825`` (test oracle), distinct counting
+:563, heavy hitters via CS estimates ``estimators/CSEstimator.java:67-91``,
+quantile rank pick :744-761.
 """
 
 from __future__ import annotations
@@ -23,13 +25,13 @@ import ray.data as rd
 from ..config import HbiConfig
 from ..functions.tokenize import flat_tokens_and_offsets
 from ..state import (KLL, BottomK, CountMinSketch, HyperLogLog, TDigest,
-                     derive_seed, sketch_from_bytes)
+                     TopM, derive_seed, sketch_from_bytes)
 
 GLOBAL_KINDS = ("hll", "cms", "kll_ntok", "tdigest_ntok", "bottomk")
 
 
-def _new_global(cfg: HbiConfig) -> dict:
-    return {
+def _new_global(cfg: HbiConfig, top_m: int = 0) -> dict:
+    out = {
         "hll": HyperLogLog(cfg.hll_p, derive_seed(cfg.seed, "ghll")),
         "cms": CountMinSketch.from_eps_delta(cfg.cms_eps, cfg.cms_delta,
                                              derive_seed(cfg.seed, "gcms")),
@@ -37,6 +39,9 @@ def _new_global(cfg: HbiConfig) -> dict:
         "tdigest_ntok": TDigest(cfg.tdigest_delta),
         "bottomk": BottomK(cfg.bottomk_k, derive_seed(cfg.seed, "gbk")),
     }
+    if top_m:
+        out["topm"] = TopM(top_m)
+    return out
 
 
 class GlobalSketchPartials:
@@ -44,9 +49,11 @@ class GlobalSketchPartials:
     INSTANCE -> elastic task pool (its only state is the config; an actor
     pool's startup cost buys nothing here)."""
 
-    def __init__(self, cfg: HbiConfig, by_source: bool = True):
+    def __init__(self, cfg: HbiConfig, by_source: bool = True,
+                 top_m: int = 0):
         self.cfg = cfg
         self.by_source = by_source
+        self.top_m = top_m
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, offsets = flat_tokens_and_offsets(batch["tokens"])
@@ -68,11 +75,19 @@ class GlobalSketchPartials:
         out_src, out_payload, out_rows, out_toks = [], [], [], []
         for ci, name in enumerate(names):
             rmask = codes == ci
-            sk = _new_global(self.cfg)
+            sk = _new_global(self.cfg, self.top_m)
             toks = flat[tok_codes == ci]
-            sk["hll"].update(toks)
-            sk["cms"].update(toks)
-            sk["bottomk"].update(toks)
+            # one np.unique serves hll/cms/bottomk/topm (cms would unique
+            # internally anyway; counts ride along for free)
+            uk, ucounts = (np.unique(toks.astype(np.uint64, copy=False),
+                                     return_counts=True)
+                           if len(toks) else
+                           (np.empty(0, np.uint64), np.empty(0, np.int64)))
+            sk["hll"].update(uk)
+            sk["cms"].update(uk, ucounts.astype(np.int64))
+            sk["bottomk"].update(uk)
+            if self.top_m:
+                sk["topm"].update_counts(uk, ucounts.astype(np.int64))
             sk["kll_ntok"].update(n_tok[rmask].astype(np.float64))
             sk["tdigest_ntok"].update(n_tok[rmask].astype(np.float64))
             out_src.append(name)
@@ -89,31 +104,58 @@ class GlobalSketchPartials:
         })
 
 
+def _merge_partial_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge partial rows per source within one pandas block -> one row per
+    source present. Used both as the in-block combiner (map side) and the
+    per-group reduce (after ``groupby("source")``)."""
+    out = []
+    for src, g in df.groupby("source", sort=True):
+        sk: dict | None = None
+        for raw in g["payload"]:
+            cur = {k: sketch_from_bytes(v)
+                   for k, v in pickle.loads(raw).items()}
+            if sk is None:
+                sk = cur
+            else:
+                for k, v in cur.items():
+                    sk[k].merge(v)
+        out.append({
+            "source": src,
+            "n_docs": int(g["n_docs"].sum()),
+            "n_tokens": int(g["n_tokens"].sum()),
+            "payload": pickle.dumps(
+                {k: v.to_bytes() for k, v in (sk or {}).items()},
+                protocol=pickle.HIGHEST_PROTOCOL),
+        })
+    return pd.DataFrame(out, columns=["source", "n_docs", "n_tokens",
+                                      "payload"])
+
+
 def build_global_sketches(ds: "rd.Dataset", cfg: HbiConfig, *,
                           by_source: bool = True, concurrency=None,
-                          batch_size: int = 2048) -> dict[str, dict]:
+                          batch_size: int = 2048,
+                          top_m: int = 0) -> dict[str, dict]:
     """-> {source: {"sketches": {...}, "n_docs": int, "n_tokens": int}}.
 
-    Partials are tiny (one row per source per batch); the final merge runs
-    on the driver — at any scale the partial stream is O(batches), not
-    O(tokens).
+    Fully distributed reduce: map partials -> in-block combiner ->
+    ``groupby("source").map_groups`` merge. The driver pulls exactly one
+    merged row per source — at 100x scale the partial stream never funnels
+    through one process (the round-1 ``take_all()`` + serial loop did).
     """
     parts = ds.map_batches(
-        GlobalSketchPartials(cfg, by_source), batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=batch_size).take_all()
+        GlobalSketchPartials(cfg, by_source, top_m=top_m),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    combined = parts.map_batches(_merge_partial_rows, batch_format="pandas")
+    merged = combined.groupby("source").map_groups(
+        _merge_partial_rows, batch_format="pandas")
     out: dict[str, dict] = {}
-    for row in parts:
-        blob = pickle.loads(row["payload"])
-        cur = out.setdefault(row["source"], {
-            "sketches": None, "n_docs": 0, "n_tokens": 0})
-        sk = {k: sketch_from_bytes(v) for k, v in blob.items()}
-        if cur["sketches"] is None:
-            cur["sketches"] = sk
-        else:
-            for k, v in sk.items():
-                cur["sketches"][k].merge(v)
-        cur["n_docs"] += row["n_docs"]
-        cur["n_tokens"] += row["n_tokens"]
+    for row in merged.take_all():  # O(#sources) rows
+        out[row["source"]] = {
+            "sketches": {k: sketch_from_bytes(v)
+                         for k, v in pickle.loads(row["payload"]).items()},
+            "n_docs": int(row["n_docs"]),
+            "n_tokens": int(row["n_tokens"]),
+        }
     return out
 
 
@@ -134,42 +176,22 @@ def distinct_tokens(ds: "rd.Dataset", cfg: HbiConfig, *,
     return pd.DataFrame(rows)
 
 
-class _BatchTopK:
-    """Per-batch exact top-M token candidates (heavy-hitter candidate gen)."""
-
-    def __init__(self, m: int):
-        self.m = m
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        flat, _ = flat_tokens_and_offsets(batch["tokens"])
-        if len(flat) == 0:
-            return pa.table({"token": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
-        uk, counts = np.unique(flat, return_counts=True)
-        if len(uk) > self.m:
-            keep = np.argpartition(counts, -self.m)[-self.m:]
-            uk, counts = uk[keep], counts[keep]
-        return pa.table({"token": pa.array(uk.astype(np.int64)),
-                         "cnt": pa.array(counts.astype(np.int64))})
-
-
 def heavy_hitters(ds: "rd.Dataset", cfg: HbiConfig, k: int = 20, *,
                   candidate_factor: int = 8) -> pd.DataFrame:
-    """Top-k tokens: candidates = union of per-batch exact top-(k*factor)
-    (any global top-k token is a local top-k in at least one batch by
-    pigeonhole when factor covers skew), counts estimated by the merged CMS
-    (upper bound, eps*N error). Deterministic tie-break (cnt desc, token
-    asc)."""
-    cand = ds.map_batches(_BatchTopK(k * candidate_factor),
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          batch_size=8192)
-    cand_df = cand.to_pandas().groupby("token", as_index=False)["cnt"].sum()
-    agg = build_global_sketches(ds, cfg, by_source=False)["__all__"]
+    """Top-k tokens, single pass: the mergeable TopM summary generates
+    candidates (union of per-batch exact top-(k*factor) — any global top-k
+    token is a local top-k in at least one batch by pigeonhole when factor
+    covers skew) in the SAME partial row as the CMS, whose merged estimate
+    (upper bound, eps*N error) ranks them. Deterministic tie-break
+    (cnt desc, token asc)."""
+    agg = build_global_sketches(ds, cfg, by_source=False,
+                                top_m=k * candidate_factor)["__all__"]
     cms = agg["sketches"]["cms"]
-    toks = cand_df["token"].to_numpy()
-    est = cms.estimate(toks.astype(np.uint64))
-    out = pd.DataFrame({"token": toks, "est_count": est,
-                        "partial_count": cand_df["cnt"]})
+    tm = agg["sketches"]["topm"]
+    toks, partial = tm.top()
+    est = cms.estimate(toks) if len(toks) else np.empty(0, np.int64)
+    out = pd.DataFrame({"token": toks.view(np.int64),
+                        "est_count": est, "partial_count": partial})
     out = out.sort_values(["est_count", "token"],
                           ascending=[False, True]).head(k)
     out["total_tokens"] = agg["n_tokens"]

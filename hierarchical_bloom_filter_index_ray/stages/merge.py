@@ -49,11 +49,25 @@ def finalize_unique_partials(batch: pd.DataFrame, *, params_hash: str,
     its (source, window) key (verified by a keys-only aggregate before this
     path is taken), so each row becomes an index row directly — the 900x
     heavier payload shuffle is skipped entirely."""
+    if not len(batch):
+        # empty map block (PartialSketchBuilder can emit empty tables):
+        # return the index-row schema with zero rows instead of letting
+        # merge_partials_group hit iloc[0]
+        cols: dict[str, pd.Series] = {
+            "source": pd.Series([], dtype=object),
+            "window_id": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "params_hash": pd.Series([], dtype=object),
+        }
+        for kind in INDEX_BLOB_COLS:
+            cols[kind] = pd.Series([], dtype=object)
+        cols["index_bytes"] = pd.Series([], dtype="int64")
+        return pd.DataFrame(cols)
     out = [merge_partials_group(batch.iloc[i:i + 1], params_hash=params_hash,
                                 policy=policy)
            for i in range(len(batch))]
-    return pd.concat(out, ignore_index=True) if out else \
-        merge_partials_group(batch, params_hash=params_hash, policy=policy)
+    return pd.concat(out, ignore_index=True)
 
 
 def merge_partials_group(group: pd.DataFrame, *, params_hash: str,

@@ -41,6 +41,7 @@ class _CountTableBase:
     def __init__(self, width: int, depth: int, seed: int,
                  table: np.ndarray | None = None, total: int = 0):
         self.width = int(width)
+        self._pow2 = self.width > 0 and (self.width & (self.width - 1)) == 0
         self.depth = int(depth)
         self.seed = int(seed)
         self.table = (table if table is not None
@@ -57,8 +58,13 @@ class _CountTableBase:
         return cls(w, d, seed)
 
     def _cols(self, keys: np.ndarray, j: int) -> np.ndarray:
-        return (hash_u64(keys, self._row_seeds[j]) & U64(self.width - 1)).astype(
-            np.int64)
+        """Column index per key: pow2 widths use the mask fast path; other
+        widths fall back to modulo, mirroring the reference's
+        ``isPowerOfTwo`` check (``CountSketch.java:211-216``)."""
+        h = hash_u64(keys, self._row_seeds[j])
+        if self._pow2:
+            return (h & U64(self.width - 1)).astype(np.int64)
+        return (h % U64(self.width)).astype(np.int64)
 
     def _signs(self, keys: np.ndarray, j: int) -> np.ndarray:
         return ((hash_u64(keys, self._sign_seeds[j]) & U64(1)).astype(np.int64)

@@ -124,6 +124,28 @@ class TestDedup:
         cmap = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
         assert cmap[50] == cmap[51] == cmap[0]
 
+    def test_minhash_short_docs_not_duplicates(self, ray_session):
+        """Docs shorter than the shingle size have no shingles; they must
+        NOT be reported as near-dups of each other (the uint64-max sentinel
+        signature would otherwise make all short docs collide)."""
+        rng = np.random.default_rng(5)
+        rows = [(i, rng.integers(0, 500, 40).tolist()) for i in range(20)]
+        rows.append((20, [1, 2]))     # two distinct 2-token docs,
+        rows.append((21, [7, 9]))     # shingle=3 -> zero shingles each
+        rows.append((22, rows[0][1]))  # one real exact dup to keep the
+        tbl = pa.table({               # pipeline non-trivial
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+        })
+        pairs = minhash_lsh_pairs(rd.from_arrow(tbl), CFG, num_perm=64,
+                                  bands=16, shingle=3, threshold=0.5)
+        got = {frozenset(p) for p in zip(pairs["a"], pairs["b"])}
+        assert frozenset({20, 21}) not in got
+        assert not any(20 in p or 21 in p for p in got)
+        assert frozenset({0, 22}) in got
+
     def test_simhash_near_dups(self, dup_ds):
         ds, tbl = dup_ds
         pairs = simhash_pairs(ds, CFG, max_hamming=6)

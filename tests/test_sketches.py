@@ -16,7 +16,7 @@ import pytest
 
 from hierarchical_bloom_filter_index_ray.state import (
     HOPS, KLL, BloomFilter, BottomK, CountMinSketch, CountSketch,
-    HyperLogLog, TDigest, hamming64, lsh_bands, minhash_signatures,
+    HyperLogLog, TDigest, TopM, hamming64, lsh_bands, minhash_signatures,
     simhash64, sketch_from_bytes)
 
 SEED = 777
@@ -322,3 +322,58 @@ class TestMinHashSimHash:
         far = hamming64(h[0:1], h[2:3])[0]
         assert near < far
         assert near <= 16
+
+
+class TestTopM:
+    def test_union_of_batch_topm_survives_merge(self, rng):
+        """Sharded update+merge keeps every globally-heavy token (the
+        candidate-recall property heavy_hitters relies on)."""
+        keys = zipf_keys(rng, 60_000, 3000)
+        uk, true = np.unique(keys, return_counts=True)
+        top10 = uk[np.argsort(-true)[:10]]
+        shards = np.array_split(keys, 13)
+        parts = []
+        for sh in shards:
+            t = TopM(80)
+            t.update(sh)
+            parts.append(t)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc.merge(p)
+        toks, counts = acc.top(10)
+        assert set(top10.tolist()) <= set(acc.tokens.tolist())
+        assert set(toks.tolist()) == set(top10.tolist())
+
+    def test_roundtrip_and_cap(self, rng):
+        t = TopM(4, cap=8)
+        t.update(np.arange(100, dtype=np.uint64))  # 100 singletons -> top4
+        assert len(t.tokens) <= 8
+        u = sketch_from_bytes(t.to_bytes())
+        assert np.array_equal(u.tokens, t.tokens)
+        assert np.array_equal(u.counts, t.counts)
+        assert u.m == t.m and u.cap == t.cap
+
+    def test_merge_deterministic_truncation(self):
+        a = TopM(2, cap=4)
+        b = TopM(2, cap=4)
+        a.update_counts(np.array([1, 2, 3], np.uint64),
+                        np.array([5, 5, 1], np.int64))
+        b.update_counts(np.array([2, 4, 5], np.uint64),
+                        np.array([5, 3, 2], np.int64))
+        a.merge(b)
+        toks, counts = a.top()
+        assert toks[0] == 2 and counts[0] == 10  # summed across partials
+
+
+class TestCountMinNonPow2:
+    def test_non_pow2_width_falls_back_to_modulo(self, rng):
+        """Reference CountSketch.java:211-216: non-pow2 widths use modulo;
+        the mask fast path would silently skip columns."""
+        keys = zipf_keys(rng, 20_000, 500)
+        cms = CountMinSketch(1000, 4, SEED)  # non-pow2 width
+        cms.update(keys)
+        uk, true = np.unique(keys, return_counts=True)
+        est = cms.estimate(uk)
+        assert (est >= true).all()
+        # all columns reachable: the estimate error stays sane
+        assert (est - true <= 3.0 / 1000 * len(keys) * 3).all()
