@@ -78,9 +78,10 @@ def _membership(sf_dir: str):
     for p in MEMBER_PHRASES:
         toks = hash_words(pa.array(p.split()), seed=SEED)
         queries.append((p, [int(t) for t in toks]))
-    idx = load_index(_index_dir(sf_dir))
+    idx_dir = _index_dir(sf_dir)
+    idx = load_index(idx_dir)
     seqs = sequences_table(sf_dir, seed=SEED)
-    res = membership_query(idx, seqs, queries, cfg)
+    res = membership_query(idx, seqs, queries, cfg, super_dir=idx_dir)
     return res.rename_columns(["query", "doc_id"])
 
 
@@ -312,9 +313,10 @@ def _q_scoped_word_membership(sf_dir: str):
     for w in MEMBER_WORDS[:4]:
         toks = hash_words(pa.array([w]), seed=SEED)
         queries.append((w, [int(toks[0])]))
-    res = membership_query(load_index(_index_dir(sf_dir)),
+    idx_dir = _index_dir(sf_dir)
+    res = membership_query(load_index(idx_dir),
                            sequences_table(sf_dir, seed=SEED), queries,
-                           cfg, sources=["src0"])
+                           cfg, sources=["src0"], super_dir=idx_dir)
     return res.rename_columns(["query", "doc_id"])
 
 

@@ -155,7 +155,8 @@ def main(gen_only: bool = False) -> None:
         idx = load_index(f"{SCRATCH}/index")
         seqs = rd.read_parquet(synth_path)
         t0 = time.perf_counter()
-        hits = membership_query(idx, seqs, queries, cfg)
+        hits = membership_query(idx, seqs, queries, cfg,
+                                super_dir=f"{SCRATCH}/index")
         timings["query_membership"] = time.perf_counter() - t0
         extras["membership_qps"] = len(queries) / timings["query_membership"]
         extras["membership_hits"] = hits.num_rows

@@ -6,6 +6,7 @@ from .query_index import BloomProbe, ExactVerifier, compile_queries, \
 from .similarity import knn_bruteforce, knn_lsh
 from .stats import (build_global_sketches, distinct_tokens, heavy_hitters,
                     ntok_quantiles)
+from .super_index import build_super_index, load_super_meta, super_prune
 
 __all__ = [
     "build_index", "load_index", "load_manifest", "membership_query",
@@ -16,4 +17,5 @@ __all__ = [
     "ngram_jaccard", "knn_bruteforce", "knn_lsh",
     "build_global_sketches", "distinct_tokens", "heavy_hitters",
     "ntok_quantiles",
+    "build_super_index", "load_super_meta", "super_prune",
 ]

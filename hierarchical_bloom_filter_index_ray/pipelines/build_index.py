@@ -52,8 +52,14 @@ def load_manifest(out_dir: str) -> dict | None:
 
 def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
                 batch_size: int = 1024, concurrency=None,
-                num_cpus: float = 1.0, resume: bool = True) -> dict:
-    """Build (or resume) the index; returns the manifest dict."""
+                num_cpus: float = 1.0, resume: bool = True,
+                super_levels: bool = True) -> dict:
+    """Build (or resume) the index; returns the manifest dict.
+
+    ``super_levels``: also (re)build the cross-window super-level store
+    (``pipelines/super_index.py``) — a tiny iterative aggregate over the
+    per-window root blooms that bounds query probe work at O(log windows).
+    """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
@@ -150,6 +156,9 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
         "total_index_bytes": int(df["index_bytes"].sum()),
     }
     (out / MANIFEST).write_text(json.dumps(manifest, indent=2))
+    if super_levels:
+        from .super_index import build_super_index
+        manifest["super"] = build_super_index(out_dir, cfg)
     return manifest
 
 

@@ -84,6 +84,158 @@ def solve_b_bisection(p_hat, a: float, eps_rel: float = 1e-8,
             b_hi = b_mid
 
 
+def pruning_levels_bloom_vec(base_interval_tokens: float, max_depth: int,
+                             conf: float, probs: np.ndarray,
+                             beta: float) -> np.ndarray:
+    """Vectorized ``pruning_level_bloom`` over a probability array — one
+    seed level per TOKEN (the ``MultiLevelPruning`` plan,
+    ``search/MultiLevelPruning.java:23-32``)."""
+    conf = min(max(conf, 0.0), 1.0)
+    beta = min(max(beta, 0.0), 1.0)
+    p = np.clip(np.asarray(probs, dtype=np.float64), 0.0, 1.0 - 1e-15)
+    out = np.zeros(len(p), dtype=np.int64)
+    if conf <= beta:
+        out[:] = max_depth
+        return out
+    pos = p > 0.0
+    numerator = math.log1p(-conf) - math.log1p(-beta)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b_alpha = numerator / np.log1p(-p[pos])
+        ratio = base_interval_tokens / b_alpha
+        lp = np.where((b_alpha <= 0) | ~np.isfinite(b_alpha) | (ratio <= 0),
+                      0, np.ceil(np.log2(np.maximum(ratio, 1e-300))) + 1)
+    out[pos] = np.clip(lp, 0, max_depth).astype(np.int64)
+    return out
+
+
+def solve_b_brent(p_hat, a: float, eps_rel: float = 1e-10,
+                  eps_abs: float = 1e-12, max_iter: int = 100) -> float:
+    """Brent's method (inverse-quadratic/secant/bisection) on
+    ``G(b) = prod_i(1-(1-p_i)^b) - a`` — the
+    ``solvers/PatternPrunerBrent.java`` seam, same bracketing as
+    ``solve_b_bisection``."""
+    p_hat = np.asarray(p_hat, dtype=np.float64)
+    if not (0.0 < a < 1.0):
+        raise ValueError("a must be in (0,1)")
+    if ((p_hat <= 0.0) | (p_hat >= 1.0)).any():
+        raise ValueError("all p_hat must lie in (0,1)")
+
+    def g(b):
+        return f_prod(b, p_hat) - a
+
+    lo, hi = 0.0, 1.0
+    while g(hi) < 0.0:
+        hi *= 2.0
+        if hi > 1e12:
+            raise RuntimeError("excessive upper bound (>1e12)")
+    fa, fb = g(lo), g(hi)
+    b_prev, f_prev = lo, fa       # "contrapoint"
+    b_cur, f_cur = hi, fb
+    if abs(f_prev) < abs(f_cur):
+        b_prev, b_cur, f_prev, f_cur = b_cur, b_prev, f_cur, f_prev
+    c, fc, d = b_prev, f_prev, b_prev
+    mflag = True
+    for _ in range(max_iter):
+        if abs(f_cur) <= eps_abs or abs(b_cur - b_prev) <= eps_rel * abs(
+                b_cur):
+            return b_cur
+        if f_prev != fc and f_cur != fc:
+            s = (b_prev * f_cur * fc / ((f_prev - f_cur) * (f_prev - fc))
+                 + b_cur * f_prev * fc / ((f_cur - f_prev) * (f_cur - fc))
+                 + c * f_prev * f_cur / ((fc - f_prev) * (fc - f_cur)))
+        else:
+            s = b_cur - f_cur * (b_cur - b_prev) / (f_cur - f_prev)
+        cond = ((s < (3 * b_prev + b_cur) / 4 or s > b_cur)
+                if b_prev < b_cur else
+                (s > (3 * b_prev + b_cur) / 4 or s < b_cur))
+        if (cond
+                or (mflag and abs(s - b_cur) >= abs(b_cur - c) / 2)
+                or (not mflag and abs(s - b_cur) >= abs(c - d) / 2)):
+            s = 0.5 * (b_prev + b_cur)
+            mflag = True
+        else:
+            mflag = False
+        fs = g(s)
+        d, c, fc = c, b_cur, f_cur
+        if f_prev * fs < 0:
+            b_cur, f_cur = s, fs
+        else:
+            b_prev, f_prev = s, fs
+        if abs(f_prev) < abs(f_cur):
+            b_prev, b_cur, f_prev, f_cur = b_cur, b_prev, f_cur, f_prev
+    return b_cur
+
+
+def solve_b_halley(p_hat, a: float, eps_rel: float = 1e-10,
+                   eps_abs: float = 1e-12) -> float:
+    """Bracket-clamped Halley iteration in log space
+    (``solvers/PatternPrunerHalley.java:17-110``): cubic convergence near
+    the root, bisection midpoint fallback whenever a step leaves the
+    bracket."""
+    p_hat = np.asarray(p_hat, dtype=np.float64)
+    if not (0.0 < a < 1.0):
+        raise ValueError("a must be in (0,1)")
+    if ((p_hat <= 0.0) | (p_hat >= 1.0)).any():
+        raise ValueError("all p_hat must lie in (0,1)")
+    one_minus = 1.0 - p_hat
+    ln = np.log(one_minus)
+
+    def g(b):
+        return f_prod(b, p_hat) - a
+
+    b_lo, b_hi = 0.0, 1.0
+    while g(b_hi) < 0.0:
+        b_hi *= 2.0
+        if b_hi > 1e12:
+            raise RuntimeError("failed to bracket (b_hi > 1e12)")
+    # Divergence from the reference: the bracket is tightened from the
+    # current iterate BEFORE any midpoint fallback, so a Halley step that
+    # leaves the bracket can never return the untightened midpoint as
+    # "converged" (the reference's relative-step test can).
+    b = 0.5 * (b_lo + b_hi)
+    for _ in range(200):
+        gv = g(b)
+        if abs(gv) <= eps_abs or (b_hi - b_lo) <= eps_rel * max(b, 1e-300):
+            return b
+        if gv < 0.0:
+            b_lo = b
+        else:
+            b_hi = b
+        pw = np.power(one_minus, b)
+        y = 1.0 - pw
+        b_new = None
+        if not (y <= 0.0).any():
+            F = float(np.exp(np.log(y).sum()))
+            s1 = float((-pw * ln / y).sum())        # sum y'/y
+            s2 = float((pw * ln * ln / y).sum())    # sum y''/y
+            g1 = F * s1
+            g2 = F * (s1 * s1 - s2)
+            denom = 2.0 * g1 * g1 - gv * g2
+            if denom != 0.0:
+                b_new = b - (2.0 * gv * g1) / denom
+        if b_new is None or not (b_lo < b_new < b_hi):
+            b_new = 0.5 * (b_lo + b_hi)  # safeguarded bisection step
+        b = b_new
+    raise RuntimeError("Halley failed to converge in 200 iterations")
+
+
+def solve_b_hybrid(p_hat, a: float, **kw) -> float:
+    """Halley first (fast when well-conditioned), Brent on failure — the
+    ``solvers/PatternPrunerHybrid.java`` seam."""
+    try:
+        return solve_b_halley(p_hat, a, **kw)
+    except RuntimeError:
+        return solve_b_brent(p_hat, a, **kw)
+
+
+SOLVERS = {
+    "bisection": solve_b_bisection,
+    "brent": solve_b_brent,
+    "halley": solve_b_halley,
+    "hybrid": solve_b_hybrid,
+}
+
+
 class MostFreqPlanner:
     """Per-(window, query) seed level from the window CMS.
 
@@ -172,6 +324,103 @@ class CostPlanner:
         lp, _ = minimize_level_cost(probs, self.max_depth, window_tokens,
                                     self.fp, pattern_len=len(query_keys))
         return lp
+
+
+# ------------------------------------------------- HOPS bucket auto-design --
+# Re-derivation of the reference's Chebyshev bucket design
+# (``utilities/Utils.java:77-163``): pick the fewest HOPS buckets whose
+# occupancy (distinct balls into B bins) is, with prob 1 - delta_sample,
+# at least the DKW sample size needed for a rank-eps quantile guarantee.
+
+def dkw_required_sample_size(eps: float, delta_q: float) -> int:
+    """n >= ln(2/delta)/(2 eps^2)  (``Utils.requiredSampleSizeForDKW``)."""
+    return int(math.ceil(math.log(2.0 / delta_q) / (2.0 * eps * eps)))
+
+
+def dkw_rank_epsilon(n: int, delta: float) -> float:
+    """Rank half-width for a size-n uniform sample (DKW inequality)."""
+    return math.sqrt(math.log(2.0 / delta) / (2.0 * max(n, 1)))
+
+
+def occupancy_expectation(distinct: int, buckets: int) -> float:
+    """E[#non-empty bins], distinct balls into ``buckets`` bins
+    (``Utils.occupancyExpectation``)."""
+    if buckets <= 0:
+        return 0.0
+    return buckets * (1.0 - (1.0 - 1.0 / buckets) ** distinct)
+
+
+def occupancy_variance(distinct: int, buckets: int) -> float:
+    """Var[#non-empty bins] including bin-bin covariance
+    (``Utils.occupancyVariance``)."""
+    if buckets <= 0:
+        return 0.0
+    t1 = (1.0 - 1.0 / buckets) ** distinct
+    t2 = (1.0 - 2.0 / buckets) ** distinct
+    q = 1.0 - t1
+    var = (buckets * q * (1.0 - q)
+           + buckets * (buckets - 1.0) * (1.0 - 2.0 * t1 + t2 - q * q))
+    return max(0.0, var)
+
+
+def occupancy_lower_bound_chebyshev(distinct: int, buckets: int,
+                                    delta_sample: float) -> int:
+    """One-sided Chebyshev lower bound on occupancy at prob 1-delta
+    (``Utils.occupancyLowerBoundChebyshev``)."""
+    mu = occupancy_expectation(distinct, buckets)
+    var = occupancy_variance(distinct, buckets)
+    return int(math.floor(max(0.0, mu - math.sqrt(
+        var / max(1e-12, delta_sample)))))
+
+
+def design_hops_buckets(distinct_estimate: int, eps_target: float,
+                        delta_q: float = 0.05,
+                        delta_sample: float = 0.05) -> dict:
+    """Smallest bucket count whose Chebyshev-guaranteed occupancy meets the
+    DKW sample size for ``eps_target`` rank error
+    (``Utils.designBucketsForRankTargetChebyshev``). Returns a dict with
+    ``buckets, required_sample, occupancy_lb, expected_nonempty, variance,
+    feasible``; infeasible targets (too few distinct keys) fall back to
+    2x distinct, matching the reference."""
+    if distinct_estimate <= 0:
+        raise ValueError("distinct_estimate must be > 0")
+    for name, v in (("eps_target", eps_target), ("delta_q", delta_q),
+                    ("delta_sample", delta_sample)):
+        if not (0.0 < v < 1.0):
+            raise ValueError(f"{name} must be in (0,1)")
+    required = dkw_required_sample_size(eps_target, delta_q)
+
+    def result(buckets: int, feasible: bool) -> dict:
+        return {
+            "buckets": buckets,
+            "required_sample": required,
+            "occupancy_lb": occupancy_lower_bound_chebyshev(
+                distinct_estimate, buckets, delta_sample),
+            "expected_nonempty": occupancy_expectation(distinct_estimate,
+                                                       buckets),
+            "variance": occupancy_variance(distinct_estimate, buckets),
+            "feasible": feasible,
+        }
+
+    if distinct_estimate < required:
+        return result(min(1 << 22, max(16, 2 * distinct_estimate)), False)
+    cap = 1 << 24
+    hi = 1
+    while (occupancy_lower_bound_chebyshev(distinct_estimate, hi,
+                                           delta_sample) < required
+           and hi < cap):
+        hi <<= 1
+    if hi >= cap:
+        return result(cap, False)
+    lo, best = 1, hi
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if occupancy_lower_bound_chebyshev(distinct_estimate, mid,
+                                           delta_sample) >= required:
+            best, hi = mid, mid - 1
+        else:
+            lo = mid + 1
+    return result(best, True)
 
 
 def memory_policy_level(freqs: np.ndarray, window_tokens: int, *,

@@ -85,13 +85,20 @@ class BloomProbe:
     """Index-partition probe (vectorized level-sweep BFS)."""
 
     def __init__(self, cfg: HbiConfig, queries_ref, conf: float | None = None,
-                 planner: str | None = None):
+                 planner: str | None = None, allowed_ref=None):
         self.cfg = cfg
         self.conf = conf
         # planner seam: None | "mostfreq" (MostFreqPruning) | "cost"
         # (LevelCostMinimizer / CostFunctionIE independence model)
         self.planner_kind = planner or ("mostfreq" if conf is not None
                                         else None)
+        # super-level gate: {source: (win_sorted, offsets, qi_flat)} — a
+        # window only probes the queries that survived the cross-window
+        # descend down to it (pipelines/super_index.py)
+        self.allowed = (ray.get(allowed_ref)
+                        if allowed_ref is not None
+                        and not isinstance(allowed_ref, dict)
+                        else allowed_ref)
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.queries = qs
@@ -104,13 +111,36 @@ class BloomProbe:
         self.level_salts = np.array(
             [derive_seed(cfg.seed, "interval_salt", lv) & 0xFFFFFFFFFFFFFFFF
              for lv in range(cfg.num_levels)], dtype=np.uint64)
+        self.probe_key_count = 0  # bloom keys probed (cost instrumentation)
 
-    def _sweep(self, blooms: dict, seed_levels: np.ndarray
+    def _sweep(self, blooms: dict, seed_levels: np.ndarray,
+               key_levels: np.ndarray | None = None
                ) -> tuple[np.ndarray, np.ndarray]:
         """BFS over (interval, query) pairs; returns surviving leaf pairs
         (slots, query_idx). ``seed_levels[q]`` = level at which query q
-        enters the frontier (clamped to available levels)."""
+        enters the frontier (clamped to available levels).
+
+        ``key_levels`` (flat, aligned with ``self.q_keys``): per-TOKEN
+        activation levels — the ``MultiLevelPruning`` semantics
+        (``search/MultiLevelPruning.java:23-32``): a node at level L is
+        probed only with the query tokens whose plan level <= L (shallower
+        filters answer "yes" almost surely for frequent tokens and are
+        uninformative). ``None`` probes every token at every level."""
         wb = self.cfg.window_bits
+        sorted_keys = self.q_keys
+        active_len = None
+        if key_levels is not None:
+            # sort keys within each query segment by activation level; the
+            # level-L active set is then a prefix per query
+            key_qidx = np.repeat(np.arange(len(self.q_lens)), self.q_lens)
+            order = np.lexsort((key_levels, key_qidx))
+            sorted_keys = self.q_keys[order]
+            sorted_lv = key_levels[order]
+            active_len = np.empty((len(self.q_lens), wb + 1), dtype=np.int64)
+            for q in range(len(self.q_lens)):
+                seg = sorted_lv[self.q_bounds[q]:self.q_bounds[q + 1]]
+                active_len[q] = np.searchsorted(seg, np.arange(wb + 1),
+                                                side="right")
         cur_iv = np.empty(0, dtype=np.int64)
         cur_qi = np.empty(0, dtype=np.int64)
         for lv in range(wb + 1):
@@ -126,19 +156,28 @@ class BloomProbe:
                 continue
             bloom = blooms.get(lv)
             if bloom is not None:  # level may be dropped by memory policy
-                lens = self.q_lens[cur_qi]
-                key_idx, offs = _grouped_arange(self.q_bounds[cur_qi], lens)
-                salts = splitmix64(cur_iv.astype(np.uint64)
-                                   ^ self.level_salts[lv])
-                keys = self.q_keys[key_idx] ^ np.repeat(salts, lens)
-                hits = bloom.contains(keys)
-                ok = np.logical_and.reduceat(hits, offs[:-1]) \
-                    if len(hits) else np.empty(0, dtype=bool)
+                lens = (self.q_lens[cur_qi] if active_len is None
+                        else active_len[cur_qi, lv])
+                nz = lens > 0
+                ok = np.ones(len(cur_iv), dtype=bool)
+                if nz.any():
+                    key_idx, offs = _grouped_arange(
+                        self.q_bounds[cur_qi[nz]], lens[nz])
+                    salts = splitmix64(cur_iv[nz].astype(np.uint64)
+                                       ^ self.level_salts[lv])
+                    keys = sorted_keys[key_idx] ^ np.repeat(salts, lens[nz])
+                    self.probe_key_count += len(keys)
+                    hits = bloom.contains(keys)
+                    ok[nz] = np.logical_and.reduceat(hits, offs[:-1]) \
+                        if len(hits) else np.empty(0, dtype=bool)
                 cur_iv, cur_qi = cur_iv[ok], cur_qi[ok]
-            if lv == wb or len(cur_iv) == 0:
+            if lv == wb:
                 break
-            cur_iv = np.concatenate([cur_iv * 2, cur_iv * 2 + 1])
-            cur_qi = np.tile(cur_qi, 2)
+            # NOTE: an empty frontier must NOT end the sweep — queries with
+            # deeper seed levels still enter at later iterations
+            if len(cur_iv):
+                cur_iv = np.concatenate([cur_iv * 2, cur_iv * 2 + 1])
+                cur_qi = np.tile(cur_qi, 2)
         return cur_iv, cur_qi
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -158,27 +197,59 @@ class BloomProbe:
                                                      blobs)):
                 if blob is None:
                     continue
+                q_gate = None
+                if self.allowed is not None:
+                    struct = self.allowed.get(str(src))
+                    if struct is None:
+                        continue  # no query survived to this source
+                    wins_a, offs_a, qi_a = struct
+                    pos = np.searchsorted(wins_a, win)
+                    if pos >= len(wins_a) or wins_a[pos] != win:
+                        continue  # no query survived to this window
+                    q_gate = qi_a[offs_a[pos]:offs_a[pos + 1]]
                 blooms = {int(lv): sketch_from_bytes(b)
                           for lv, b in pickle.loads(blob).items()}
                 min_lvl = min(blooms)
+                key_levels = None
                 if has_planner and cms_blobs[r] is not None:
-                    from .planner import CostPlanner, MostFreqPlanner
-                    if self.planner_kind == "cost":
-                        planner = CostPlanner(cfg.fp, cfg.window_bits)
-                    else:
-                        planner = MostFreqPlanner(self.conf or 0.95, cfg.fp,
-                                                  cfg.window_bits)
                     cms = sketch_from_bytes(cms_blobs[r])
                     wtok = int(n_tokens[r]) if n_tokens else 0
-                    seed_levels = np.array(
-                        [min(max(planner.plan(
-                            cms, wtok,
-                            self.q_keys[self.q_bounds[q]:self.q_bounds[q + 1]]
-                        ), min_lvl), cfg.window_bits) for q in range(n_q)],
-                        dtype=np.int64)
+                    if self.planner_kind == "multilevel" and wtok > 0:
+                        # per-TOKEN seed levels from one bulk CMS estimate
+                        # (search/MultiLevelPruning.java:23-32)
+                        from .planner import pruning_levels_bloom_vec
+                        est = cms.estimate(self.q_keys).astype(np.float64)
+                        probs = np.clip(est / wtok, 1e-12, 1 - 1e-9)
+                        base = wtok / (1 << cfg.window_bits)
+                        key_levels = np.clip(
+                            pruning_levels_bloom_vec(
+                                base, cfg.window_bits, self.conf or 0.95,
+                                probs, cfg.fp),
+                            min_lvl, cfg.window_bits)
+                        seed_levels = np.minimum.reduceat(
+                            key_levels, self.q_bounds[:-1])
+                    else:
+                        from .planner import CostPlanner, MostFreqPlanner
+                        if self.planner_kind == "cost":
+                            planner = CostPlanner(cfg.fp, cfg.window_bits)
+                        else:
+                            planner = MostFreqPlanner(self.conf or 0.95,
+                                                      cfg.fp,
+                                                      cfg.window_bits)
+                        seed_levels = np.array(
+                            [min(max(planner.plan(
+                                cms, wtok,
+                                self.q_keys[self.q_bounds[q]:
+                                            self.q_bounds[q + 1]]
+                            ), min_lvl), cfg.window_bits)
+                             for q in range(n_q)], dtype=np.int64)
                 else:
                     seed_levels = np.full(n_q, min_lvl, dtype=np.int64)
-                slots, qi = self._sweep(blooms, seed_levels)
+                if q_gate is not None:
+                    gated = np.full(n_q, cfg.window_bits + 1, dtype=np.int64)
+                    gated[q_gate] = seed_levels[q_gate]  # > wb never enters
+                    seed_levels = gated
+                slots, qi = self._sweep(blooms, seed_levels, key_levels)
                 if len(slots):
                     out.append((src, win, slots, qi))
         if not out:
@@ -199,6 +270,45 @@ class BloomProbe:
             "window_id": pa.array(wins, pa.int64()),
             "slot": pa.array(slots.astype(np.int32), pa.int32()),
         })
+
+
+def _match_pairs(flat: np.ndarray, offsets: np.ndarray,
+                 pair_rows: np.ndarray, pair_qis: np.ndarray,
+                 q_tokens: list[np.ndarray]
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact sliding-window match for a set of (row, query) candidate
+    pairs: per query, ONE vectorized shifted-compare sweep over the
+    gathered candidate-doc token stream (no per-candidate Python). Returns
+    (matched row indices, matched query indices)."""
+    out_row_parts: list[np.ndarray] = []
+    out_qi_parts: list[np.ndarray] = []
+    for qi in np.unique(pair_qis):
+        q = q_tokens[qi]
+        L = len(q)
+        rows_q = pair_rows[pair_qis == qi]
+        seg_lens = offsets[rows_q + 1] - offsets[rows_q]
+        fits = seg_lens >= L
+        rows_q, seg_lens = rows_q[fits], seg_lens[fits]
+        if not len(rows_q):
+            continue
+        take, sub_offs = _grouped_arange(offsets[rows_q], seg_lens)
+        sub = flat[take]
+        m = sub == q[0]
+        for j in range(1, L):
+            m[len(sub) - j:] = False
+            m[:len(sub) - j] &= sub[j:] == q[j]
+        # a match starting at local position t needs t + L <= row_len
+        row_of = np.repeat(np.arange(len(rows_q)), seg_lens)
+        local = (np.arange(len(sub), dtype=np.int64)
+                 - np.repeat(sub_offs[:-1], seg_lens))
+        m &= local <= np.repeat(seg_lens - L, seg_lens)
+        hit = np.unique(row_of[m])
+        if len(hit):
+            out_row_parts.append(rows_q[hit])
+            out_qi_parts.append(np.full(len(hit), qi, dtype=np.int32))
+    if not out_row_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int32)
+    return np.concatenate(out_row_parts), np.concatenate(out_qi_parts)
 
 
 class ExactVerifier:
@@ -246,47 +356,139 @@ class ExactVerifier:
         pair_rows = np.concatenate(pr_parts)
         pair_qis = np.concatenate(pq_parts)
         flat, offsets = flat_tokens_and_offsets(batch["tokens"])
-        # 2) per query: one vectorized shifted-compare sweep over the
-        #    gathered candidate-doc token stream (no per-candidate Python)
-        out_row_parts: list[np.ndarray] = []
-        out_qi_parts: list[np.ndarray] = []
-        for qi in np.unique(pair_qis):
-            q = self.q_tokens[qi]
-            L = len(q)
-            rows_q = pair_rows[pair_qis == qi]
-            seg_lens = offsets[rows_q + 1] - offsets[rows_q]
-            fits = seg_lens >= L
-            rows_q, seg_lens = rows_q[fits], seg_lens[fits]
-            if not len(rows_q):
-                continue
-            take, sub_offs = _grouped_arange(offsets[rows_q], seg_lens)
-            sub = flat[take]
-            m = sub == q[0]
-            for j in range(1, L):
-                m[len(sub) - j:] = False
-                m[:len(sub) - j] &= sub[j:] == q[j]
-            # a match starting at local position t needs t + L <= row_len
-            row_of = np.repeat(np.arange(len(rows_q)), seg_lens)
-            local = (np.arange(len(sub), dtype=np.int64)
-                     - np.repeat(sub_offs[:-1], seg_lens))
-            m &= local <= np.repeat(seg_lens - L, seg_lens)
-            hit = np.unique(row_of[m])
-            if len(hit):
-                out_row_parts.append(rows_q[hit])
-                out_qi_parts.append(np.full(len(hit), qi, dtype=np.int32))
-        if not out_row_parts:
+        out_rows, out_qis = _match_pairs(flat, offsets, pair_rows, pair_qis,
+                                         self.q_tokens)
+        if not len(out_rows):
             return pa.table({
                 "query_idx": pa.array([], pa.int32()),
                 "doc_id": pa.array([], batch["doc_id"].type
                                    if batch.num_rows else pa.string()),
             })
-        out_rows = np.concatenate(out_row_parts)
-        out_qis = np.concatenate(out_qi_parts)
         return pa.table({
             "query_idx": pa.array(out_qis, pa.int32()),
             "doc_id": batch["doc_id"].take(
                 pa.array(out_rows, pa.int64())),
         })
+
+
+class BloomGateVerifier:
+    """Sequences-side verification gated by a broadcast FIXED-SIZE bloom
+    over candidate (source, doc_index) keys — the distributed candidate
+    exchange. The driver never materializes the candidate set; a frequent
+    token whose candidates approach corpus size costs one bloom (MBs), not
+    a corpus-sized broadcast. Rows passing the gate are exact-verified
+    against every query (gate false positives and cross-query admissions
+    only add verify work; results stay exact). Emits (query_idx, doc_id,
+    source, window_id) so scope filters can re-apply exactly after the
+    (lossy) gate."""
+
+    def __init__(self, cfg: HbiConfig, bloom_ref, queries_ref,
+                 key_seed: int):
+        self.cfg = cfg
+        blob = ray.get(bloom_ref) if not isinstance(bloom_ref, bytes) \
+            else bloom_ref
+        self.bloom = sketch_from_bytes(blob)
+        qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
+            else queries_ref
+        self.q_tokens = [np.asarray(q["tokens"], dtype=np.int32) for q in qs]
+        self.key_seed = key_seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.splitmix import hash_str_u64
+        from ..stages.window import doc_index
+        empty = pa.table({
+            "query_idx": pa.array([], pa.int32()),
+            "doc_id": pa.array([], batch["doc_id"].type if batch.num_rows
+                               else pa.string()),
+            "source": pa.array([], pa.string()),
+            "window_id": pa.array([], pa.int64()),
+        })
+        if not batch.num_rows:
+            return empty
+        di = doc_index(batch)
+        srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
+        uniq_src, inv = np.unique(srcs, return_inverse=True)
+        src_hash = np.array([hash_str_u64(str(s), self.key_seed)
+                             for s in uniq_src], dtype=np.uint64)
+        keys = splitmix64(src_hash[inv] ^ di.astype(np.uint64))
+        rows = np.nonzero(self.bloom.contains(keys))[0]
+        if not len(rows):
+            return empty
+        n_q = len(self.q_tokens)
+        pair_rows = np.repeat(rows, n_q)
+        pair_qis = np.tile(np.arange(n_q, dtype=np.int64), len(rows))
+        flat, offsets = flat_tokens_and_offsets(batch["tokens"])
+        out_rows, out_qis = _match_pairs(flat, offsets, pair_rows, pair_qis,
+                                         self.q_tokens)
+        if not len(out_rows):
+            return empty
+        take = pa.array(out_rows, pa.int64())
+        return pa.table({
+            "query_idx": pa.array(out_qis, pa.int32()),
+            "doc_id": batch["doc_id"].take(take),
+            "source": pa.array(srcs[out_rows].tolist(), pa.string()),
+            "window_id": pa.array(
+                di[out_rows] >> self.cfg.window_bits, pa.int64()),
+        })
+
+
+def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
+                        compiled: list[dict], cfg: HbiConfig, q_ref,
+                        n_cand: int, *, sources, window_range,
+                        per_query_scope):
+    """Distributed candidate exchange: aggregate candidate (source,
+    doc_index) keys into ONE fixed-size bloom (a distributed tree reduce —
+    candidates never reach the driver), broadcast it to the verify stage,
+    and re-apply every scope filter exactly on the verified hits (the gate
+    is lossy in the admitting direction only)."""
+    import pandas as pd
+
+    from ..stages.aggregate import BloomAgg
+    from ..state.splitmix import derive_seed, hash_str_u64
+
+    if n_cand == 0:
+        return pd.DataFrame({"query_idx": pd.Series([], dtype="int32"),
+                             "doc_id": pd.Series([], dtype=object)})
+    key_seed = derive_seed(cfg.seed, "cand_gate")
+
+    def to_keys(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"ckey": pa.array([], pa.uint64())})
+        srcs = np.asarray(t["source"].to_pylist(), dtype=object)
+        uniq_src, inv = np.unique(srcs, return_inverse=True)
+        src_hash = np.array([hash_str_u64(str(s), key_seed)
+                             for s in uniq_src], dtype=np.uint64)
+        di = ((t["window_id"].to_numpy(zero_copy_only=False)
+               << cfg.window_bits)
+              | t["slot"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        keys = splitmix64(src_hash[inv] ^ di)
+        return pa.table({"ckey": pa.array(keys, pa.uint64())})
+
+    agg = cand_mat.map_batches(to_keys, batch_format="pyarrow").aggregate(
+        BloomAgg(cfg.seed, n=max(int(n_cand), 1024), fp=1e-3, on="ckey",
+                 alias_name="cand_bloom"))
+    bloom_ref = ray.put(agg["cand_bloom"])
+    hits = sequences_ds.map_batches(
+        BloomGateVerifier(cfg, bloom_ref, q_ref, key_seed),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(hits):
+        keep = np.ones(len(hits), dtype=bool)
+        src = hits["source"].to_numpy()
+        win = hits["window_id"].to_numpy()
+        if sources is not None:
+            keep &= pd.Series(src).isin(set(sources)).to_numpy()
+        if window_range is not None:
+            keep &= (win >= window_range[0]) & (win < window_range[1])
+        if per_query_scope is not None:
+            q_src = np.array([s if s is not None else "" for s, _ in
+                              per_query_scope], dtype=object)
+            q_win = np.array([w if w is not None else -1 for _, w in
+                              per_query_scope], dtype=np.int64)
+            qi = hits["query_idx"].to_numpy()
+            keep &= ((q_src[qi] == "") | (q_src[qi] == src))
+            keep &= (q_win[qi] == -1) | (q_win[qi] == win)
+        hits = hits[keep]
+    return hits[["query_idx", "doc_id"]]
 
 
 def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
@@ -295,7 +497,10 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      planner: str | None = None, strides: bool = False,
                      sources: list[str] | None = None,
                      window_range: tuple[int, int] | None = None,
-                     per_query_scope: list[tuple] | None = None) -> pa.Table:
+                     per_query_scope: list[tuple] | None = None,
+                     super_dir: str | None = None,
+                     candidate_mode: str = "auto",
+                     broadcast_limit: int = 1_000_000) -> pa.Table:
     """Exact pattern-membership results for a batch of queries.
 
     Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
@@ -307,10 +512,23 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     partitions outside the scope are pruned before any probe — the Ray
     analogue of the reference's window-horizon partition pruning
     (``PMIndex/HBI.java:263-266``).
+
+    ``super_dir``: an index directory holding cross-window super levels
+    (``pipelines/super_index.py``, the reference's across-trees pruning
+    ``PMIndex/HBI.java:207-266``): the super descend runs first, index
+    partitions outside any query's surviving windows are never read into
+    the probe, and each surviving window only probes the queries that
+    reached it — probe work drops from O(windows) to O(log windows) for
+    absent tokens.
     """
     import pyarrow.compute as pc
 
     compiled = compile_queries(queries, cfg, strides=strides)
+    sprune = None
+    if super_dir is not None:
+        from .super_index import super_prune
+        sprune = super_prune(super_dir, cfg, compiled, sources=sources,
+                             window_range=window_range)
     if sources is not None:
         keep = pa.array(sorted(sources))
         index_ds = index_ds.map_batches(
@@ -323,47 +541,94 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                 pc.greater_equal(t["window_id"], lo),
                 pc.less(t["window_id"], hi))),
             batch_format="pyarrow")
+    allowed_struct = None
+    if sprune is not None:
+        union = sprune.window_union
+        covered = sprune.covered_sources
+
+        def keep_allowed(t: pa.Table) -> pa.Table:
+            srcs = np.asarray(t["source"].to_pylist(), dtype=object)
+            wins = t["window_id"].to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(srcs), dtype=bool)
+            for s in np.unique(srcs) if len(srcs) else []:
+                m = srcs == s
+                if str(s) not in covered:
+                    keep[m] = True  # source unknown to the super store
+                    continue
+                w = union.get(str(s))
+                if w is None or not len(w):
+                    continue
+                pos = np.searchsorted(w, wins[m])
+                posc = np.minimum(pos, len(w) - 1)
+                keep[m] = w[posc] == wins[m]
+            return t.filter(pa.array(keep))
+
+        index_ds = index_ds.map_batches(keep_allowed, batch_format="pyarrow")
+        allowed_struct = sprune.allowed
     cols = ["source", "window_id", "bloom_tree"]
     if conf is not None or planner is not None:
         cols += ["cms", "n_tokens"]
     # plain callable INSTANCES -> elastic task pool (no actor-pool startup
     # cost; compiled queries ride along in the serialized closure)
-    cand = index_ds.select_columns(cols).map_batches(
-        BloomProbe(cfg, compiled, conf=conf, planner=planner),
-        batch_format="pyarrow", batch_size=64).to_pandas()
+    cand_ds = index_ds.select_columns(cols).map_batches(
+        BloomProbe(cfg, compiled, conf=conf, planner=planner,
+                   allowed_ref=allowed_struct),
+        batch_format="pyarrow", batch_size=64)
 
-    if per_query_scope is not None and len(cand):
+    if per_query_scope is not None:
         # (source|None, window_id|None) per query: filter candidates the
         # scoped query may not see (FIXTURES.md F3 per-query scoping)
         q_src = np.array([s if s is not None else "" for s, _ in
                           per_query_scope], dtype=object)
         q_win = np.array([w if w is not None else -1 for _, w in
                           per_query_scope], dtype=np.int64)
-        qi = cand["query_idx"].to_numpy()
-        src_ok = (q_src[qi] == "") | (q_src[qi] == cand["source"].to_numpy())
-        win_ok = (q_win[qi] == -1) | (q_win[qi]
-                                      == cand["window_id"].to_numpy())
-        cand = cand[src_ok & win_ok]
 
-    cand_structs: dict[str, tuple] = {}
-    if len(cand):
-        di_all = ((cand["window_id"].to_numpy() << cfg.window_bits)
-                  | cand["slot"].to_numpy())
-        qi_all = cand["query_idx"].to_numpy().astype(np.int64)
-        src_all = cand["source"].to_numpy()
-        for src in np.unique(src_all):
-            m = src_all == src
-            di, qi = di_all[m], qi_all[m]
-            order = np.lexsort((qi, di))
-            di, qi = di[order], qi[order]
-            uniq, starts = np.unique(di, return_index=True)
-            offs = np.concatenate([starts, [len(di)]]).astype(np.int64)
-            cand_structs[str(src)] = (uniq, offs, qi)
-    c_ref = ray.put(cand_structs)
+        def scope_filter(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t
+            qi = t["query_idx"].to_numpy(zero_copy_only=False)
+            src = np.asarray(t["source"].to_pylist(), dtype=object)
+            win = t["window_id"].to_numpy(zero_copy_only=False)
+            ok = (((q_src[qi] == "") | (q_src[qi] == src))
+                  & ((q_win[qi] == -1) | (q_win[qi] == win)))
+            return t.filter(pa.array(ok))
+
+        cand_ds = cand_ds.map_batches(scope_filter, batch_format="pyarrow")
+
+    # candidate exchange: broadcast the exact per-source structs while the
+    # candidate count is sane; switch to the fixed-size bloom gate when a
+    # frequent token would make the broadcast (and the driver) corpus-sized
+    cand_mat = cand_ds.materialize()
+    n_cand = cand_mat.count()
+    mode = candidate_mode
+    if mode == "auto":
+        mode = "broadcast" if n_cand <= broadcast_limit else "distributed"
     q_ref = ray.put(compiled)
-    hits = sequences_ds.map_batches(
-        ExactVerifier(cfg, c_ref, q_ref), batch_format="pyarrow",
-        zero_copy_batch=True).to_pandas()
+    if mode == "distributed":
+        hits = _verify_distributed(cand_mat, sequences_ds, compiled, cfg,
+                                   q_ref, n_cand, sources=sources,
+                                   window_range=window_range,
+                                   per_query_scope=per_query_scope)
+    else:
+        cand = cand_mat.to_pandas()
+        cand_structs: dict[str, tuple] = {}
+        if len(cand):
+            di_all = ((cand["window_id"].to_numpy() << cfg.window_bits)
+                      | cand["slot"].to_numpy())
+            qi_all = cand["query_idx"].to_numpy().astype(np.int64)
+            src_all = cand["source"].to_numpy()
+            for src in np.unique(src_all):
+                m = src_all == src
+                di, qi = di_all[m], qi_all[m]
+                order = np.lexsort((qi, di))
+                di, qi = di[order], qi[order]
+                uniq, starts = np.unique(di, return_index=True)
+                offs = np.concatenate([starts, [len(di)]]).astype(np.int64)
+                cand_structs[str(src)] = (uniq, offs, qi)
+        c_ref = ray.put(cand_structs)
+        hits = sequences_ds.map_batches(
+            ExactVerifier(cfg, c_ref, q_ref), batch_format="pyarrow",
+            zero_copy_batch=True).to_pandas()
     qid_arr = np.array([q["query_id"] for q in compiled], dtype=object)
     tbl = pa.table({
         "query_id": pa.array(

@@ -1,5 +1,7 @@
-from .sequences import (SEQ_SCHEMA, documents_as_sequences, read_sequences,
-                        synth_adversarial, synth_sequences)
+from .sequences import (SEQ_SCHEMA, documents_as_sequences, markov_model,
+                        markov_sequences, read_sequences, synth_adversarial,
+                        synth_sequences)
 
 __all__ = ["SEQ_SCHEMA", "read_sequences", "documents_as_sequences",
-           "synth_sequences", "synth_adversarial"]
+           "synth_sequences", "synth_adversarial", "markov_sequences",
+           "markov_model"]

@@ -181,6 +181,91 @@ def synth_adversarial(n_rows: int, *, seed: int = 42, kind: str = "debruijn",
     return rd.range(n_rows).map_batches(gen, batch_format="numpy")
 
 
+def markov_model(seed: int, sigma: int, order: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic variable-order Markov model: (initial_ctx_dist,
+    transitions[ctx_card, sigma]) with rows drawn as normalized uniforms —
+    the reference's ``randomDistribution`` construction
+    (``datagenerators/MarkovChainGenerator.java:60-66``)."""
+    ctx_card = max(1, sigma ** order)
+    rng = np.random.default_rng(derive_seed(seed, "markov_model") & (2**63 - 1))
+    init = rng.random(ctx_card)
+    init /= init.sum()
+    trans = rng.random((ctx_card, sigma))
+    trans /= trans.sum(axis=1, keepdims=True)
+    return init, trans
+
+
+def _gen_markov(batch: dict, *, seed: int, sigma: int, order: int,
+                doc_len: int) -> pa.Table:
+    """Counter-based Markov docs: each doc runs its own chain from a
+    row-id-derived start; transitions are shared and deterministic. The
+    vectorization is over DOCS (one step advances every doc in the batch),
+    mirroring the reference's sequential emission per stream
+    (``MarkovChainGenerator.java:80-95``) without per-row Python."""
+    init, trans = markov_model(seed, sigma, order)
+    ctx_card = trans.shape[0]
+    init_cdf = np.cumsum(init)
+    init_cdf[-1] = 1.0
+    trans_cdf = np.cumsum(trans, axis=1)
+    trans_cdf[:, -1] = 1.0
+    step_seed = derive_seed(seed, "markov_step")
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    n = len(ids)
+    out = np.empty((n, doc_len), dtype=np.int32)
+    # initial context (order symbols emitted first, like the reference)
+    u0 = _uniform(ids.astype(np.uint64) ^ U64(step_seed))
+    ctx = np.searchsorted(init_cdf, u0, side="left").astype(np.int64)
+    ctx_stride = max(1, sigma ** max(0, order - 1))
+    pos = 0
+    if order > 0:
+        # decode context digits most-significant first
+        c = ctx.copy()
+        for i in range(order):
+            digit = c // (sigma ** (order - 1 - i))
+            c = c % (sigma ** (order - 1 - i))
+            if pos < doc_len:
+                out[:, pos] = digit.astype(np.int32)
+                pos += 1
+    with np.errstate(over="ignore"):
+        for t in range(pos, doc_len):
+            u = _uniform((ids.astype(np.uint64) << U64(16))
+                         + U64(t) ^ U64(step_seed))
+            rows = trans_cdf[ctx % ctx_card]
+            nxt = (rows < u[:, None]).sum(axis=1).astype(np.int64)
+            out[:, t] = nxt.astype(np.int32)
+            if order <= 1:
+                ctx = nxt
+            else:
+                ctx = (ctx % ctx_stride) * sigma + nxt
+    offsets = np.arange(0, (n + 1) * doc_len, doc_len, dtype=np.int32)
+    return pa.table({
+        "doc_id": pa.array([f"mkv-doc{int(i):08d}" for i in ids],
+                           pa.string()),
+        "tokens": pa.ListArray.from_arrays(pa.array(offsets),
+                                           pa.array(out.reshape(-1),
+                                                    pa.int32())),
+        "n_tok": pa.array(np.full(n, doc_len, dtype=np.int32), pa.int32()),
+        "source": pa.array([f"markov_o{order}"] * n, pa.string()),
+    })
+
+
+def markov_sequences(n_rows: int, *, seed: int = 42, sigma: int = 32,
+                     order: int = 1, doc_len: int = 128) -> "rd.Dataset":
+    """Natural-text-like conformance corpus from a variable-order Markov
+    chain (reference ``datagenerators/MarkovChainGenerator.java``, the
+    pg2701-style family). Deterministic per row id."""
+    if order < 0 or sigma < 2:
+        raise ValueError("order >= 0 and sigma >= 2 required")
+    if sigma ** order > 1 << 20:
+        raise ValueError("context cardinality sigma^order too large")
+    return rd.range(n_rows).map_batches(
+        _gen_markov, batch_format="numpy",
+        fn_kwargs=dict(seed=seed, sigma=sigma, order=order,
+                       doc_len=doc_len),
+        batch_size=8192)
+
+
 def synth_sequences(n_rows: int, *, seed: int = 42, n_sources: int = 4,
                     vocab: int = 32768, len_mu: float = 4.5,
                     len_sigma: float = 0.6, len_min: int = 8,

@@ -22,18 +22,27 @@ INDEX_BLOB_COLS = ("bloom_tree", "hll", "cms", "kll_ntok", "tdigest_ntok",
 
 
 def merge_payloads(payloads) -> dict:
-    """Merge a sequence of pickled sketch-dict payloads into live sketches."""
+    """Merge a sequence of pickled sketch-dict payloads into live sketches.
+
+    ``bloom_tree`` payloads are ``{level: bytes}`` dicts (PREDICTIVE
+    pre-drop may omit shallow levels); the merged tree keeps the
+    INTERSECTION of levels — a level absent from any partial would be
+    missing that partial's keys and probing it would yield false
+    negatives."""
     acc: dict[str, object] = {}
     for raw in payloads:
         blob = pickle.loads(raw)
         for kind, data in blob.items():
-            if isinstance(data, list):  # bloom tree: one filter per level
-                levels = [sketch_from_bytes(b) for b in data]
+            if isinstance(data, dict):  # bloom tree: {level: bytes}
+                levels = {int(lv): sketch_from_bytes(b)
+                          for lv, b in data.items()}
                 if kind not in acc:
                     acc[kind] = levels
                 else:
-                    for mine, new in zip(acc[kind], levels):
-                        mine.merge(new)
+                    mine = acc[kind]
+                    common = set(mine) & set(levels)
+                    acc[kind] = {lv: mine[lv].merge(levels[lv])
+                                 for lv in common}
             else:
                 sk = sketch_from_bytes(data)
                 if kind not in acc:
@@ -84,8 +93,8 @@ def merge_partials_group(group: pd.DataFrame, *, params_hash: str,
     """
     n_tokens_total = int(group["n_tokens"].sum())
     if len(group) == 1 and policy is None:
-        blobs = {k: ({lv: bytes(b) for lv, b in enumerate(v)}
-                     if isinstance(v, list) else bytes(v))
+        blobs = {k: ({int(lv): bytes(b) for lv, b in v.items()}
+                     if isinstance(v, dict) else bytes(v))
                  for k, v in pickle.loads(group["payload"].iloc[0]).items()}
     else:
         merged = merge_payloads(group["payload"].tolist())
@@ -103,8 +112,8 @@ def merge_partials_group(group: pd.DataFrame, *, params_hash: str,
                     max_depth=policy["max_depth"])
         blobs = {}
         for k, v in merged.items():
-            if isinstance(v, list):
-                blobs[k] = {lv: s.to_bytes() for lv, s in enumerate(v)
+            if isinstance(v, dict):
+                blobs[k] = {lv: s.to_bytes() for lv, s in v.items()
                             if lv >= keep_from}
             else:
                 blobs[k] = v.to_bytes()

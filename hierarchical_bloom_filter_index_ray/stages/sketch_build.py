@@ -44,21 +44,25 @@ PARTIAL_SCHEMA = pa.schema([
 class PartialSketchBuilder:
     def __init__(self, cfg: HbiConfig):
         self.cfg = cfg
+        self.hops_buckets = cfg.effective_hops_buckets()
         self.ngram_seed = derive_seed(cfg.seed, "ngram")
         self.level_salts = np.array(
             [derive_seed(cfg.seed, "interval_salt", lv) & 0xFFFFFFFFFFFFFFFF
              for lv in range(cfg.num_levels)], dtype=np.uint64)
 
     # -- sketch factories (identical params everywhere -> mergeable) -----
-    def _new_sketches(self) -> dict:
+    def _new_sketches(self, drop_below: int = 0) -> dict:
+        """``drop_below``: first bloom level to BUILD (PREDICTIVE memory
+        policy pre-drop, ``PMIndex/HBI.java:241-242`` — shallower filters
+        are never allocated, updated, or shuffled)."""
         cfg = self.cfg
         out: dict[str, object] = {}
         for kind in cfg.sketches:
             if kind == "bloom_tree":
-                out[kind] = [
-                    BloomFilter(cfg.level_expected_distinct(lv), cfg.fp,
-                                derive_seed(cfg.seed, "bloom", lv))
-                    for lv in range(cfg.num_levels)]
+                out[kind] = {
+                    lv: BloomFilter(cfg.level_expected_distinct(lv), cfg.fp,
+                                    derive_seed(cfg.seed, "bloom", lv))
+                    for lv in range(drop_below, cfg.num_levels)}
             elif kind == "hll":
                 out[kind] = HyperLogLog(cfg.hll_p, derive_seed(cfg.seed, "hll"))
             elif kind == "cms":
@@ -69,7 +73,8 @@ class PartialSketchBuilder:
             elif kind == "tdigest_ntok":
                 out[kind] = TDigest(cfg.tdigest_delta)
             elif kind == "hops":
-                out[kind] = HOPS(cfg.hops_buckets, derive_seed(cfg.seed, "hops"))
+                out[kind] = HOPS(self.hops_buckets,
+                                 derive_seed(cfg.seed, "hops"))
             elif kind == "bottomk":
                 out[kind] = BottomK(cfg.bottomk_k, derive_seed(cfg.seed, "bk"))
             else:
@@ -78,8 +83,9 @@ class PartialSketchBuilder:
 
     @staticmethod
     def serialize(sketches: dict) -> bytes:
-        blob = {k: ([s.to_bytes() for s in v] if isinstance(v, list)
-                    else v.to_bytes()) for k, v in sketches.items()}
+        blob = {k: ({lv: s.to_bytes() for lv, s in v.items()}
+                    if isinstance(v, dict) else v.to_bytes())
+                for k, v in sketches.items()}
         return pickle.dumps(blob, protocol=pickle.HIGHEST_PROTOCOL)
 
     # -- per-batch work --------------------------------------------------
@@ -130,28 +136,60 @@ class PartialSketchBuilder:
         row_bounds = np.searchsorted(grow[row_order],
                                      np.arange(len(ugroups) + 1))
 
+        # PREDICTIVE policy: chain the previous window's Lp to the next
+        # window of the same source WITHIN this batch (groups iterate in
+        # (source, window) order); resets at batch boundaries
+        predictive = (cfg.policy_quantile is not None
+                      and cfg.policy_mode == "predictive")
+        last_lp: dict[int, int] = {}
+
         out_source, out_window, out_ndocs, out_ntokens, out_payload = \
             [], [], [], [], []
         for g in range(len(ugroups)):
-            sketches = self._new_sketches()
+            src_code_g = int(ugroups[g] >> 40)
+            drop_below = last_lp.get(src_code_g, 0) if predictive else 0
+            sketches = self._new_sketches(drop_below)
             toks = tok_sorted[tok_bounds[g]:tok_bounds[g + 1]]
             ngs = ng_sorted[ng_bounds[g]:ng_bounds[g + 1]]
             ng_slots_g = ng_slot_sorted[ng_bounds[g]:ng_bounds[g + 1]]
             rows_g = row_order[row_bounds[g]:row_bounds[g + 1]]
             for kind, sk in sketches.items():
                 if kind == "bloom_tree":
-                    for lv, bloom in enumerate(sk):
+                    for lv, bloom in sk.items():
                         iv = ng_slots_g >> U64(cfg.window_bits - lv)
                         keys = ngs ^ splitmix64(iv ^ self.level_salts[lv])
                         bloom.update(keys)
-                elif kind in ("hll", "cms", "hops", "bottomk"):
-                    sk.update(toks)
+                elif kind == "hll":
+                    sk.update(toks)  # distinct RAW tokens per window
+                elif kind in ("cms", "hops", "bottomk"):
+                    # frequency estimator + samplers count NGRAM KEYS, the
+                    # same key space the query planner estimates — the
+                    # reference's per-tree estimator is fed each inserted
+                    # ngram (``PMIndex/HBI.java:215-267``,
+                    # ``search/MostFreqPruning.java:45-50`` estimates
+                    # ``pattern.nGramToLong``)
+                    sk.update(ngs)
                 elif kind in ("kll_ntok", "tdigest_ntok"):
                     sk.update(n_tok[rows_g].astype(np.float64))
-            out_source.append(src_names[int(ugroups[g] >> 40)])
+            n_tokens_g = int(lengths[rows_g].sum())
+            if (predictive and "cms" in sketches
+                    and "bottomk" in sketches):
+                # this window's Lp predicts the NEXT window's pre-drop
+                # (reference applyMemoryPolicy -> lastPredictiveLp)
+                from ..pipelines.planner import memory_policy_level
+                reps = sketches["bottomk"].sample_keys()
+                freqs = (sketches["cms"].estimate(reps) if len(reps)
+                         else np.empty(0))
+                lp = memory_policy_level(
+                    freqs, n_tokens_g, quantile=cfg.policy_quantile,
+                    conf=cfg.policy_conf, fp=cfg.fp,
+                    max_depth=cfg.window_bits)
+                # clamp like HBI.java:318 (never predict away the leaf)
+                last_lp[src_code_g] = max(0, min(lp, cfg.window_bits - 1))
+            out_source.append(src_names[src_code_g])
             out_window.append(int(ugroups[g] & ((1 << 40) - 1)))
             out_ndocs.append(len(rows_g))
-            out_ntokens.append(int(lengths[rows_g].sum()))
+            out_ntokens.append(n_tokens_g)
             out_payload.append(self.serialize(sketches))
 
         return pa.table({

@@ -8,7 +8,8 @@ See SURVEY.md §2.4 for the reference mapping.
 from .base import register_sketch, sketch_class, sketch_from_bytes
 from .bloom import BloomFilter, bloom_dimensions
 from .bottomk import BottomK
-from .cms import CountMinSketch, CountSketch, cms_dimensions
+from .cms import (CountMinSketch, CountSketch, IntCountSketch,
+                  cms_dimensions)
 from .hll import HyperLogLog
 from .hops import HOPS
 from .kll import KLL
@@ -20,7 +21,7 @@ from .topm import TopM
 
 __all__ = [
     "BloomFilter", "bloom_dimensions", "BottomK", "CountMinSketch",
-    "CountSketch", "cms_dimensions", "HyperLogLog", "HOPS", "KLL", "TDigest",
+    "CountSketch", "IntCountSketch", "cms_dimensions", "HyperLogLog", "HOPS", "KLL", "TDigest",
     "TopM",
     "register_sketch", "sketch_class", "sketch_from_bytes",
     "minhash_signatures", "lsh_bands", "simhash64", "hamming64",

@@ -144,3 +144,50 @@ class CountSketch(_CountTableBase):
         for j in range(self.depth):
             rows[j] = self.table[j][self._cols(keys, j)] * self._signs(keys, j)
         return np.median(rows, axis=0).astype(np.int64)
+
+
+_I32_MIN, _I32_MAX = np.iinfo(np.int32).min, np.iinfo(np.int32).max
+
+
+@register_sketch
+class IntCountSketch(CountSketch):
+    """Int32-counter count sketch with SATURATING add — the reference's
+    memory-lean variant (``estimators/IntCountSketch.java:131-155``:
+    counters clamp at int32 bounds instead of wrapping; merges saturate
+    elementwise too). Counters are held as int32 (quarter the memory of
+    ``CountSketch``); arithmetic widens to int64 then clamps."""
+
+    KIND = "intcountsketch"
+
+    def __init__(self, width: int, depth: int, seed: int,
+                 table: np.ndarray | None = None, total: int = 0):
+        super().__init__(width, depth, seed, table=table, total=total)
+        if table is None:
+            self.table = np.zeros((self.depth, self.width), dtype=np.int32)
+
+    def update(self, keys: np.ndarray, counts: np.ndarray | None = None
+               ) -> None:
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return
+        if counts is None:
+            ukeys, ucounts = np.unique(keys, return_counts=True)
+            ucounts = ucounts.astype(np.int64)
+        else:
+            ukeys, inv = np.unique(keys, return_inverse=True)
+            ucounts = np.zeros(len(ukeys), dtype=np.int64)
+            np.add.at(ucounts, inv, np.asarray(counts, dtype=np.int64))
+        self.total += int(ucounts.sum())
+        for j in range(self.depth):
+            cols = self._cols(ukeys, j)
+            vals = ucounts * self._signs(ukeys, j)
+            wide = self.table[j].astype(np.int64)
+            np.add.at(wide, cols, vals)
+            self.table[j] = np.clip(wide, _I32_MIN, _I32_MAX).astype(np.int32)
+
+    def merge(self, other):
+        check_mergeable(self, other, ("width", "depth", "seed"))
+        wide = self.table.astype(np.int64) + other.table.astype(np.int64)
+        self.table = np.clip(wide, _I32_MIN, _I32_MAX).astype(np.int32)
+        self.total += other.total
+        return self

@@ -79,6 +79,12 @@ class TestBuild:
             assert abs(h.estimate() - true) / max(true, 1) < 4 * h.rel_error
 
     def test_cms_heavy_hitter_bound(self, index_dir, seq_table):
+        """The window CMS counts NGRAM KEYS (the planner's key space, like
+        the reference tree estimator fed per inserted ngram)."""
+        from hierarchical_bloom_filter_index_ray.functions.tokenize import \
+            ngram_keys
+        from hierarchical_bloom_filter_index_ray.state import derive_seed
+
         idx = load_index(index_dir).to_pandas()
         row = idx.iloc[0]
         cms = sketch_from_bytes(row["cms"])
@@ -87,9 +93,13 @@ class TestBuild:
         g = df[(df["source"].astype(str) == str(row["source"]))
                & (df["window_id"] == row["window_id"])]
         toks = np.concatenate([np.asarray(t) for t in g["tokens"]])
-        uk, counts = np.unique(toks, return_counts=True)
-        est = cms.estimate(uk.astype(np.uint64))
-        n = len(toks)
+        offs = np.concatenate(
+            [[0], np.cumsum([len(t) for t in g["tokens"]])])
+        keys, _ = ngram_keys(toks.astype(np.int32), offs, CFG.ngram,
+                             derive_seed(CFG.seed, "ngram"))
+        uk, counts = np.unique(keys, return_counts=True)
+        est = cms.estimate(uk)
+        n = len(keys)
         assert (est >= counts).all()
         assert ((est - counts) <= CFG.cms_eps * n * 2).all()
 

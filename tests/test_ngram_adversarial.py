@@ -157,3 +157,47 @@ class TestAdversarial:
         man = build_index(ds, cfg, str(tmp_path / "u"), batch_size=32)
         assert "adv_debruijn" in man["sources"]
         assert len(man["completed_sources"]) == 3
+
+
+class TestMarkovCorpus:
+    """Markov-chain conformance family (reference
+    datagenerators/MarkovChainGenerator.java — the natural-text-like
+    corpus): deterministic generation, transition-law fidelity, and exact
+    membership over the built index."""
+
+    def test_deterministic_and_transition_law(self, ray_session):
+        from hierarchical_bloom_filter_index_ray.sources import (
+            markov_model, markov_sequences)
+        a = markov_sequences(256, seed=5, sigma=8, order=1,
+                             doc_len=64).take_all()
+        b = markov_sequences(256, seed=5, sigma=8, order=1,
+                             doc_len=64).take_all()
+        assert [r["tokens"] for r in a] == [r["tokens"] for r in b]
+        _, trans = markov_model(5, 8, 1)
+        # empirical transition frequencies track the configured matrix
+        counts = np.zeros_like(trans)
+        for r in a:
+            t = np.asarray(r["tokens"])
+            np.add.at(counts, (t[:-1], t[1:]), 1)
+        emp = counts / np.maximum(counts.sum(axis=1, keepdims=True), 1)
+        tv = 0.5 * np.abs(emp - trans).sum(axis=1)
+        assert tv.max() < 0.1  # ~16k transitions per context row
+
+    def test_markov_index_membership_exact(self, ray_session,
+                                           tmp_path_factory):
+        from hierarchical_bloom_filter_index_ray.sources import \
+            markov_sequences
+        cfg = HbiConfig(seed=23, docs_per_window=32, fp=0.01, ngram=2,
+                        hll_p=12, cms_eps=0.05, cms_delta=0.1)
+        ds = markov_sequences(256, seed=7, sigma=16, order=2, doc_len=96)
+        out = tmp_path_factory.mktemp("mkv")
+        build_index(ds, cfg, str(out), batch_size=64)
+        rows = ds.take_all()
+        idx = load_index(str(out))
+        pats = [(f"p{i}", [int(t) for t in rows[i]["tokens"][3:9]])
+                for i in (0, 50, 200)]
+        pats.append(("missing", [17, 17, 17, 17]))  # sigma=16: token 17 absent
+        res = membership_query(idx, ds, pats, cfg).to_pandas()
+        got = {q: sorted(g["doc_id"]) for q, g in res.groupby("query_id")}
+        for qid, pat in pats:
+            assert got.get(qid, []) == oracle_hits(rows, pat), qid

@@ -103,6 +103,39 @@ class TestMemoryPolicy:
         res = membership_query(idx, ds, queries, cfg_pol).to_pandas()
         assert len(res) > 0
 
+    def test_predictive_policy_predrops_and_queries_still_exact(
+            self, ray_session, tmp_path):
+        """PREDICTIVE (HBI.java:241-242,317-318): the previous window's Lp
+        pre-drops the next window's shallow filters at BUILD time — dropped
+        levels are never built; queries stay exact (probe enters at the
+        shallowest surviving level)."""
+        import pickle
+        cfg_pred = HbiConfig(seed=11, docs_per_window=64, fp=0.01, hll_p=12,
+                             cms_eps=0.02, cms_delta=0.05,
+                             policy_quantile=0.5, policy_conf=0.95,
+                             policy_mode="predictive")
+        ds = synth_sequences(512, seed=3, n_sources=2, vocab=4)
+        build_index(ds, cfg_pred, str(tmp_path / "pred"), batch_size=128)
+        idx_pd = load_index(str(tmp_path / "pred")).to_pandas()
+        trees = [pickle.loads(b) for b in idx_pd["bloom_tree"]]
+        # windows after the first per (source, batch) chain were pre-dropped
+        assert any(min(t) > 0 for t in trees)
+        for t in trees:
+            assert max(t) == cfg_pred.window_bits  # leaf always survives
+        # results identical to an unpolicied index
+        cfg_plain = HbiConfig(seed=11, docs_per_window=64, fp=0.01,
+                              hll_p=12, cms_eps=0.02, cms_delta=0.05)
+        build_index(ds, cfg_plain, str(tmp_path / "plain"), batch_size=128)
+        rows = ds.take(3)
+        queries = [(f"q{i}", [int(r["tokens"][0])])
+                   for i, r in enumerate(rows)]
+        res_pred = membership_query(load_index(str(tmp_path / "pred")), ds,
+                                    queries, cfg_pred)
+        res_plain = membership_query(load_index(str(tmp_path / "plain")),
+                                     ds, queries, cfg_plain)
+        assert res_plain.num_rows > 0
+        assert res_pred.equals(res_plain)
+
     def test_memory_policy_level_bounds(self):
         freqs = np.full(100, 50.0)
         lp = memory_policy_level(freqs, 1000, quantile=0.5, conf=0.95,
@@ -153,3 +186,135 @@ class TestSketchAgg:
         uk, counts = np.unique(toks_a, return_counts=True)
         est = cms.estimate(uk.astype(np.uint64))
         assert (est >= counts).all()
+
+
+class TestHopsDesign:
+    """Chebyshev bucket auto-design + DKW sizing (reference
+    Utils.java:77-163; acceptance mirrors
+    SamplingSketchExperiment.java:869-907)."""
+
+    def test_design_meets_dkw_requirement(self):
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import (
+            design_hops_buckets, dkw_required_sample_size)
+        d = design_hops_buckets(200_000, eps_target=0.05, delta_q=0.05,
+                                delta_sample=0.05)
+        assert d["feasible"]
+        assert d["occupancy_lb"] >= dkw_required_sample_size(0.05, 0.05)
+        # minimality: half the buckets must miss the requirement
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import \
+            occupancy_lower_bound_chebyshev
+        assert occupancy_lower_bound_chebyshev(
+            200_000, d["buckets"] - 1, 0.05) < d["required_sample"]
+
+    def test_infeasible_falls_back_to_2x_distinct(self):
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import \
+            design_hops_buckets
+        d = design_hops_buckets(50, eps_target=0.05)
+        assert not d["feasible"]
+        assert d["buckets"] == 100
+
+    def test_occupancy_and_dkw_band_on_real_sampler(self):
+        """Run HOPS with designed buckets over a zipf stream: observed
+        occupancy >= Chebyshev LB, and the quantile-of-frequency estimate
+        falls in the DKW value band (the reference's occLBMet +
+        mpqInDKWValueBand checks)."""
+        import numpy as np
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import (
+            design_hops_buckets, dkw_rank_epsilon)
+        from hierarchical_bloom_filter_index_ray.state import HOPS
+
+        rng = np.random.default_rng(99)
+        sigma = 60_000
+        ranks = np.arange(1, sigma + 1, dtype=np.float64)
+        p = ranks ** -1.1
+        p /= p.sum()
+        stream = rng.choice(sigma, size=400_000, p=p).astype(np.uint64)
+        distinct = len(np.unique(stream))
+        eps = 0.08
+        d = design_hops_buckets(distinct, eps_target=eps, delta_q=0.05,
+                                delta_sample=0.05)
+        assert d["feasible"]
+        h = HOPS(d["buckets"], seed=4242)
+        h.update(stream)
+        nb = len(h.sample_keys())
+        assert nb >= d["occupancy_lb"]
+        # DKW value band at the realized sample size
+        uk, freq = np.unique(stream, return_counts=True)
+        lookup = dict(zip(uk.tolist(), freq.tolist()))
+        truth = np.sort(freq)
+        for q in (0.25, 0.5, 0.9):
+            est = h.quantile_of_freq(
+                q, lambda ks: np.array([lookup.get(int(k), 0) for k in ks]))
+            e = dkw_rank_epsilon(nb, 0.05)
+            lo = truth[max(0, int(np.ceil(max(0.0, q - e) * len(truth))) - 1)]
+            hi = truth[min(len(truth) - 1,
+                           int(np.ceil(min(1.0, q + e) * len(truth))) - 1)]
+            assert lo <= est <= hi
+
+
+class TestMultiLevelAndSolvers:
+    def test_solver_variants_agree(self):
+        import numpy as np
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import \
+            SOLVERS
+        rng = np.random.default_rng(11)
+        for _ in range(20):
+            p = rng.uniform(1e-6, 0.5, size=rng.integers(1, 6))
+            a = float(rng.uniform(0.05, 0.99))
+            ref = SOLVERS["bisection"](p, a)
+            for name in ("brent", "halley", "hybrid"):
+                assert abs(SOLVERS[name](p, a) - ref) < 1e-4 * max(ref, 1.0)
+
+    def test_vectorized_levels_match_scalar(self):
+        import numpy as np
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import (
+            pruning_level_bloom, pruning_levels_bloom_vec)
+        rng = np.random.default_rng(5)
+        probs = np.concatenate([[0.0, 1e-12, 0.999],
+                                rng.uniform(1e-9, 0.9, 50)])
+        vec = pruning_levels_bloom_vec(64.0, 10, 0.9, probs, 0.01)
+        scal = [pruning_level_bloom(64.0, 10, 0.9, float(x), 0.01)
+                for x in probs]
+        assert vec.tolist() == scal
+
+    def test_multilevel_results_invariant_and_fewer_probes(
+            self, ray_session, tmp_path):
+        """Per-token MultiLevelPruning: identical verified results, fewer
+        bloom key probes than root-seeded probing (the reference's
+        default-adjacent planner, search/MultiLevelPruning.java:23-32)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from hierarchical_bloom_filter_index_ray.pipelines import (
+            BloomProbe, compile_queries)
+        from hierarchical_bloom_filter_index_ray.pipelines.build_index import \
+            PARTITIONS
+
+        ds = synth_sequences(2048, seed=9, n_sources=2, vocab=4096)
+        build_index(ds, CFG, str(tmp_path / "idx"), batch_size=256)
+        idx = load_index(str(tmp_path / "idx"))
+        rows = ds.take(4)
+        # mixed frequency patterns: first tokens (frequent under zipf) and
+        # a rare high-id token
+        queries = [(f"q{i}", [int(t) for t in r["tokens"][:3]])
+                   for i, r in enumerate(rows)]
+        queries.append(("miss", [2**30 + 5, 2**30 + 6]))
+        plain = membership_query(idx, ds, queries, CFG).to_pandas()
+        multi = membership_query(load_index(str(tmp_path / "idx")), ds,
+                                 queries, CFG,
+                                 planner="multilevel").to_pandas()
+        assert plain.equals(multi)
+        assert len(plain) > 0
+
+        # probe-count instrumentation: drive the probe stage directly
+        batch = pq.read_table(str(tmp_path / "idx" / PARTITIONS))
+        batch = batch.set_column(
+            batch.column_names.index("source"),
+            "source", batch["source"].cast("string"))
+        compiled = compile_queries(queries, CFG)
+        base_probe = BloomProbe(CFG, compiled)
+        base_probe(batch)
+        ml_probe = BloomProbe(CFG, compiled, conf=0.95,
+                              planner="multilevel")
+        ml_probe(batch)
+        assert ml_probe.probe_key_count < base_probe.probe_key_count

@@ -377,3 +377,39 @@ class TestCountMinNonPow2:
         assert (est >= true).all()
         # all columns reachable: the estimate error stays sane
         assert (est - true <= 3.0 / 1000 * len(keys) * 3).all()
+
+
+class TestIntCountSketch:
+    def test_saturates_at_int32_and_merges_saturating(self):
+        from hierarchical_bloom_filter_index_ray.state import IntCountSketch
+        cs = IntCountSketch(1 << 8, 1, SEED)
+        big = np.array([2**31 - 10], dtype=np.int64)
+        cs.update(np.array([7], dtype=np.uint64), big)
+        cs.update(np.array([7], dtype=np.uint64), big)  # would overflow
+        est = cs.estimate(np.array([7], dtype=np.uint64))
+        assert abs(est[0]) == 2**31 - 1  # clamped, not wrapped
+        other = IntCountSketch(1 << 8, 1, SEED)
+        other.update(np.array([7], dtype=np.uint64), big)
+        cs.merge(other)
+        assert abs(cs.estimate(np.array([7], dtype=np.uint64))[0]) \
+            == 2**31 - 1
+        assert cs.table.dtype == np.int32
+
+    def test_estimates_accurate_in_range(self, rng):
+        """Within int32 range the saturating variant behaves like a plain
+        count sketch (same error bound; seed chains differ by KIND)."""
+        from hierarchical_bloom_filter_index_ray.state import IntCountSketch
+        keys = zipf_keys(rng, 30_000, 800)
+        b = IntCountSketch(1 << 12, 5, SEED)
+        b.update(keys)
+        uk, true = np.unique(keys, return_counts=True)
+        est = b.estimate(uk)
+        assert (np.abs(est - true) <= 0.01 * len(keys)).mean() > 0.98
+
+    def test_serde_roundtrip(self, rng):
+        from hierarchical_bloom_filter_index_ray.state import IntCountSketch
+        s = IntCountSketch(1 << 8, 3, SEED)
+        s.update(zipf_keys(rng, 2000, 100))
+        t = sketch_from_bytes(s.to_bytes())
+        assert t.table.dtype == np.int32
+        assert np.array_equal(s.table, t.table) and s.total == t.total

@@ -1,0 +1,145 @@
+"""Cross-window super levels: build, probe-count bounds, and result
+invariance (the across-trees pruning of ``PMIndex/HBI.java:139,207-266``;
+SURVEY §7.1 step 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from hierarchical_bloom_filter_index_ray import HbiConfig
+from hierarchical_bloom_filter_index_ray.pipelines import (
+    build_index, compile_queries, load_index, load_super_meta,
+    membership_query, super_prune)
+from hierarchical_bloom_filter_index_ray.sources import synth_sequences
+
+CFG = HbiConfig(seed=42, docs_per_window=64, fp=0.01, ngram=1,
+                expected_tokens_per_doc=64, expected_distinct_per_doc=48,
+                hll_p=12, cms_eps=0.02, cms_delta=0.05)
+N_ROWS = 4096  # 2 sources x 32 windows of 64 docs
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    path = tmp_path_factory.mktemp("superdata") / "seqs"
+    synth_sequences(N_ROWS, seed=7, n_sources=2, vocab=200_000,
+                    len_min=8, len_max=64).write_parquet(str(path))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("superindex")
+    build_index(rd.read_parquet(corpus), CFG, str(out), batch_size=512)
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def sample_tokens(ray_session, corpus):
+    rows = rd.read_parquet(corpus).take(4)
+    return [[int(t) for t in r["tokens"][:3]] for r in rows]
+
+
+class TestSuperBuild:
+    def test_meta_levels_stack(self, index_dir):
+        meta = load_super_meta(index_dir)
+        assert meta is not None and meta["fanout"] == CFG.super_fanout
+        # 32 windows/source at fanout 2: up to 5 levels before 1 node/src
+        assert len(meta["levels"]) >= 2
+        nodes = [lv["nodes"] for lv in meta["levels"]]
+        assert all(a > b for a, b in zip(nodes, nodes[1:]))
+
+    def test_missing_token_dies_at_top(self, index_dir):
+        """The headline property: an absent token probes O(levels) super
+        nodes instead of O(windows) window trees."""
+        compiled = compile_queries(
+            [("missing", [2**30 + 5, 2**30 + 6])], CFG)
+        res = super_prune(index_dir, CFG, compiled)
+        assert res is not None
+        total_windows = 2 * (N_ROWS // 2 // CFG.docs_per_window)
+        assert res.probes < total_windows // 2
+        # every source's allowed-window union should be (near-)empty;
+        # bloom FPR can leak a handful, never the full window set
+        leaked = sum(len(w) for w in res.window_union.values())
+        assert leaked <= max(4, total_windows // 8)
+
+    def test_present_token_reaches_its_windows(self, index_dir,
+                                               sample_tokens):
+        compiled = compile_queries([("q0", sample_tokens[0])], CFG)
+        res = super_prune(index_dir, CFG, compiled)
+        assert res is not None
+        assert sum(len(w) for w in res.window_union.values()) >= 1
+
+    def test_distributed_descend_matches_local(self, index_dir,
+                                               sample_tokens):
+        queries = [("q0", sample_tokens[0]),
+                   ("missing", [2**29 + 1, 2**29 + 2])]
+        compiled = compile_queries(queries, CFG)
+        a = super_prune(index_dir, CFG, compiled)
+        b = super_prune(index_dir, CFG, compiled, driver_cache_bytes=0)
+        assert a.probes == b.probes
+        assert set(a.allowed) == set(b.allowed)
+        for src in a.allowed:
+            wa, oa, qa = a.allowed[src]
+            wb, ob, qb = b.allowed[src]
+            assert np.array_equal(wa, wb)
+            assert np.array_equal(oa, ob)
+            assert np.array_equal(qa, qb)
+
+
+class TestSuperQuery:
+    def test_results_invariant_under_super_pruning(self, index_dir, corpus,
+                                                   sample_tokens):
+        """Super levels bound COST only — verified results are identical
+        with and without them (no false negatives by Bloom construction)."""
+        queries = [(f"q{i}", toks) for i, toks in enumerate(sample_tokens)]
+        queries.append(("missing", [2**30 + 5, 2**30 + 6]))
+        idx = load_index(index_dir)
+        seqs = rd.read_parquet(corpus)
+        base = membership_query(idx, seqs, queries, CFG)
+        pruned = membership_query(load_index(index_dir),
+                                  rd.read_parquet(corpus), queries, CFG,
+                                  super_dir=index_dir)
+        assert base.num_rows > 0
+        assert base.equals(pruned)
+
+    def test_distributed_candidate_exchange_matches_broadcast(
+            self, index_dir, corpus, sample_tokens):
+        """candidate_mode="distributed" (fixed-size bloom gate, no driver
+        candidate materialization) returns exactly the broadcast path's
+        results — including under global source/window scoping, where the
+        gate's false positives must be re-filtered exactly."""
+        queries = [(f"q{i}", toks) for i, toks in enumerate(sample_tokens)]
+        queries.append(("missing", [2**30 + 9, 2**30 + 10]))
+        base = membership_query(load_index(index_dir),
+                                rd.read_parquet(corpus), queries, CFG,
+                                candidate_mode="broadcast")
+        dist = membership_query(load_index(index_dir),
+                                rd.read_parquet(corpus), queries, CFG,
+                                candidate_mode="distributed")
+        assert base.num_rows > 0
+        assert base.equals(dist)
+        base_s = membership_query(load_index(index_dir),
+                                  rd.read_parquet(corpus), queries, CFG,
+                                  sources=["src1"], window_range=(2, 20),
+                                  candidate_mode="broadcast")
+        dist_s = membership_query(load_index(index_dir),
+                                  rd.read_parquet(corpus), queries, CFG,
+                                  sources=["src1"], window_range=(2, 20),
+                                  candidate_mode="distributed")
+        assert base_s.equals(dist_s)
+
+    def test_scoped_query_with_super(self, index_dir, corpus,
+                                     sample_tokens):
+        queries = [("q0", sample_tokens[0])]
+        idx = load_index(index_dir)
+        seqs = rd.read_parquet(corpus)
+        base = membership_query(idx, seqs, queries, CFG, sources=["src0"],
+                                window_range=(0, 16))
+        pruned = membership_query(load_index(index_dir),
+                                  rd.read_parquet(corpus), queries, CFG,
+                                  sources=["src0"], window_range=(0, 16),
+                                  super_dir=index_dir)
+        assert base.equals(pruned)
