@@ -135,20 +135,21 @@ class MinHashStage:
         if not len(keep):
             return pa.table({
                 "doc_id": batch["doc_id"].take(pa.array([], pa.int64())),
-                "band_id": pa.array([], pa.int32()),
-                "band_hash": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
             })
         sig = minhash_signatures(sh_keys, sh_off, self.num_perm,
                                  self.sig_seed)[keep]
         bands = self._lsh_bands(sig, self.bands, self.band_seed)
-        n = len(keep)
-        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        band_hash = bands.reshape(-1).view(np.int64)
+        # ONE int64 bucket key: the band index is already baked into the
+        # band hash via the per-band seed chain (state/minhash.lsh_bands),
+        # so cross-band collisions are ordinary 64-bit hash collisions —
+        # and any false bucket mate is removed by the exact signature
+        # verification anyway
+        bucket = bands.reshape(-1).view(np.int64)
         rep_idx = np.repeat(keep, self.bands)
         return pa.table({
             "doc_id": batch["doc_id"].take(pa.array(rep_idx)),
-            "band_id": pa.array(band_id, pa.int32()),
-            "band_hash": pa.array(band_hash, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
         })
 
 
@@ -185,38 +186,34 @@ class MinHashSignatures:
         })
 
 
-def _hot_bucket_rows(band_rows: "rd.Dataset", key_cols: tuple[str, str]
+def _hot_bucket_rows(band_rows: "rd.Dataset", key: str = "bucket"
                      ) -> pd.DataFrame:
     """Rows belonging to LSH buckets with >= 2 members.
 
-    Avoids ``map_groups`` over millions of singleton buckets (per-group
-    Python overhead): a fast ``groupby().count()`` finds hot buckets, their
-    hash values are broadcast as a filter set (near-dup buckets are rare),
-    and only matching rows are collected. Overmatching on the hash column
-    alone is corrected by exact pairing on (band_id, band_hash) afterwards.
+    Sort-based: a range-partitioning ``sort`` on the single int64 bucket
+    key co-locates equal keys, then a vectorized neighbor compare inside
+    each sorted block keeps exactly the duplicated-key rows. Rows whose
+    key equals a block's first/last element are kept conservatively (an
+    equal-key run may straddle a block boundary); stray singletons produce
+    no pairs downstream, so results are exact. This replaces a
+    groupby().count() whose per-group cost dominated the whole minhash
+    pipeline — sort moves the same narrow (doc_id, bucket) rows but does
+    no per-group work.
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    srt = band_rows.sort(key)
 
-    from ray.data.aggregate import Count
+    def dup_or_boundary(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        h = t[key].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(h), dtype=bool)
+        keep[1:] |= h[1:] == h[:-1]
+        keep[:-1] |= h[:-1] == h[1:]
+        keep[0] = keep[-1] = True  # boundary-conservative
+        return t.filter(pa.array(keep))
 
-    # band_rows is consumed twice (count + filter): pin it so the minhash
-    # stage doesn't recompute
-    band_rows = band_rows.materialize()
-    # keys-only projection: the count shuffle must not drag the signature
-    # payload column along
-    counts = band_rows.select_columns(list(key_cols)).groupby(
-        list(key_cols)).aggregate(Count(alias_name="cnt"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["cnt"], 1)),
-        batch_format="pyarrow").to_pandas()
-    if not len(hot):
-        return pd.DataFrame()
-    hot_hashes = pa.array(hot[key_cols[1]].unique())
-    rows = band_rows.map_batches(
-        lambda t: t.filter(pc.is_in(t[key_cols[1]], value_set=hot_hashes)),
-        batch_format="pyarrow").to_pandas()
-    return rows
+    return srt.map_batches(dup_or_boundary,
+                           batch_format="pyarrow").to_pandas()
 
 
 def _pairs_from_buckets(rows: pd.DataFrame, key_cols,
@@ -288,10 +285,10 @@ def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
         batch_size=4096, concurrency=concurrency,
         fn_constructor_kwargs={"cfg": cfg, "num_perm": num_perm,
                                "bands": bands, "shingle": shingle})
-    rows = _hot_bucket_rows(band_rows, ("band_id", "band_hash"))
+    rows = _hot_bucket_rows(band_rows, "bucket")
     if not len(rows):
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    cand = _pairs_from_buckets(rows, ("band_id", "band_hash"))
+    cand = _pairs_from_buckets(rows, ("bucket",))
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
     cand = cand.drop_duplicates(subset=["a", "b"])
@@ -369,24 +366,26 @@ def simhash_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, max_hamming: int = 3
     def explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         n = len(h)
-        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
+        # one int64 bucket key: 16-bit chunk value | chunk index << 16
+        # (exact — no collision between different chunk positions)
+        chunk_id = np.tile(np.arange(4, dtype=np.int64), n)
         chunks = np.empty(4 * n, dtype=np.int64)
         for c in range(4):
             chunks[c::4] = ((h >> np.uint64(16 * c)) &
                             np.uint64(0xFFFF)).astype(np.int64)
+        bucket = chunks | (chunk_id << 16)
         rep = np.repeat(np.arange(n), 4)
         return pa.table({
             "doc_id": batch["doc_id"].take(pa.array(rep)),
-            "chunk_id": pa.array(chunk_id, pa.int32()),
-            "chunk_val": pa.array(chunks, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
             "simhash": batch["simhash"].take(pa.array(rep)),
         })
 
     band_rows = sims.map_batches(explode, batch_format="pyarrow")
-    rows = _hot_bucket_rows(band_rows, ("chunk_id", "chunk_val"))
+    rows = _hot_bucket_rows(band_rows, "bucket")
     if not len(rows):
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    cand = _pairs_from_buckets(rows, ("chunk_id", "chunk_val"), "simhash")
+    cand = _pairs_from_buckets(rows, ("bucket",), "simhash")
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
     cand = cand.drop_duplicates(subset=["a", "b"])

@@ -307,6 +307,221 @@ def minimize_level_cost(probs: np.ndarray, max_depth: int,
     return best_lp, best_cost
 
 
+# ------------------------------------------- full inclusion-exclusion IE --
+# Re-derivation of the reference's higher-order cost model
+# (``estimators/CostFunctionIE.java:29-75`` + ``utilities/MathUtils.java``
+# HF_uncond_pos_beta / HF_cond_from_q_pos_beta / IE_prefix_collapsed_beta):
+# a node at level L spans bL = W >> L token slots; the probe of pattern key
+# sequence k_1..k_r short-circuits at the first miss, so the expected probe
+# count H at a node is 1 + sum over positions of P(all previous distinct
+# keys present), with presence probabilities combined by inclusion-
+# exclusion over "key absent from the block" events (orders beyond
+# ``max_order`` truncated). F is the node pass probability; descending
+# nodes fan out x2 weighted by the parent's F.
+
+def _distinct_first(key_seq: np.ndarray, probs: np.ndarray, b_l: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """First-occurrence probs of distinct keys among the first
+    min(r, bL) positions + per-prefix position multiplicities."""
+    ell = min(len(key_seq), b_l)
+    if ell <= 0:
+        return np.empty(0), np.empty(0, dtype=np.int64)
+    _, first_idx = np.unique(key_seq[:ell], return_index=True)
+    first_idx = np.sort(first_idx)
+    p_first = np.clip(probs[first_idx], 0.0, 1.0)
+    nxt = np.concatenate([first_idx[1:], [ell - 1]])
+    mult = nxt - first_idx
+    return p_first, mult
+
+
+def _sum_comb_powers(p: np.ndarray, k: int, start: int, sum_p: float,
+                     b_l: int) -> float:
+    """sum over k-subsets S of (1 - sum_{i in S} p_i)^bL
+    (``MathUtils.sumCombPowers_k``)."""
+    if k == 0:
+        return float(np.clip(1.0 - sum_p, 0.0, 1.0)) ** b_l
+    total = 0.0
+    for i in range(start, len(p) - k + 1):
+        total += _sum_comb_powers(p, k - 1, i + 1, sum_p + float(p[i]), b_l)
+    return total
+
+
+def ie_prefix_pass_prob(p_first: np.ndarray, m: int, b_l: int,
+                        beta: float, max_order: int | None = None) -> float:
+    """P(first m distinct keys all pass the level filter), IE up to
+    ``max_order`` (``MathUtils.IE_prefix_collapsed_beta:312-331``)."""
+    m = max(0, min(m, len(p_first)))
+    if m == 0:
+        return 1.0
+    t = m if max_order is None else max(0, min(max_order, m))
+    omb = 1.0 - beta
+    f = 1.0
+    for k in range(1, t + 1):
+        s = _sum_comb_powers(p_first[:m], k, 0, 0.0, b_l)
+        f += (1.0 if k % 2 == 0 else -1.0) * (omb ** k) * s
+    return float(np.clip(f, 0.0, 1.0))
+
+
+def hf_node(width: int, level: int, key_seq: np.ndarray, probs: np.ndarray,
+            beta: float, max_order: int | None = None
+            ) -> tuple[float, float]:
+    """(H, F): expected probes at one level-``level`` node and its pass
+    probability (``MathUtils.HF_uncond_pos_beta:233-264``)."""
+    b_l = width >> level
+    p_first, mult = _distinct_first(key_seq, probs, b_l)
+    if len(p_first) == 0:
+        return (0.0, 1.0) if b_l <= 0 or len(key_seq) == 0 else (1.0, 1.0)
+    fm = np.array([ie_prefix_pass_prob(p_first, m, b_l, beta, max_order)
+                   for m in range(1, len(p_first) + 1)])
+    h = 1.0 + float((mult * fm).sum())
+    return h, float(fm[-1])
+
+
+def q_cond_child_given_parent(probs: np.ndarray, width: int, level: int,
+                              beta_prev: float, beta_l: float) -> np.ndarray:
+    """Per-key P(child passes | parent passed)
+    (``MathUtils.qCondChildGivenParent:196-216``)."""
+    b_prev = width >> (level - 1)
+    b_l = width >> level
+    p = np.clip(np.asarray(probs, dtype=np.float64), 0.0, 1.0)
+    h_prev = 1.0 - np.power(1.0 - p, b_prev)
+    h_l = 1.0 - np.power(1.0 - p, b_l)
+    numer = h_l + beta_l * (h_prev - h_l) + beta_l * beta_prev * (1.0 - h_prev)
+    denom = beta_prev + (1.0 - beta_prev) * h_prev
+    q = np.where(denom > 0.0, numer / np.maximum(denom, 1e-300), 1.0)
+    return np.clip(q, 0.0, 1.0)
+
+
+def hf_node_cond(width: int, level: int, key_seq: np.ndarray,
+                 q_cond: np.ndarray, beta: float,
+                 max_order: int | None = None) -> tuple[float, float]:
+    """(H, F) of a child node under the parent-conditional per-key pass
+    probabilities (``MathUtils.HF_cond_from_q_pos_beta:271-306``):
+    q is folded back to an effective per-slot probability p_eff with
+    (1-p_eff)^bL = 1-g, g = (q-beta)/(1-beta)."""
+    b_l = width >> level
+    ell = min(len(key_seq), b_l)
+    if ell <= 0:
+        return 0.0, 1.0
+    _, first_idx = np.unique(key_seq[:ell], return_index=True)
+    first_idx = np.sort(first_idx)
+    omb = 1.0 - beta
+    q = np.clip(q_cond[first_idx], 0.0, 1.0)
+    g = np.clip((q - beta) / omb, 0.0, 1.0) if omb > 0 else np.ones_like(q)
+    p_eff = np.clip(1.0 - np.power(1.0 - g, 1.0 / max(1, b_l)), 0.0, 1.0)
+    nxt = np.concatenate([first_idx[1:], [ell - 1]])
+    mult = nxt - first_idx
+    fm = np.array([ie_prefix_pass_prob(p_eff, m, b_l, beta, max_order)
+                   for m in range(1, len(p_eff) + 1)])
+    h = 1.0 + float((mult * fm).sum())
+    return h, float(fm[-1])
+
+
+def deepest_visited_level(width: int, r: int, max_depth: int) -> int:
+    """Deepest level whose block still hosts the whole pattern
+    (``MathUtils.deepestVisitedLevel:176-183``)."""
+    lv = 0
+    while lv < max_depth and (width >> (lv + 1)) >= max(1, r):
+        lv += 1
+    return lv
+
+
+def cost_at_level_ie(key_seq: np.ndarray, probs: np.ndarray, lp: int,
+                     width: int, max_depth: int, *,
+                     betas: np.ndarray | float = 0.0,
+                     max_order: int | None = None) -> float:
+    """Expected probe count seeding at ``lp`` under the full IE model
+    (``CostFunctionIE.costAtLevel:29-75``, fanout 2 — the reference's
+    SelectiveFanout is disabled by default). ``betas`` may be a scalar or
+    a per-level array (per-level beta = the CostFunctionMaxProb seam)."""
+    key_seq = np.asarray(key_seq)
+    probs = np.clip(np.asarray(probs, dtype=np.float64), 1e-12, 1 - 1e-9)
+    r = len(key_seq)
+    l_desc = deepest_visited_level(width, r, max_depth)
+    beta_arr = (np.full(max_depth + 1, float(betas))
+                if np.isscalar(betas) else np.asarray(betas, np.float64))
+    nodes = float(1 << lp)
+    h, f = hf_node(width, lp, key_seq, probs, float(beta_arr[lp]), max_order)
+    total = h * nodes
+    level = lp
+    while level < l_desc and (width >> (level + 1)) >= r:
+        nxt = level + 1
+        q = q_cond_child_given_parent(probs, width, nxt,
+                                      float(beta_arr[level]),
+                                      float(beta_arr[nxt]))
+        h_c, f_c = hf_node_cond(width, nxt, key_seq, q,
+                                float(beta_arr[nxt]), max_order)
+        nodes = 2.0 * nodes * f
+        if nodes <= 0.0:
+            break
+        total += h_c * nodes
+        h, f = h_c, f_c
+        level = nxt
+    return total
+
+
+def minimize_level_cost_ie(key_seq: np.ndarray, probs: np.ndarray,
+                           width: int, max_depth: int, *,
+                           betas: np.ndarray | float = 0.0,
+                           max_order: int | None = None
+                           ) -> tuple[int, float]:
+    """argmin over seed levels of the IE probe cost
+    (``LevelCostMinimizer`` over ``CostFunctionIE``)."""
+    r = len(key_seq)
+    max_lp = deepest_visited_level(width, r, max_depth)
+    best_lp, best_cost = 0, float("inf")
+    for lp in range(0, max_lp + 1):
+        c = cost_at_level_ie(key_seq, probs, lp, width, max_depth,
+                             betas=betas, max_order=max_order)
+        if c < best_cost:
+            best_lp, best_cost = lp, c
+    return best_lp, best_cost
+
+
+class SetConfPlanner:
+    """Manual-confidence plan (``estimators/CostFunctionSetConf.java:12-19``):
+    seed level from the MINIMUM estimated key probability at the given
+    confidence, with no bloom-FPR discount (``pruningLevel`` vs
+    ``pruningLevelBloom`` — beta = 0)."""
+
+    def __init__(self, conf: float, max_depth: int):
+        self.conf = conf
+        self.max_depth = max_depth
+
+    def plan(self, cms, window_tokens: int, query_keys: np.ndarray) -> int:
+        if cms is None or window_tokens <= 0:
+            return 0
+        est = cms.estimate(query_keys).astype(np.float64)
+        p = est / max(window_tokens, 1)
+        p_min = float(np.clip(p.min(), 1e-12, 1 - 1e-9))
+        base = window_tokens / (1 << self.max_depth)
+        return pruning_level_bloom(base, self.max_depth, self.conf, p_min,
+                                   0.0)
+
+
+class IECostPlanner:
+    """Seed-level choice by the FULL inclusion-exclusion cost model
+    (``CostFunctionIE`` with configurable ``ie_max_order``; order 1
+    reduces to the independence model of ``cost_at_level``). Per-level
+    betas may come from the actual filters (the CostFunctionMaxProb
+    behavior) or a scalar."""
+
+    def __init__(self, fp: float, max_depth: int, *, max_order: int = 2):
+        self.fp = fp
+        self.max_depth = max_depth
+        self.max_order = max_order
+
+    def plan(self, cms, window_tokens: int, query_keys: np.ndarray) -> int:
+        if cms is None or window_tokens <= 0:
+            return 0
+        est = cms.estimate(query_keys).astype(np.float64)
+        probs = est / max(window_tokens, 1)
+        lp, _ = minimize_level_cost_ie(query_keys, probs, window_tokens,
+                                       self.max_depth, betas=self.fp,
+                                       max_order=self.max_order)
+        return lp
+
+
 class CostPlanner:
     """Per-(window, query) seed level by expected-probe-cost minimization
     (the ``CostFunctionIE``/``LevelCostMinimizer`` seam; independence

@@ -229,9 +229,17 @@ class BloomProbe:
                         seed_levels = np.minimum.reduceat(
                             key_levels, self.q_bounds[:-1])
                     else:
-                        from .planner import CostPlanner, MostFreqPlanner
+                        from .planner import (CostPlanner, IECostPlanner,
+                                              MostFreqPlanner,
+                                              SetConfPlanner)
                         if self.planner_kind == "cost":
                             planner = CostPlanner(cfg.fp, cfg.window_bits)
+                        elif self.planner_kind == "ie":
+                            planner = IECostPlanner(cfg.fp,
+                                                    cfg.window_bits)
+                        elif self.planner_kind == "setconf":
+                            planner = SetConfPlanner(self.conf or 0.95,
+                                                     cfg.window_bits)
                         else:
                             planner = MostFreqPlanner(self.conf or 0.95,
                                                       cfg.fp,

@@ -33,6 +33,7 @@ O(windows).
 from __future__ import annotations
 
 import json
+import math
 from pathlib import Path
 
 import numpy as np
@@ -57,15 +58,22 @@ def _root_salt(cfg: HbiConfig) -> np.uint64:
 
 
 def _extract_roots(batch: pd.DataFrame, fanout: int) -> pd.DataFrame:
-    """Index rows -> level-1 partial rows (source, node_id, bloom|None)."""
-    import pickle
-    blooms = []
-    for blob in batch["bloom_tree"]:
-        if blob is None:
-            blooms.append(None)
-            continue
-        tree = pickle.loads(blob)
-        blooms.append(tree.get(0))  # None when the policy dropped level 0
+    """Index rows -> level-0 node rows (source, node_id, bloom|None).
+
+    Prefers the dedicated ``root_bloom`` column (written by
+    ``stages/merge.py`` precisely so this scan reads ~1/levels of the
+    index); falls back to unpickling ``bloom_tree`` for older indexes."""
+    if "root_bloom" in batch.columns:
+        blooms = list(batch["root_bloom"])
+    else:
+        import pickle
+        blooms = []
+        for blob in batch["bloom_tree"]:
+            if blob is None:
+                blooms.append(None)
+                continue
+            tree = pickle.loads(blob)
+            blooms.append(tree.get(0))  # None when policy dropped level 0
     return pd.DataFrame({
         "source": batch["source"].astype(str),
         "node_id": (batch["window_id"].to_numpy() // fanout).astype(np.int64),
@@ -73,46 +81,68 @@ def _extract_roots(batch: pd.DataFrame, fanout: int) -> pd.DataFrame:
     })
 
 
-def _merge_nodes_block(df: pd.DataFrame) -> pd.DataFrame:
-    """OR-merge child blooms per (source, node_id) within one block.
+SUBTREE_HEIGHT = 8  # levels built per groupby round (group = F^8 children)
 
-    Used twice, mirroring the stats combiner pattern: as a map-side
-    in-block combiner (window-sorted blocks collapse most sibling groups
-    before the shuffle) and as the per-group reduce after the groupby. A
-    missing/always-pass child (None) makes the parent always-pass."""
-    srcs, nodes, blooms, fills = [], [], [], []
-    for (src, node), g in df.groupby(["source", "node_id"], sort=True):
-        acc = None
-        for v in g["bloom"]:
-            if v is None:
-                acc = _SAT
-                break
-            b = sketch_from_bytes(v)
+
+def _build_subtree(g: pd.DataFrame, *, base_level: int, fanout: int,
+                   height: int) -> pd.DataFrame:
+    """map_groups reduce: from one subtree's level-``base_level`` nodes,
+    OR-merge upward ``height`` levels locally (numpy word ORs — no
+    per-level Ray job). Emits rows for levels base+1..base+height. A
+    missing/always-pass child (None bloom) makes every ancestor
+    always-pass."""
+    cur: dict[int, object] = {}
+    src = str(g["source"].iloc[0])
+    for node, blob in zip(g["node_id"], g["bloom"]):
+        b = None if blob is None else sketch_from_bytes(blob)
+        cur[int(node)] = b
+    out_src, out_lv, out_node, out_bloom, out_fill = [], [], [], [], []
+    for h in range(1, height + 1):
+        nxt: dict[int, object] = {}
+        for node, b in cur.items():
+            parent = node // fanout
+            if parent in nxt and nxt[parent] is _SAT:
+                continue
+            if b is None:
+                nxt[parent] = _SAT
+                continue
+            acc = nxt.get(parent)
             if acc is None:
-                acc = b
-            else:
-                acc.merge(b)
-        if acc is None or acc is _SAT:
-            blob, fill = None, 1.0
-        else:
-            blob, fill = acc.to_bytes(), acc.fill_ratio
-        srcs.append(str(src))
-        nodes.append(int(node))
-        blooms.append(blob)
-        fills.append(float(fill))
+                # copy-on-first-merge keeps child rows reusable
+                nxt[parent] = type(b)(b.n, b.p, b.seed, m=b.m, k=b.k,
+                                      words=b.words.copy())
+            elif acc is not _SAT:
+                acc.words |= b.words
+        for parent, acc in sorted(nxt.items()):
+            sat = acc is _SAT
+            out_src.append(src)
+            out_lv.append(base_level + h)
+            out_node.append(parent)
+            out_bloom.append(None if sat else acc.to_bytes())
+            out_fill.append(1.0 if sat else acc.fill_ratio)
+        cur = {n: (None if a is _SAT else a) for n, a in nxt.items()}
     return pd.DataFrame({
-        "source": srcs,
-        "node_id": pd.Series(nodes, dtype="int64"),
-        "bloom": pd.Series(blooms, dtype=object),
-        "fill": pd.Series(fills, dtype="float64"),
+        "source": out_src,
+        "level": pd.Series(out_lv, dtype="int32"),
+        "node_id": pd.Series(out_node, dtype="int64"),
+        "bloom": pd.Series(out_bloom, dtype=object),
+        "fill": pd.Series(out_fill, dtype="float64"),
     })
 
 
-def build_super_index(out_dir: str, cfg: HbiConfig) -> dict:
+def build_super_index(out_dir: str, cfg: HbiConfig, *,
+                      local_bytes_limit: int = 256 << 20) -> dict:
     """Build the super-level store from a persisted index at ``out_dir``.
 
-    Writes parquet rows (source, level, node_id, bloom, fill) under
-    ``out_dir/super`` plus ``super_meta.json``; returns the meta dict.
+    Subtree-batched: ONE groupby round builds ``SUBTREE_HEIGHT`` levels
+    (each group holds at most F^8 = 256 child blooms, a bounded ~MBs
+    payload at any corpus size), then recursion continues on the subtree
+    roots — the node set shrinks 256x per round, so a billion windows
+    need four rounds, not thirty sequential per-level jobs.
+
+    Writes parquet rows (source, node_id, bloom, fill) under
+    ``out_dir/super/level=H`` plus ``super_meta.json``; returns the meta
+    dict.
     """
     from .build_index import PARTITIONS
 
@@ -124,34 +154,120 @@ def build_super_index(out_dir: str, cfg: HbiConfig) -> dict:
     sup.mkdir(parents=True)
     F = cfg.super_fanout
 
-    index_ds = rd.read_parquet(str(out / PARTITIONS),
-                               columns=["source", "window_id", "bloom_tree"])
-    n_sources = len(set(
-        index_ds.select_columns(["source"]).unique("source")))
-    child = index_ds.map_batches(_extract_roots, batch_format="pandas",
-                                 fn_kwargs={"fanout": F})
+    # n_sources from the manifest (no discovery job); root blooms from the
+    # dedicated column (no full-tree deserialization)
+    manifest_p = out / "manifest.json"
+    if manifest_p.exists():
+        n_sources = len(json.loads(manifest_p.read_text()).get(
+            "completed_sources", [])) or 1
+    else:
+        ds0 = rd.read_parquet(str(out / PARTITIONS), columns=["source"])
+        n_sources = len(set(ds0.unique("source")))
+    import pyarrow.parquet as pq
+    have_root = "root_bloom" in pq.read_schema(
+        next((out / PARTITIONS).rglob("*.parquet")).as_posix()).names
+    cols = (["source", "window_id", "root_bloom"] if have_root
+            else ["source", "window_id", "bloom_tree"])
     meta: dict = {"fanout": F, "levels": [], "params_hash": cfg.params_hash()}
-    level = 1
-    while level <= cfg.super_max_levels:
-        combined = child.map_batches(_merge_nodes_block,
-                                     batch_format="pandas")
-        agg = combined.groupby(["source", "node_id"]).map_groups(
-            _merge_nodes_block, batch_format="pandas").materialize()
-        n_nodes = agg.count()
-        mean_fill = float(agg.mean("fill"))
-        agg.drop_columns(["fill"]).map_batches(
-            lambda t, lv=level: t.append_column(
-                "level", pa.array([lv] * t.num_rows, pa.int32())),
-            batch_format="pyarrow",
-        ).write_parquet(str(sup / f"level={level}"))
-        meta["levels"].append({"level": level, "nodes": int(n_nodes),
-                               "mean_fill": round(mean_fill, 4)})
-        if n_nodes <= n_sources or mean_fill > cfg.super_fill_cap:
+
+    # driver-local fast path for small stores: one pyarrow scan + in-proc
+    # rollup beats several Ray jobs' fixed latency. The distributed rounds
+    # below are the scale path (bounded F^8-children groups per round).
+    root_bytes = sum(f.stat().st_size
+                     for f in (out / PARTITIONS).rglob("*.parquet"))
+    if have_root and root_bytes <= local_bytes_limit:
+        import pyarrow.dataset as pads
+        tbl = pads.dataset(str(out / PARTITIONS), format="parquet",
+                           partitioning="hive").to_table(columns=cols)
+        df = _extract_roots(tbl.to_pandas(), fanout=1)
+        if len(df):
+            max_win = int(df.groupby("source")["node_id"].max().max())
+            height = min(cfg.super_max_levels,
+                         max(1, math.ceil(math.log(max_win + 1, F))))
+            frames = [
+                _build_subtree(g, base_level=0, fanout=F, height=height)
+                for _, g in df.groupby("source", sort=True)]
+            rows_df = pd.concat(frames, ignore_index=True)
+            stats = (rows_df.groupby("level")
+                     .agg(nodes=("node_id", "size"),
+                          mean_fill=("fill", "mean")).reset_index()
+                     .sort_values("level"))
+            stop_level = None
+            for _, s in stats.iterrows():
+                meta["levels"].append(
+                    {"level": int(s["level"]), "nodes": int(s["nodes"]),
+                     "mean_fill": round(float(s["mean_fill"]), 4)})
+                if (s["mean_fill"] > cfg.super_fill_cap
+                        or s["nodes"] <= n_sources):
+                    stop_level = int(s["level"])
+                    break
+            keep_to = stop_level if stop_level is not None else height
+            meta["levels"] = [lv for lv in meta["levels"]
+                              if lv["level"] <= keep_to]
+            for lv, g in rows_df[rows_df["level"] <= keep_to].groupby(
+                    "level"):
+                d = sup / f"level={int(lv)}"
+                d.mkdir(parents=True, exist_ok=True)
+                pq.write_table(
+                    pa.table({
+                        "source": pa.array(g["source"], pa.string()),
+                        "node_id": pa.array(g["node_id"], pa.int64()),
+                        "bloom": pa.array(list(g["bloom"]), pa.binary()),
+                    }), str(d / "part-0.parquet"))
+        (out / SUPER_META).write_text(json.dumps(meta, indent=2))
+        return meta
+
+    index_ds = rd.read_parquet(str(out / PARTITIONS), columns=cols)
+    child = index_ds.map_batches(_extract_roots, batch_format="pandas",
+                                 fn_kwargs={"fanout": 1})
+    base = 0
+    while base < cfg.super_max_levels:
+        height = min(SUBTREE_HEIGHT, cfg.super_max_levels - base)
+        span = F ** height
+
+        def to_group_key(df: pd.DataFrame, *, span=span) -> pd.DataFrame:
+            return df.assign(_grp=df["node_id"].to_numpy() // span)
+
+        rows = (child.map_batches(to_group_key, batch_format="pandas")
+                .groupby(["source", "_grp"])
+                .map_groups(_build_subtree, batch_format="pandas",
+                            fn_kwargs={"base_level": base, "fanout": F,
+                                       "height": height})
+                ).materialize()
+        if rows.count() == 0:
             break
-        child = agg.drop_columns(["fill"]).map_batches(
-            lambda df: df.assign(node_id=df["node_id"].to_numpy() // F),
-            batch_format="pandas")
-        level += 1
+        # per-level stats (one tiny aggregate for all levels of the round)
+        from ray.data.aggregate import Count, Mean
+        stats = (rows.groupby("level")
+                 .aggregate(Count(alias_name="nodes"),
+                            Mean("fill", alias_name="mean_fill"))
+                 .to_pandas().sort_values("level"))
+        stop_level = None
+        for _, s in stats.iterrows():
+            meta["levels"].append({"level": int(s["level"]),
+                                   "nodes": int(s["nodes"]),
+                                   "mean_fill": round(float(s["mean_fill"]),
+                                                      4)})
+            if (s["mean_fill"] > cfg.super_fill_cap
+                    or s["nodes"] <= n_sources):
+                stop_level = int(s["level"])
+                break
+        keep_to = stop_level if stop_level is not None else base + height
+        meta["levels"] = [lv for lv in meta["levels"]
+                          if lv["level"] <= keep_to]
+        import pyarrow.compute as pc
+        (rows.map_batches(
+            lambda t: t.filter(pc.less_equal(t["level"], keep_to)),
+            batch_format="pyarrow")
+         .drop_columns(["fill"])
+         .write_parquet(str(sup), partition_cols=["level"], mode="append"))
+        if stop_level is not None:
+            break
+        top = base + height
+        child = rows.map_batches(
+            lambda t, lv=top: t.filter(pc.equal(t["level"], lv)),
+            batch_format="pyarrow").drop_columns(["level", "fill"])
+        base = top
     (out / SUPER_META).write_text(json.dumps(meta, indent=2))
     return meta
 
@@ -184,23 +300,78 @@ class SuperPruneResult:
 
 
 def _probe_rows(rows: pd.DataFrame, frontier: dict, probe_keys: list,
-                n_probes: list) -> list[tuple[str, int, int]]:
-    """Probe each (row, query-in-frontier) pair; return survivors."""
-    out = []
-    for src, node, blob in zip(rows["source"], rows["node_id"],
-                               rows["bloom"]):
-        qs = frontier.get((str(src), int(node)))
+                n_probes: list, idx_cache: dict
+                ) -> list[tuple[str, int, int]]:
+    """Probe every (node, frontier-query) pair of one level in ONE
+    vectorized gather: all super blooms share (m, k, seed), so each
+    query's bloom bit positions are computed once (``idx_cache``) and the
+    level probe is a fancy-index into the stacked node word matrix plus a
+    per-pair reduceat — no per-pair Python or per-node deserialization
+    beyond the word-array decode."""
+    srcs = rows["source"].astype(str).tolist()
+    nodes = rows["node_id"].astype(int).tolist()
+    blobs = list(rows["bloom"])
+    out: list[tuple[str, int, int]] = []
+    mats: list[np.ndarray] = []
+    pair_mat: list[int] = []
+    pair_meta: list[tuple[str, int, int]] = []
+    for src, node, blob in zip(srcs, nodes, blobs):
+        qs = frontier.get((src, node))
         if qs is None:
             continue
         if blob is None:        # always-pass node (dropped level-0 child)
-            out.extend((str(src), int(node), qi) for qi in qs)
+            out.extend((src, node, qi) for qi in qs)
             continue
         bloom = sketch_from_bytes(blob)
+        if "ref" not in idx_cache:
+            idx_cache["ref"] = bloom
+        mi = len(mats)
+        mats.append(bloom.words)
         for qi in qs:
-            keys = probe_keys[qi]
-            n_probes[0] += 1
-            if bloom.contains(keys).all():
-                out.append((str(src), int(node), qi))
+            if qi not in idx_cache:
+                idx = idx_cache["ref"]._indices(probe_keys[qi])
+                idx_cache[qi] = ((idx >> np.uint64(6)).ravel(),
+                                 (idx & np.uint64(63)).ravel())
+            pair_mat.append(mi)
+            pair_meta.append((src, node, qi))
+    if not pair_meta:
+        return out
+    n_probes[0] += len(pair_meta)
+    words = np.stack(mats)
+    seg_lens = np.array([len(idx_cache[qi][0]) for _, _, qi in pair_meta],
+                        dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    rows_rep = np.repeat(np.array(pair_mat, dtype=np.int64), seg_lens)
+    widx = np.concatenate([idx_cache[qi][0] for _, _, qi in pair_meta])
+    bits = np.concatenate([idx_cache[qi][1] for _, _, qi in pair_meta])
+    vals = (words[rows_rep, widx.astype(np.int64)] >> bits) & np.uint64(1)
+    ok = np.logical_and.reduceat(vals.astype(bool), offs)
+    out.extend(meta for meta, good in zip(pair_meta, ok) if good)
+    return out
+
+
+_LOCAL_CACHE: dict[tuple, dict] = {}
+
+
+def _load_super_local(sup_path: str) -> dict[int, pd.DataFrame]:
+    """One plain-pyarrow read of the whole (small) super store, split per
+    level — a single filesystem scan instead of one Ray read job per
+    level. Cached across calls keyed by (path, latest parquet mtime)."""
+    import pyarrow.dataset as pads
+    files = sorted(Path(sup_path).rglob("*.parquet"))
+    stamp = (sup_path, max((f.stat().st_mtime_ns for f in files),
+                           default=0), len(files))
+    hit = _LOCAL_CACHE.get(sup_path)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    tbl = pads.dataset(sup_path, format="parquet",
+                       partitioning="hive").to_table()
+    df = tbl.to_pandas()
+    df["source"] = df["source"].astype(str)
+    out = {int(lv): g.drop(columns=["level"])
+           for lv, g in df.groupby("level")}
+    _LOCAL_CACHE.clear()  # bound memory: keep one store at a time
+    _LOCAL_CACHE[sup_path] = (stamp, out)
     return out
 
 
@@ -248,8 +419,11 @@ def super_prune(out_dir: str, cfg: HbiConfig, compiled: list[dict], *,
 
     cache: dict[int, pd.DataFrame] = {}
     if local:
-        for lv in range(1, top + 1):
-            cache[lv] = load_level(lv, None)
+        cache = _load_super_local(str(sup_path))
+        if sources is not None:
+            src_set = set(sources)
+            cache = {lv: df[df["source"].isin(src_set)]
+                     for lv, df in cache.items()}
 
     def node_window_span(node: int, lv: int) -> tuple[int, int]:
         return node * F ** lv, (node + 1) * F ** lv
@@ -266,6 +440,7 @@ def super_prune(out_dir: str, cfg: HbiConfig, compiled: list[dict], *,
     covered = set(top_df["source"].unique())
 
     n_probes = [0]
+    idx_cache: dict = {}  # shared across levels: same (m, k, seed) family
     win_allowed: list[tuple[str, int, int]] = []
     for lv in range(top, 0, -1):
         if not frontier:
@@ -274,7 +449,8 @@ def super_prune(out_dir: str, cfg: HbiConfig, compiled: list[dict], *,
         fkeys = pd.MultiIndex.from_tuples(frontier.keys())
         rows = rows[pd.MultiIndex.from_arrays(
             [rows["source"], rows["node_id"]]).isin(fkeys)]
-        survivors = _probe_rows(rows, frontier, probe_keys, n_probes)
+        survivors = _probe_rows(rows, frontier, probe_keys, n_probes,
+                                idx_cache)
         if lv == 1:
             frontier = {}
             win_allowed = survivors

@@ -71,6 +71,7 @@ def finalize_unique_partials(batch: pd.DataFrame, *, params_hash: str,
         }
         for kind in INDEX_BLOB_COLS:
             cols[kind] = pd.Series([], dtype=object)
+        cols["root_bloom"] = pd.Series([], dtype=object)
         cols["index_bytes"] = pd.Series([], dtype="int64")
         return pd.DataFrame(cols)
     out = [merge_partials_group(batch.iloc[i:i + 1], params_hash=params_hash,
@@ -134,5 +135,10 @@ def merge_partials_group(group: pd.DataFrame, *, params_hash: str,
             row[kind] = [blob]
         else:
             row[kind] = [None]
+    # window-root (level-0) bloom as its own column: the super-level build
+    # (pipelines/super_index.py) reads ONLY this column instead of
+    # deserializing the whole tree blob per window
+    tree = blobs.get("bloom_tree")
+    row["root_bloom"] = [tree.get(0) if isinstance(tree, dict) else None]
     row["index_bytes"] = [total_bytes]
     return pd.DataFrame(row)

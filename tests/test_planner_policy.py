@@ -318,3 +318,64 @@ class TestMultiLevelAndSolvers:
                               planner="multilevel")
         ml_probe(batch)
         assert ml_probe.probe_key_count < base_probe.probe_key_count
+
+
+class TestIECostFamily:
+    """Full inclusion-exclusion cost model (CostFunctionIE /
+    MathUtils.HF_* re-derivation) + SetConf / IE planner seams."""
+
+    def test_ie_prefix_matches_multinomial_monte_carlo(self):
+        """Under the collapsed occupancy model (each slot holds one symbol
+        drawn from a fixed law), P(all m keys appear in a bL-slot block)
+        with beta=0 should match the IE formula."""
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import \
+            ie_prefix_pass_prob
+        rng = np.random.default_rng(3)
+        p = np.array([0.05, 0.08, 0.03])
+        b_l = 32
+        exact = ie_prefix_pass_prob(p, 3, b_l, 0.0)
+        # monte carlo: slots draw symbol 0,1,2 with probs p, else "other"
+        n = 60_000
+        draws = rng.choice(4, size=(n, b_l), p=[*p, 1 - p.sum()])
+        present = np.stack([(draws == k).any(axis=1) for k in range(3)])
+        mc = present.all(axis=0).mean()
+        assert abs(exact - mc) < 0.01
+
+    def test_ie_truncation_orders_bracket_exact(self):
+        """Odd truncation orders under-, even orders over-estimate (or
+        equal) the full IE series (Bonferroni)."""
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import \
+            ie_prefix_pass_prob
+        p = np.array([0.02, 0.05, 0.01, 0.04])
+        full = ie_prefix_pass_prob(p, 4, 64, 0.01)
+        lo = ie_prefix_pass_prob(p, 4, 64, 0.01, max_order=1)
+        hi = ie_prefix_pass_prob(p, 4, 64, 0.01, max_order=2)
+        assert lo <= full <= hi
+
+    def test_cost_minimizer_ie_prefers_deep_for_frequent(self):
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import \
+            minimize_level_cost_ie
+        keys = np.arange(3, dtype=np.uint64)
+        lp_freq, _ = minimize_level_cost_ie(
+            keys, np.array([0.3, 0.4, 0.35]), 4096, 8, betas=0.01)
+        lp_rare, _ = minimize_level_cost_ie(
+            keys, np.array([1e-5, 1e-5, 1e-5]), 4096, 8, betas=0.01)
+        assert lp_freq > lp_rare
+        assert lp_rare == 0
+
+    def test_ie_and_setconf_planners_results_invariant(self, ray_session,
+                                                       tmp_path):
+        ds = synth_sequences(512, seed=3, n_sources=2, vocab=512)
+        build_index(ds, CFG, str(tmp_path / "idx"), batch_size=128)
+        idx = load_index(str(tmp_path / "idx"))
+        rows = ds.take(3)
+        queries = [(f"q{i}", [int(t) for t in r["tokens"][:2]])
+                   for i, r in enumerate(rows)]
+        queries.append(("miss", [2**30 + 5]))
+        plain = membership_query(idx, ds, queries, CFG).to_pandas()
+        for mode, kw in (("ie", {}), ("setconf", {"conf": 0.9})):
+            got = membership_query(load_index(str(tmp_path / "idx")), ds,
+                                   queries, CFG, planner=mode,
+                                   **kw).to_pandas()
+            assert plain.equals(got), mode
+        assert len(plain) > 0

@@ -72,6 +72,30 @@ class TestSuperBuild:
         assert res is not None
         assert sum(len(w) for w in res.window_union.values()) >= 1
 
+    def test_distributed_build_matches_local(self, index_dir, corpus,
+                                             sample_tokens, tmp_path):
+        """The Ray-rounds build path (forced via local_bytes_limit=0)
+        produces the same levels/nodes and the same prune decisions as the
+        driver-local fast path."""
+        import shutil
+
+        from hierarchical_bloom_filter_index_ray.pipelines.super_index import \
+            build_super_index
+        local_meta = load_super_meta(index_dir)
+        dup = tmp_path / "dup"
+        shutil.copytree(index_dir, dup)
+        dist_meta = build_super_index(str(dup), CFG, local_bytes_limit=0)
+        assert [(lv["level"], lv["nodes"]) for lv in dist_meta["levels"]] \
+            == [(lv["level"], lv["nodes"]) for lv in local_meta["levels"]]
+        queries = [("q0", sample_tokens[0]),
+                   ("missing", [2**28 + 1, 2**28 + 2])]
+        compiled = compile_queries(queries, CFG)
+        a = super_prune(index_dir, CFG, compiled)
+        b = super_prune(str(dup), CFG, compiled)
+        assert a.probes == b.probes
+        for src in set(a.allowed) | set(b.allowed):
+            assert np.array_equal(a.allowed[src][0], b.allowed[src][0])
+
     def test_distributed_descend_matches_local(self, index_dir,
                                                sample_tokens):
         queries = [("q0", sample_tokens[0]),
