@@ -249,6 +249,38 @@ def _q_event_value_quantiles(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_events_sessionize(sf_dir: str):
+    """Per-user session windows (gap > 30 min starts a new session)."""
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_ray.pipelines.events import \
+        sessionize
+
+    out = sessionize(sf_dir, gap_minutes=30).to_pandas()
+    out["sum_cents"] = np.round(out["sum_value"] * 100).astype(np.int64)
+    for c in ("session_start", "session_end"):
+        out[c] = out[c].astype("datetime64[us]").astype("int64")
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out[["user_id", "session_start", "session_end", "n_events",
+                "sum_cents"]]
+
+
+def _q_exact_dedup_rows(sf_dir: str):
+    """Full-row exact dedup over the tokenized sequences (loser-set filter
+    path — no per-group Python)."""
+    import pyarrow as pa
+
+    from hierarchical_bloom_filter_index_ray.pipelines import exact_dedup
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+
+    kept = exact_dedup(sequences_table(sf_dir, seed=SEED), seed=SEED)
+    return kept.select_columns(["doc_id", "n_tok"]).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_tok": t["n_tok"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_distinct_users_per_event_type(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -474,6 +506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_quantiles_exact": _q_ntok_quantiles_exact,
         "heavy_hitters_per_source": _q_heavy_hitters_per_source,
         "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "exact_dedup_rows": _q_exact_dedup_rows,
         "event_value_quantiles": _q_event_value_quantiles,
         "distinct_users_per_event_type": _q_distinct_users_per_event_type,
         "doc_quality": _q_doc_quality,
@@ -534,6 +568,23 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) AS window_start, COUNT(*) AS n_events, "
             "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY 1, 2"),
+        "events_sessionize": (
+            "WITH e AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > "
+            "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess "
+            "FROM e) "
+            "SELECT user_id, epoch_us(MIN(ts)) AS session_start, "
+            "epoch_us(MAX(ts)) AS session_end, COUNT(*) AS n_events, "
+            "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
+            "FROM s GROUP BY user_id, sess"),
+        "exact_dedup_rows": (
+            # duplicate = identical whitespace-token sequence (tokenize.py
+            # semantics); survivor = min doc_id
+            f"SELECT MIN(doc_id) AS doc_id, {_NTOK} AS n_tok FROM documents "
+            f"GROUP BY regexp_split_to_array(trim(text), '\\s+'), {_NTOK}"),
         "event_value_quantiles": (
             " UNION ALL ".join(
                 f"SELECT CAST({q} AS DOUBLE) AS q, "

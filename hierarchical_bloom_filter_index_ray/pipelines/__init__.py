@@ -4,8 +4,8 @@ from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
     membership_query, membership_query_table
 from .similarity import knn_bruteforce, knn_lsh
-from .stats import (build_global_sketches, distinct_tokens, heavy_hitters,
-                    ntok_quantiles)
+from .stats import (build_global_sketches, build_ngram_model,
+                    distinct_tokens, heavy_hitters, ntok_quantiles)
 from .super_index import build_super_index, load_super_meta, super_prune
 
 __all__ = [
@@ -18,4 +18,5 @@ __all__ = [
     "build_global_sketches", "distinct_tokens", "heavy_hitters",
     "ntok_quantiles",
     "build_super_index", "load_super_meta", "super_prune",
+    "build_ngram_model",
 ]

@@ -107,15 +107,32 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
             policy = {"quantile": cfg.policy_quantile,
                       "conf": cfg.policy_conf, "fp": cfg.fp,
                       "max_depth": cfg.window_bits}
-        # keys-only duplicate check (shuffles two int columns, not
-        # payloads): with window-aligned batches every (source, window) has
-        # exactly one partial and the payload shuffle can be skipped
-        from ray.data.aggregate import Count
-        key_counts = partials.select_columns(["source", "window_id"]) \
-            .groupby(["source", "window_id"]).aggregate(
-                Count(alias_name="cnt"))
-        max_cnt = key_counts.max("cnt")
-        if max_cnt <= 1:
+        # duplicate-key check without a shuffle: each block's partial keys
+        # are unique BY CONSTRUCTION (the builder groups per batch), so a
+        # window can only be duplicated ACROSS blocks — detectable from
+        # per-block (min, max) key ranges, O(#blocks) driver rows. With
+        # window-aligned batches the ranges are disjoint and the payload
+        # shuffle is skipped entirely.
+        def block_key_range(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return pa.table({"min_key": pa.array([], pa.string()),
+                                 "max_key": pa.array([], pa.string()),
+                                 "dup_free": pa.array([], pa.bool_())})
+            keys = sorted(f"{s}\x00{w:020d}" for s, w in
+                          zip(t["source"].to_pylist(),
+                              t["window_id"].to_pylist()))
+            dup_free = all(a < b for a, b in zip(keys, keys[1:]))
+            return pa.table({"min_key": pa.array([keys[0]]),
+                             "max_key": pa.array([keys[-1]]),
+                             "dup_free": pa.array([dup_free])})
+
+        ranges = (partials.select_columns(["source", "window_id"])
+                  .map_batches(block_key_range, batch_format="pyarrow")
+                  .to_pandas().sort_values("min_key"))
+        disjoint = bool(ranges["dup_free"].all()) and all(
+            a < b for a, b in zip(ranges["max_key"].iloc[:-1],
+                                  ranges["min_key"].iloc[1:]))
+        if disjoint:
             merged = partials.map_batches(
                 finalize_unique_partials, batch_format="pandas",
                 fn_kwargs={"params_hash": cfg.params_hash(),

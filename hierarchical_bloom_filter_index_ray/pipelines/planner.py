@@ -522,6 +522,36 @@ class IECostPlanner:
         return lp
 
 
+class MarkovPlanner:
+    """Markov-conditioned seed level (the ``CostFunctionMarkov`` seam,
+    ``estimators/CostFunctionMarkov.java:29-95``): per-slot probability of
+    the WHOLE pattern from the NgramModel's stationary law and first-order
+    conditionals, ``pi(t1) * prod P(t_i | t_{i-1})`` — the model's
+    ``P_cond`` chain. Divergence from the reference: we plan on the
+    composed pattern probability through the closed-form level map instead
+    of re-deriving the per-prefix Fm chains; any pattern symbol outside
+    the model yields no plan (seed 0 — the reference's null-indices path
+    returns cost 0 for the same reason)."""
+
+    def __init__(self, model, conf: float, fp: float, max_depth: int):
+        self.model = model
+        self.conf = conf
+        self.fp = fp
+        self.max_depth = max_depth
+
+    def plan_tokens(self, window_tokens: int,
+                    query_tokens: np.ndarray) -> int:
+        if self.model is None or window_tokens <= 0:
+            return 0
+        p = self.model.pattern_slot_prob(query_tokens)
+        if p is None:
+            return 0  # symbol remap failed: cannot prune via the model
+        p = float(np.clip(p, 1e-12, 1 - 1e-9))
+        base = window_tokens / (1 << self.max_depth)
+        return pruning_level_bloom(base, self.max_depth, self.conf, p,
+                                   self.fp)
+
+
 class CostPlanner:
     """Per-(window, query) seed level by expected-probe-cost minimization
     (the ``CostFunctionIE``/``LevelCostMinimizer`` seam; independence

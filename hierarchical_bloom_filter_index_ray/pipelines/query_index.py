@@ -85,9 +85,14 @@ class BloomProbe:
     """Index-partition probe (vectorized level-sweep BFS)."""
 
     def __init__(self, cfg: HbiConfig, queries_ref, conf: float | None = None,
-                 planner: str | None = None, allowed_ref=None):
+                 planner: str | None = None, allowed_ref=None,
+                 markov_model=None):
         self.cfg = cfg
         self.conf = conf
+        # NgramModel for planner="markov" (bytes or live instance)
+        self.markov_model = (sketch_from_bytes(markov_model)
+                             if isinstance(markov_model, bytes)
+                             else markov_model)
         # planner seam: None | "mostfreq" (MostFreqPruning) | "cost"
         # (LevelCostMinimizer / CostFunctionIE independence model)
         self.planner_kind = planner or ("mostfreq" if conf is not None
@@ -211,7 +216,18 @@ class BloomProbe:
                           for lv, b in pickle.loads(blob).items()}
                 min_lvl = min(blooms)
                 key_levels = None
-                if has_planner and cms_blobs[r] is not None:
+                if (self.planner_kind == "markov"
+                        and self.markov_model is not None
+                        and n_tokens is not None):
+                    from .planner import MarkovPlanner
+                    mk = MarkovPlanner(self.markov_model, self.conf or 0.95,
+                                       cfg.fp, cfg.window_bits)
+                    wtok = int(n_tokens[r])
+                    seed_levels = np.array(
+                        [min(max(mk.plan_tokens(wtok, q["tokens"]),
+                                 min_lvl), cfg.window_bits)
+                         for q in self.queries], dtype=np.int64)
+                elif has_planner and cms_blobs[r] is not None:
                     cms = sketch_from_bytes(cms_blobs[r])
                     wtok = int(n_tokens[r]) if n_tokens else 0
                     if self.planner_kind == "multilevel" and wtok > 0:
@@ -508,7 +524,8 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      per_query_scope: list[tuple] | None = None,
                      super_dir: str | None = None,
                      candidate_mode: str = "auto",
-                     broadcast_limit: int = 1_000_000) -> pa.Table:
+                     broadcast_limit: int = 1_000_000,
+                     markov_model=None) -> pa.Table:
     """Exact pattern-membership results for a batch of queries.
 
     Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
@@ -580,7 +597,11 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     # cost; compiled queries ride along in the serialized closure)
     cand_ds = index_ds.select_columns(cols).map_batches(
         BloomProbe(cfg, compiled, conf=conf, planner=planner,
-                   allowed_ref=allowed_struct),
+                   allowed_ref=allowed_struct,
+                   markov_model=(markov_model.to_bytes()
+                                 if markov_model is not None
+                                 and not isinstance(markov_model, bytes)
+                                 else markov_model)),
         batch_format="pyarrow", batch_size=64)
 
     if per_query_scope is not None:

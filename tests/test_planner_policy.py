@@ -379,3 +379,84 @@ class TestIECostFamily:
                                    **kw).to_pandas()
             assert plain.equals(got), mode
         assert len(plain) > 0
+
+
+class TestNgramModelAndMarkovPlanner:
+    """NgramModel (PMIndex/NgramModel.java) + CostFunctionMarkov seam."""
+
+    def test_model_counts_match_exact(self, ray_session):
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            build_ngram_model
+        from hierarchical_bloom_filter_index_ray.sources import (
+            markov_model, markov_sequences)
+        ds = markov_sequences(512, seed=5, sigma=8, order=1, doc_len=64)
+        model = build_ngram_model(ds, CFG,
+                                  symbols=np.arange(8, dtype=np.uint64))
+        rows = ds.take_all()
+        # exact unigram/bigram counts
+        uni = np.zeros(8, np.int64)
+        bi = np.zeros((8, 8), np.int64)
+        for r in rows:
+            t = np.asarray(r["tokens"])
+            np.add.at(uni, t, 1)
+            np.add.at(bi, (t[:-1], t[1:]), 1)
+        assert np.array_equal(model.uni, uni)
+        assert np.array_equal(model.bi, bi)
+        assert model.total == int(uni.sum())
+        # learned conditionals track the generating chain
+        _, trans = markov_model(5, 8, 1)
+        learned = model.bi / np.maximum(model.uni[:, None], 1)
+        assert np.abs(learned - trans).max() < 0.05
+
+    def test_model_merge_and_serde(self):
+        from hierarchical_bloom_filter_index_ray.state import (
+            NgramModel, sketch_from_bytes)
+        rng = np.random.default_rng(2)
+        toks = rng.integers(0, 16, 500).astype(np.uint64)
+        offs = np.array([0, 200, 500])
+        full = NgramModel(np.arange(16, dtype=np.uint64))
+        full.update(toks, offs)
+        a = NgramModel(np.arange(16, dtype=np.uint64))
+        a.update(toks[:200], np.array([0, 200]))
+        b = NgramModel(np.arange(16, dtype=np.uint64))
+        b.update(toks[200:], np.array([0, 300]))
+        a.merge(b)
+        assert np.array_equal(a.uni, full.uni)
+        assert np.array_equal(a.bi, full.bi)
+        rt = sketch_from_bytes(full.to_bytes())
+        assert np.array_equal(rt.bi, full.bi) and rt.total == full.total
+
+    def test_markov_planner_results_invariant_and_ordering(
+            self, ray_session, tmp_path):
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            build_ngram_model
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import \
+            MarkovPlanner
+        from hierarchical_bloom_filter_index_ray.sources import \
+            markov_sequences
+        ds = markov_sequences(512, seed=5, sigma=8, order=1, doc_len=64)
+        build_index(ds, CFG, str(tmp_path / "mk"), batch_size=128)
+        model = build_ngram_model(ds, CFG,
+                                  symbols=np.arange(8, dtype=np.uint64))
+        rows = ds.take(3)
+        queries = [(f"q{i}", [int(t) for t in r["tokens"][:3]])
+                   for i, r in enumerate(rows)]
+        queries.append(("unseen", [999, 998]))  # outside the symbol set
+        idx = load_index(str(tmp_path / "mk"))
+        plain = membership_query(idx, ds, queries, CFG).to_pandas()
+        mk = membership_query(load_index(str(tmp_path / "mk")), ds,
+                              queries, CFG, planner="markov",
+                              markov_model=model).to_pandas()
+        assert plain.equals(mk)
+        assert len(plain) > 0
+        # frequent-chain pattern seeds deeper than an improbable chain
+        pl = MarkovPlanner(model, 0.95, 0.01, 6)
+        probs = model.bi / np.maximum(model.uni[:, None], 1)
+        hi = int(np.argmax(model.uni))
+        hi2 = int(np.argmax(probs[hi]))
+        lo = int(np.argmin(model.uni))
+        lo2 = int(np.argmin(probs[lo] + (probs[lo] == 0)))
+        lp_freq = pl.plan_tokens(4096, np.array([hi, hi2]))
+        lp_rare = pl.plan_tokens(4096, np.array([lo, lo2]))
+        assert lp_freq >= lp_rare
+        assert pl.plan_tokens(4096, np.array([12345])) == 0  # unseen
