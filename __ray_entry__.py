@@ -459,6 +459,30 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, q, k=KNN_K, n_bits=6, seed=SEED, multiprobe=1)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF/LSH-partitioned ANN: store bucketed once, query reads only
+    probed bucket partitions (rows-only; recall pinned in pytest)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray.pipelines import (
+        build_ann_index, knn_indexed)
+
+    slug = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = Path("/tmp/hbi_entry_cache") / f"ann-{slug}"
+    if not (out / "ann_meta.json").exists():
+        build_ann_index(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                        str(out), n_bits=6, seed=SEED)
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    flat = head["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    x = flat.reshape(head.num_rows, -1)
+    q = x[:KNN_QUERIES].astype(np.float64)
+    return knn_indexed(str(out), q, k=KNN_K, multiprobe=1)
+
+
 def _q_lang_id_pred(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -524,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_clusters": _q_minhash_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "lang_id_pred": _q_lang_id_pred,
         "doc_fingerprints": _q_doc_fingerprints,
         "media_features": _q_media_features,

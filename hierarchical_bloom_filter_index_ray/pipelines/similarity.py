@@ -103,6 +103,79 @@ def knn_bruteforce(ds: "rd.Dataset", query_vectors: np.ndarray, k: int = 10,
     return _merge_topk(parts, k)
 
 
+# ---------------------------------------------------- IVF/LSH ANN index --
+def build_ann_index(ds: "rd.Dataset", out_dir: str, *, n_bits: int = 8,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """Persist the embedding corpus partitioned by LSH bucket (IVF-style
+    inverted listing): queries then READ only the partitions they probe —
+    at corpus scale the query cost is proportional to probed buckets, not
+    the corpus. One pass, no shuffle beyond the partitioned write."""
+    import json
+    from pathlib import Path
+
+    probe_seed = derive_seed(seed, "ann_lsh")
+    d_holder: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch[vec_col])
+        d_holder["d"] = x.shape[1]
+        planes = _hyperplanes(x.shape[1], n_bits, probe_seed)
+        return batch.append_column(
+            "bucket", pa.array(lsh_bucket_ids(x, planes), pa.int64()))
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+       .write_parquet(str(out / "buckets"), partition_cols=["bucket"]))
+    meta = {"n_bits": n_bits, "seed": seed, "id_col": id_col,
+            "vec_col": vec_col}
+    (out / "ann_meta.json").write_text(json.dumps(meta))
+    return meta
+
+
+def knn_indexed(out_dir: str, query_vectors: np.ndarray, k: int = 10, *,
+                multiprobe: int = 1, concurrency=None) -> pd.DataFrame:
+    """Exact cosine top-k over ONLY the probed bucket partitions of a
+    ``build_ann_index`` store (query's bucket + Hamming-1 neighbors under
+    ``multiprobe``). Same output schema as ``knn_lsh``."""
+    import json
+    from pathlib import Path
+
+    import ray.data as rd_
+
+    meta = json.loads((Path(out_dir) / "ann_meta.json").read_text())
+    n_bits = meta["n_bits"]
+    q = np.asarray(query_vectors, dtype=np.float64)
+    planes = _hyperplanes(q.shape[1], n_bits,
+                          derive_seed(meta["seed"], "ann_lsh"))
+    qb = lsh_bucket_ids(q, planes)
+    probe: set[int] = set(qb.tolist())
+    if multiprobe:
+        for b in qb.tolist():
+            for j in range(n_bits):
+                probe.add(b ^ (1 << j))
+    # read ONLY probed partitions (hive dirs exist per present bucket)
+    paths = [str(f) for b in sorted(probe)
+             for f in sorted((Path(out_dir) / "buckets"
+                              / f"bucket={b}").glob("*.parquet"))]
+    if not paths:
+        return pd.DataFrame({"query_idx": [], "neighbor_id": [],
+                             "cosine": [], "rank": []})
+    ds = rd_.read_parquet(paths)
+    from ..stages.resources import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
+    ref = ray.put(q)
+    parts = ds.map_batches(
+        _BatchTopK, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=concurrency,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k,
+                               "id_col": meta["id_col"],
+                               "vec_col": meta["vec_col"]}).to_pandas()
+    return _merge_topk(parts, k)
+
+
 # ------------------------------------------------------- LSH-bucketed ANN --
 def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
     """Deterministic random hyperplanes via counter-based gaussians."""

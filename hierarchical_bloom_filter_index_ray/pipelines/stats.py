@@ -104,59 +104,60 @@ class GlobalSketchPartials:
         })
 
 
-def _merge_partial_rows(df: pd.DataFrame) -> pd.DataFrame:
-    """Merge partial rows per source within one pandas block -> one row per
-    source present. Used both as the in-block combiner (map side) and the
-    per-group reduce (after ``groupby("source")``)."""
-    out = []
-    for src, g in df.groupby("source", sort=True):
-        sk: dict | None = None
-        for raw in g["payload"]:
-            cur = {k: sketch_from_bytes(v)
-                   for k, v in pickle.loads(raw).items()}
-            if sk is None:
-                sk = cur
-            else:
-                for k, v in cur.items():
-                    sk[k].merge(v)
-        out.append({
-            "source": src,
-            "n_docs": int(g["n_docs"].sum()),
-            "n_tokens": int(g["n_tokens"].sum()),
-            "payload": pickle.dumps(
-                {k: v.to_bytes() for k, v in (sk or {}).items()},
-                protocol=pickle.HIGHEST_PROTOCOL),
-        })
-    return pd.DataFrame(out, columns=["source", "n_docs", "n_tokens",
-                                      "payload"])
-
-
 def build_global_sketches(ds: "rd.Dataset", cfg: HbiConfig, *,
                           by_source: bool = True, concurrency=None,
                           batch_size: int = 2048,
                           top_m: int = 0) -> dict[str, dict]:
     """-> {source: {"sketches": {...}, "n_docs": int, "n_tokens": int}}.
 
-    Fully distributed reduce: map partials -> in-block combiner ->
-    ``groupby("source").map_groups`` merge. The driver pulls exactly one
-    merged row per source — at 100x scale the partial stream never funnels
-    through one process (the round-1 ``take_all()`` + serial loop did).
-    """
+    Fully distributed reduce in ONE job: the partial map fuses with a
+    whole-dataset ``aggregate`` whose accumulator is the per-source sketch
+    dict (sources are few by construction; partials are tiny). Ray
+    tree-merges accumulators across blocks — the driver receives exactly
+    one merged dict, never the partial stream (the round-1 ``take_all()``
+    + serial loop did)."""
+    from ray.data.aggregate import AggregateFn
+
     parts = ds.map_batches(
         GlobalSketchPartials(cfg, by_source, top_m=top_m),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
-    combined = parts.map_batches(_merge_partial_rows, batch_format="pandas")
-    merged = combined.groupby("source").map_groups(
-        _merge_partial_rows, batch_format="pandas")
-    out: dict[str, dict] = {}
-    for row in merged.take_all():  # O(#sources) rows
-        out[row["source"]] = {
-            "sketches": {k: sketch_from_bytes(v)
-                         for k, v in pickle.loads(row["payload"]).items()},
-            "n_docs": int(row["n_docs"]),
-            "n_tokens": int(row["n_tokens"]),
-        }
-    return out
+
+    def acc_block(acc: dict, block) -> dict:
+        for src, nd, nt, payload in zip(
+                block["source"].to_pylist(),
+                block["n_docs"].to_pylist(),
+                block["n_tokens"].to_pylist(),
+                block["payload"].to_pylist()):
+            sk = {k: sketch_from_bytes(v)
+                  for k, v in pickle.loads(payload).items()}
+            cur = acc.get(src)
+            if cur is None:
+                acc[src] = [sk, int(nd), int(nt)]
+            else:
+                for k, v in sk.items():
+                    cur[0][k].merge(v)
+                cur[1] += int(nd)
+                cur[2] += int(nt)
+        return acc
+
+    def merge_accs(a: dict, b: dict) -> dict:
+        for src, (sk, nd, nt) in b.items():
+            cur = a.get(src)
+            if cur is None:
+                a[src] = [sk, nd, nt]
+            else:
+                for k, v in sk.items():
+                    cur[0][k].merge(v)
+                cur[1] += nd
+                cur[2] += nt
+        return a
+
+    res = parts.aggregate(AggregateFn(
+        init=lambda k: {}, accumulate_block=acc_block, merge=merge_accs,
+        name="sketches", finalize=lambda a: a))
+    merged = res["sketches"] if res else {}
+    return {src: {"sketches": sk, "n_docs": nd, "n_tokens": nt}
+            for src, (sk, nd, nt) in merged.items()}
 
 
 def distinct_tokens(ds: "rd.Dataset", cfg: HbiConfig, *,

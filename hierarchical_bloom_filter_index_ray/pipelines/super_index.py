@@ -48,6 +48,7 @@ from ..state.splitmix import derive_seed, splitmix64
 
 SUPER_DIR = "super"
 SUPER_META = "super_meta.json"
+STORE_FORMAT = 2  # 2 = raw uint64 bloom words (v1 stored write_blob blobs)
 _SAT = "__saturated__"  # accumulator sentinel: child missing -> always-pass
 
 
@@ -57,6 +58,25 @@ def _root_salt(cfg: HbiConfig) -> np.uint64:
     return splitmix64(np.uint64(0) ^ np.uint64(s))
 
 
+def _fill(words: np.ndarray) -> float:
+    """Set-bit fraction of a raw uint64 word array."""
+    if hasattr(np, "bitwise_count"):
+        bits = int(np.bitwise_count(words).sum())
+    else:
+        bits = int(np.unpackbits(words.view(np.uint8)).sum())
+    return bits / (len(words) * 64)
+
+
+def _ref_bloom(cfg: HbiConfig):
+    """The (m, k, seed) family every super node shares: identical to the
+    window-root filters built by stages/sketch_build (level 0 sizing and
+    seed chain)."""
+    from ..state import BloomFilter
+    from ..state.splitmix import derive_seed as ds_
+    return BloomFilter(cfg.level_expected_distinct(0), cfg.fp,
+                       ds_(cfg.seed, "bloom", 0))
+
+
 def _extract_roots(batch: pd.DataFrame, fanout: int) -> pd.DataFrame:
     """Index rows -> level-0 node rows (source, node_id, bloom|None).
 
@@ -64,16 +84,22 @@ def _extract_roots(batch: pd.DataFrame, fanout: int) -> pd.DataFrame:
     ``stages/merge.py`` precisely so this scan reads ~1/levels of the
     index); falls back to unpickling ``bloom_tree`` for older indexes."""
     if "root_bloom" in batch.columns:
-        blooms = list(batch["root_bloom"])
+        blobs = list(batch["root_bloom"])
     else:
         import pickle
-        blooms = []
+        blobs = []
         for blob in batch["bloom_tree"]:
             if blob is None:
-                blooms.append(None)
+                blobs.append(None)
                 continue
             tree = pickle.loads(blob)
-            blooms.append(tree.get(0))  # None when policy dropped level 0
+            blobs.append(tree.get(0))  # None when policy dropped level 0
+    # super store protocol: RAW uint64 bloom words (no per-node blob
+    # header/zlib — the descend decodes thousands of nodes; frombuffer is
+    # free, zlib was the serial driver cost). Filter params (m, k, seed)
+    # are reconstructed from the config at probe time.
+    blooms = [None if b is None else
+              sketch_from_bytes(b).words.tobytes() for b in blobs]
     return pd.DataFrame({
         "source": batch["source"].astype(str),
         "node_id": (batch["window_id"].to_numpy() // fanout).astype(np.int64),
@@ -94,32 +120,31 @@ def _build_subtree(g: pd.DataFrame, *, base_level: int, fanout: int,
     cur: dict[int, object] = {}
     src = str(g["source"].iloc[0])
     for node, blob in zip(g["node_id"], g["bloom"]):
-        b = None if blob is None else sketch_from_bytes(blob)
-        cur[int(node)] = b
+        cur[int(node)] = (None if blob is None
+                          else np.frombuffer(blob, dtype=np.uint64))
     out_src, out_lv, out_node, out_bloom, out_fill = [], [], [], [], []
     for h in range(1, height + 1):
         nxt: dict[int, object] = {}
-        for node, b in cur.items():
+        for node, words in cur.items():
             parent = node // fanout
             if parent in nxt and nxt[parent] is _SAT:
                 continue
-            if b is None:
+            if words is None:
                 nxt[parent] = _SAT
                 continue
             acc = nxt.get(parent)
             if acc is None:
                 # copy-on-first-merge keeps child rows reusable
-                nxt[parent] = type(b)(b.n, b.p, b.seed, m=b.m, k=b.k,
-                                      words=b.words.copy())
+                nxt[parent] = words.copy()
             elif acc is not _SAT:
-                acc.words |= b.words
+                acc |= words
         for parent, acc in sorted(nxt.items()):
             sat = acc is _SAT
             out_src.append(src)
             out_lv.append(base_level + h)
             out_node.append(parent)
-            out_bloom.append(None if sat else acc.to_bytes())
-            out_fill.append(1.0 if sat else acc.fill_ratio)
+            out_bloom.append(None if sat else acc.tobytes())
+            out_fill.append(1.0 if sat else _fill(acc))
         cur = {n: (None if a is _SAT else a) for n, a in nxt.items()}
     return pd.DataFrame({
         "source": out_src,
@@ -168,7 +193,8 @@ def build_super_index(out_dir: str, cfg: HbiConfig, *,
         next((out / PARTITIONS).rglob("*.parquet")).as_posix()).names
     cols = (["source", "window_id", "root_bloom"] if have_root
             else ["source", "window_id", "bloom_tree"])
-    meta: dict = {"fanout": F, "levels": [], "params_hash": cfg.params_hash()}
+    meta: dict = {"format": STORE_FORMAT, "fanout": F, "levels": [],
+                  "params_hash": cfg.params_hash()}
 
     # driver-local fast path for small stores: one pyarrow scan + in-proc
     # rollup beats several Ray jobs' fixed latency. The distributed rounds
@@ -322,11 +348,8 @@ def _probe_rows(rows: pd.DataFrame, frontier: dict, probe_keys: list,
         if blob is None:        # always-pass node (dropped level-0 child)
             out.extend((src, node, qi) for qi in qs)
             continue
-        bloom = sketch_from_bytes(blob)
-        if "ref" not in idx_cache:
-            idx_cache["ref"] = bloom
         mi = len(mats)
-        mats.append(bloom.words)
+        mats.append(np.frombuffer(blob, dtype=np.uint64))
         for qi in qs:
             if qi not in idx_cache:
                 idx = idx_cache["ref"]._indices(probe_keys[qi])
@@ -378,7 +401,7 @@ def _load_super_local(sup_path: str) -> dict[int, pd.DataFrame]:
 def super_prune(out_dir: str, cfg: HbiConfig, compiled: list[dict], *,
                 sources: list[str] | None = None,
                 window_range: tuple[int, int] | None = None,
-                driver_cache_bytes: int = 64 << 20) -> SuperPruneResult | None:
+                driver_cache_bytes: int = 1 << 30) -> SuperPruneResult | None:
     """Descend the super levels for a compiled query batch.
 
     Small super stores (< ``driver_cache_bytes``) are read once and
@@ -391,6 +414,8 @@ def super_prune(out_dir: str, cfg: HbiConfig, compiled: list[dict], *,
     meta = load_super_meta(out_dir)
     if meta is None or not meta["levels"]:
         return None
+    if meta.get("format") != STORE_FORMAT:
+        return None  # older store layout: skip pruning rather than misread
     F = meta["fanout"]
     top = meta["levels"][-1]["level"]
     salt = _root_salt(cfg)
@@ -440,7 +465,9 @@ def super_prune(out_dir: str, cfg: HbiConfig, compiled: list[dict], *,
     covered = set(top_df["source"].unique())
 
     n_probes = [0]
-    idx_cache: dict = {}  # shared across levels: same (m, k, seed) family
+    # shared across levels: every super node is in the same (m, k, seed)
+    # filter family as the window roots, reconstructed from the config
+    idx_cache: dict = {"ref": _ref_bloom(cfg)}
     win_allowed: list[tuple[str, int, int]] = []
     for lv in range(top, 0, -1):
         if not frontier:

@@ -288,3 +288,32 @@ class TestMultimodal:
         a = sorted([(r["media_id"], tuple(r["features"])) for r in out])
         b = sorted([(r["media_id"], tuple(r["features"])) for r in out2])
         assert a == b
+
+
+class TestAnnIndex:
+    def test_indexed_knn_recall_and_partition_pruning(self, ray_session,
+                                                      tmp_path):
+        """IVF-style store: queries read only probed bucket partitions;
+        top-1 (self) recall is perfect and overall recall >= plain
+        knn_lsh (the indexed path ranks the union of probed buckets)."""
+        from hierarchical_bloom_filter_index_ray.pipelines import (
+            build_ann_index, knn_indexed)
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        meta = build_ann_index(ds, str(tmp_path / "ann"), n_bits=6,
+                               seed=42)
+        assert meta["n_bits"] == 6
+        # partition dirs exist per bucket
+        bdirs = list((tmp_path / "ann" / "buckets").glob("bucket=*"))
+        assert len(bdirs) > 1
+        flat = emb["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        x = flat.reshape(emb.num_rows, -1)
+        q = x[:8].astype(np.float64)
+        got = knn_indexed(str(tmp_path / "ann"), q, k=5, multiprobe=1)
+        ids = emb["vec_id"].to_numpy()
+        top1 = got[got["rank"] == 1]
+        for qi in range(8):
+            g = top1[top1["query_idx"] == qi]
+            assert len(g) == 1 and int(g["neighbor_id"].iloc[0]) == ids[qi]
+            assert g["cosine"].iloc[0] == pytest.approx(1.0)
