@@ -118,6 +118,12 @@ def _q_top_words(sf_dir: str):
     return top_words(sf_dir, k=K_TOP_WORDS)
 
 
+def _q_top_trigrams(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        top_trigrams
+    return top_trigrams(sf_dir, k=K_TOP_WORDS)
+
+
 def _q_distinct_words_per_source(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -525,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dist": _q_lang_dist,
         "source_token_totals": _q_source_token_totals,
         "top_words": _q_top_words,
+        "top_trigrams": _q_top_trigrams,
         "distinct_words_per_source": _q_distinct_words_per_source,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ntok_quantiles_exact": _q_ntok_quantiles_exact,
@@ -575,6 +582,16 @@ def oracle_sql() -> dict[str, str]:
         "top_words": (
             f"SELECT word, COUNT(*) AS cnt FROM ({_WORDS}) GROUP BY word "
             f"ORDER BY cnt DESC, word ASC LIMIT {K_TOP_WORDS}"),
+        "top_trigrams": (
+            # word trigrams within a doc (same boundary semantics as the
+            # hashed ngram pipeline): 1-based list indexing
+            "WITH arrs AS (SELECT regexp_split_to_array(trim(text), "
+            "'\\s+') AS arr FROM documents WHERE trim(text) <> ''), "
+            "tri AS (SELECT arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] "
+            "AS trigram FROM arrs, "
+            "UNNEST(range(1, len(arr) - 1)) AS t(i) WHERE len(arr) >= 3) "
+            "SELECT trigram, COUNT(*) AS cnt FROM tri GROUP BY trigram "
+            f"ORDER BY cnt DESC, trigram ASC LIMIT {K_TOP_WORDS}"),
         "distinct_words_per_source": (
             f"SELECT source, COUNT(DISTINCT word) AS n_distinct FROM "
             f"({_WORDS}) GROUP BY source"),

@@ -83,6 +83,50 @@ def top_words(sf_dir: str, k: int = 20) -> "rd.Dataset":
         ["cnt", "word"], descending=[True, False]).limit(k)
 
 
+def trigram_frequencies(sf_dir: str) -> "rd.Dataset":
+    """(trigram, cnt): word trigrams as strings, never crossing doc
+    boundaries — the STRING-side differential twin of the hashed
+    ``ngram_keys`` pipeline (same sliding-window/boundary semantics,
+    SQL-checkable)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        words = split_words(batch["text"])
+        flat = words.values
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n < 3:
+            return pa.table({"trigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        tri = pc.binary_join_element_wise(
+            flat.slice(0, n - 2), flat.slice(1, n - 2),
+            flat.slice(2, n - 2), " ")
+        # drop starts within 2 positions of any doc boundary (the trigram
+        # would cross into the next doc) — vectorized boundary mask
+        bounds = offs[1:-1]
+        bad = np.concatenate([bounds - 1, bounds - 2])
+        bad = bad[(bad >= 0) & (bad < n - 2)]
+        valid = np.ones(n - 2, dtype=bool)
+        valid[bad] = False
+        tri = tri.filter(pa.array(valid))
+        de = tri.dictionary_encode()
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        idx = de.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx, minlength=len(de.dictionary))
+        return pa.table({"trigram": de.dictionary,
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (read_documents(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("trigram").aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def top_trigrams(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """Global top-k word trigrams (cnt desc, trigram asc)."""
+    return trigram_frequencies(sf_dir).sort(
+        ["cnt", "trigram"], descending=[True, False]).limit(k)
+
+
 def quality_pipeline(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir).map_batches(
         quality_stats, batch_format="pyarrow")

@@ -317,3 +317,40 @@ class TestAnnIndex:
             g = top1[top1["query_idx"] == qi]
             assert len(g) == 1 and int(g["neighbor_id"].iloc[0]) == ids[qi]
             assert g["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+class TestTrigrams:
+    def test_top_trigrams_duckdb_parity(self, ray_session):
+        import duckdb
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            top_trigrams
+        got = top_trigrams(SF, k=15).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        orc = con.execute(
+            "WITH arrs AS (SELECT regexp_split_to_array(trim(text), "
+            "'\\s+') AS arr FROM documents WHERE trim(text) <> ''), "
+            "tri AS (SELECT arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] "
+            "AS trigram FROM arrs, UNNEST(range(1, len(arr) - 1)) AS t(i) "
+            "WHERE len(arr) >= 3) SELECT trigram, COUNT(*) AS cnt FROM tri "
+            "GROUP BY trigram ORDER BY cnt DESC, trigram ASC LIMIT 15"
+        ).df()
+        a = got.sort_values(["cnt", "trigram"],
+                            ascending=[False, True]).reset_index(drop=True)
+        assert a[["trigram", "cnt"]].equals(orc[["trigram", "cnt"]])
+
+    def test_boundary_never_crossed(self, ray_session, tmp_path):
+        """A trigram spanning two docs must not be counted."""
+        import pyarrow.parquet as pqt
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b", "c d e"], pa.string()),
+            "source": pa.array(["s", "s"]),
+            "lang": pa.array(["en", "en"]),
+        })
+        pqt.write_table(tbl, str(tmp_path / "documents.parquet"))
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            top_trigrams
+        got = top_trigrams(str(tmp_path), k=10).to_pandas()
+        assert set(got["trigram"]) == {"c d e"}
