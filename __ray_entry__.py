@@ -465,6 +465,43 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, q, k=KNN_K, n_bits=6, seed=SEED, multiprobe=1)
 
 
+def _q_embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup over the embeddings table plus 16
+    deterministic planted near-copies (the synthetic table has no natural
+    near-dups; the plant makes the rows-only check meaningful)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray.pipelines import \
+        embedding_near_dup_pairs
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    flat = tbl["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    x = flat.reshape(tbl.num_rows, -1)
+    ids = tbl["vec_id"].to_numpy()
+    rng = np.random.default_rng(SEED)
+    pick = np.sort(ids)[:16]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    plant_vecs = np.stack([x[pos[int(v)]] for v in pick])
+    plant_vecs = plant_vecs + rng.normal(
+        scale=0.01 * np.abs(plant_vecs).mean(), size=plant_vecs.shape)
+    planted = pa.table({
+        "vec_id": pa.array([int(ids.max()) + 1 + i for i in range(16)],
+                           pa.int64()),
+        "embedding": pa.array(
+            [v.astype(np.float32).tolist() for v in plant_vecs],
+            tbl["embedding"].type),
+    })
+    ds = rd.from_arrow(pa.concat_tables(
+        [tbl.select(["vec_id", "embedding"]), planted]))
+    return embedding_near_dup_pairs(ds, threshold=0.95, n_tables=8,
+                                    n_bits=8, seed=SEED)
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF/LSH-partitioned ANN: store bucketed once, query reads only
     probed bucket partitions (rows-only; recall pinned in pytest)."""
@@ -556,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
         "lang_id_pred": _q_lang_id_pred,
         "doc_fingerprints": _q_doc_fingerprints,
         "media_features": _q_media_features,

@@ -3,8 +3,9 @@ from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
                     minhash_lsh_pairs, ngram_jaccard, simhash_pairs)
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
     membership_query, membership_query_table
-from .similarity import (build_ann_index, knn_bruteforce, knn_indexed,
-                         knn_lsh)
+from .similarity import (build_ann_index, embedding_dedup,
+                         embedding_near_dup_pairs, knn_bruteforce,
+                         knn_indexed, knn_lsh)
 from .stats import (build_global_sketches, build_ngram_model,
                     distinct_tokens, heavy_hitters, ntok_quantiles)
 from .super_index import build_super_index, load_super_meta, super_prune
@@ -16,7 +17,7 @@ __all__ = [
     "exact_dedup", "exact_dedup_ids", "minhash_dedup", "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard", "knn_bruteforce", "knn_lsh", "build_ann_index",
-    "knn_indexed",
+    "knn_indexed", "embedding_near_dup_pairs", "embedding_dedup",
     "build_global_sketches", "distinct_tokens", "heavy_hitters",
     "ntok_quantiles",
     "build_super_index", "load_super_meta", "super_prune",

@@ -103,6 +103,89 @@ def knn_bruteforce(ds: "rd.Dataset", query_vectors: np.ndarray, k: int = 10,
     return _merge_topk(parts, k)
 
 
+# -------------------------------------------- embedding-cosine near-dup --
+def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
+                             n_tables: int = 8, n_bits: int = 8,
+                             seed: int = 42, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             all_pairs_cap: int = 16) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup mode):
+    multi-table random-hyperplane LSH — a pair at angle theta collides in
+    one table w.p. (1 - theta/pi)^n_bits, so ``n_tables`` independent
+    tables push recall toward 1 for cos >= threshold — then exact cosine
+    verification of bucket-mates. Same scale shape as the MinHash path:
+    the shuffle carries only (doc_id, bucket) int rows (sort + in-block
+    neighbor detection, no group-count aggregate); vectors for the rare
+    candidate ids are fetched in a narrow second pass."""
+    from ..pipelines.dedup import _hot_bucket_rows, _pairs_from_buckets
+
+    base_seed = derive_seed(seed, "emb_dedup")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch[vec_col])
+        n = x.shape[0]
+        bucket_parts = []
+        for t in range(n_tables):
+            planes = _hyperplanes(x.shape[1], n_bits,
+                                  derive_seed(base_seed, "table", t))
+            b = lsh_bucket_ids(x, planes)
+            # fold table id in so buckets never collide across tables
+            bucket_parts.append(b | (np.int64(t) << np.int64(n_bits)))
+        buckets = np.stack(bucket_parts, axis=1).reshape(-1)
+        rep = np.repeat(np.arange(n), n_tables)
+        return pa.table({
+            "doc_id": batch[id_col].take(pa.array(rep)),
+            "bucket": pa.array(buckets, pa.int64()),
+        })
+
+    band_rows = ds.map_batches(assign, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    rows = _hot_bucket_rows(band_rows, "bucket")
+    if not len(rows):
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    cand = _pairs_from_buckets(rows, ("bucket",),
+                               all_pairs_cap=all_pairs_cap)
+    if not len(cand):
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    cand = cand.drop_duplicates(subset=["a", "b"])
+    # narrow second pass: vectors for candidate ids only
+    hot_ids = np.unique(np.concatenate([cand["a"].to_numpy(),
+                                        cand["b"].to_numpy()]))
+    ids_ref = pa.array(hot_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.is_in(batch[id_col], value_set=ids_ref)
+        return batch.filter(m).select([id_col, vec_col])
+
+    vec_df = ds.map_batches(fetch, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    mat = np.stack(vec_df[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-30)
+    pos = pd.Series(np.arange(len(vec_df)),
+                    index=vec_df[id_col].to_numpy())
+    va = mat[pos[cand["a"].to_numpy()].to_numpy()]
+    vb = mat[pos[cand["b"].to_numpy()].to_numpy()]
+    cos = (va * vb).sum(axis=1)
+    out = pd.DataFrame({"a": cand["a"].values, "b": cand["b"].values,
+                        "cosine": cos})
+    out = out[out["cosine"] >= threshold]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_dedup(ds: "rd.Dataset", **kwargs) -> pd.DataFrame:
+    """-> (vec_id, cluster_id) for every vector in a near-dup cluster
+    (union-find over the verified pair list, like ``minhash_dedup``)."""
+    from ..pipelines.dedup import cluster_pairs
+
+    pairs = embedding_near_dup_pairs(ds, **kwargs)
+    clusters = cluster_pairs(pairs)
+    return pd.DataFrame(
+        {"vec_id": list(clusters), "cluster_id": list(clusters.values())}
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------- IVF/LSH ANN index --
 def build_ann_index(ds: "rd.Dataset", out_dir: str, *, n_bits: int = 8,
                     seed: int = 42, id_col: str = "vec_id",

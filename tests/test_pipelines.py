@@ -354,3 +354,38 @@ class TestTrigrams:
             top_trigrams
         got = top_trigrams(str(tmp_path), k=10).to_pandas()
         assert set(got["trigram"]) == {"c d e"}
+
+
+class TestEmbeddingDedup:
+    def test_planted_near_dups_found(self, ray_session):
+        """Planted near-identical vectors (tiny noise) must pair; random
+        vectors must not (cos >= 0.95 in d=32 is vanishingly rare)."""
+        from hierarchical_bloom_filter_index_ray.pipelines import (
+            embedding_dedup, embedding_near_dup_pairs)
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(40, 32))
+        rows = [(i, base[i]) for i in range(40)]
+        rows.append((40, base[0] + rng.normal(scale=0.01, size=32)))
+        rows.append((41, base[0] + rng.normal(scale=0.01, size=32)))
+        rows.append((42, base[5] + rng.normal(scale=0.01, size=32)))
+        tbl = pa.table({
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1].astype(np.float32).tolist()
+                                   for r in rows],
+                                  pa.list_(pa.float32())),
+        })
+        pairs = embedding_near_dup_pairs(rd.from_arrow(tbl),
+                                         threshold=0.95, n_tables=8,
+                                         n_bits=8, seed=7)
+        got = {frozenset(p) for p in zip(pairs["a"], pairs["b"])}
+        assert frozenset({0, 40}) in got
+        assert frozenset({0, 41}) in got or frozenset({40, 41}) in got
+        assert frozenset({5, 42}) in got
+        assert (pairs["cosine"] >= 0.95).all()
+        # no random-pair false positives
+        for a, b in got:
+            assert a >= 40 or b >= 40
+        clusters = embedding_dedup(rd.from_arrow(tbl), threshold=0.95,
+                                   n_tables=8, n_bits=8, seed=7)
+        cmap = dict(zip(clusters["vec_id"], clusters["cluster_id"]))
+        assert cmap[40] == cmap[0] and cmap[41] == cmap[0]
