@@ -186,34 +186,60 @@ class MinHashSignatures:
         })
 
 
-def _hot_bucket_rows(band_rows: "rd.Dataset", key: str = "bucket"
-                     ) -> pd.DataFrame:
-    """Rows belonging to LSH buckets with >= 2 members.
+def _bucket_candidate_pairs(band_rows: "rd.Dataset", key: str = "bucket",
+                            payload_col: str | None = None,
+                            all_pairs_cap: int = 8) -> pd.DataFrame:
+    """Candidate pairs from bucket collisions, with DISTRIBUTED pair
+    emission: after the range sort, each block pairs its INTERIOR buckets
+    locally (a bucket strictly between the block's first and last key
+    cannot straddle the boundary), and only the per-block first/last-key
+    rows — at most two buckets per block — reach the driver, where they
+    reassemble into whole buckets and pair. The driver therefore receives
+    O(candidate pairs + 2 buckets x blocks) rows, not every duplicated
+    band row (a bands-fold reduction under heavy duplication)."""
+    srt = band_rows.sort(key).materialize()
 
-    Sort-based: a range-partitioning ``sort`` on the single int64 bucket
-    key co-locates equal keys, then a vectorized neighbor compare inside
-    each sorted block keeps exactly the duplicated-key rows. Rows whose
-    key equals a block's first/last element are kept conservatively (an
-    equal-key run may straddle a block boundary); stray singletons produce
-    no pairs downstream, so results are exact. This replaces a
-    groupby().count() whose per-group cost dominated the whole minhash
-    pipeline — sort moves the same narrow (doc_id, bucket) rows but does
-    no per-group work.
-    """
-    srt = band_rows.sort(key)
+    def interior_pairs(t: pa.Table) -> pa.Table:
+        id_type = t["doc_id"].type
+        fields = [("a", id_type), ("b", id_type)]
+        if payload_col is not None:
+            fields += [("pa_", t[payload_col].type),
+                       ("pb_", t[payload_col].type)]
+        empty = pa.schema(fields).empty_table()
+        if not t.num_rows:
+            return empty
+        h = t[key].to_numpy(zero_copy_only=False)
+        interior = (h != h[0]) & (h != h[-1])
+        if not interior.any():
+            return empty
+        df = t.filter(pa.array(interior)).to_pandas()
+        pairs = _pairs_from_buckets(df, (key,), payload_col,
+                                    all_pairs_cap=all_pairs_cap)
+        cols = {"a": pa.array(pairs["a"], id_type),
+                "b": pa.array(pairs["b"], id_type)}
+        if payload_col is not None:
+            cols["pa_"] = pa.array(pairs["pa"], t[payload_col].type)
+            cols["pb_"] = pa.array(pairs["pb"], t[payload_col].type)
+        return pa.table(cols)
 
-    def dup_or_boundary(t: pa.Table) -> pa.Table:
+    def boundary_rows(t: pa.Table) -> pa.Table:
         if not t.num_rows:
             return t
         h = t[key].to_numpy(zero_copy_only=False)
-        keep = np.zeros(len(h), dtype=bool)
-        keep[1:] |= h[1:] == h[:-1]
-        keep[:-1] |= h[:-1] == h[1:]
-        keep[0] = keep[-1] = True  # boundary-conservative
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array((h == h[0]) | (h == h[-1])))
 
-    return srt.map_batches(dup_or_boundary,
-                           batch_format="pyarrow").to_pandas()
+    pairs_int = srt.map_batches(interior_pairs,
+                                batch_format="pyarrow").to_pandas()
+    if payload_col is not None:
+        pairs_int = pairs_int.rename(columns={"pa_": "pa", "pb_": "pb"})
+    brows = srt.map_batches(boundary_rows,
+                            batch_format="pyarrow").to_pandas()
+    pairs_b = (_pairs_from_buckets(brows, (key,), payload_col,
+                                   all_pairs_cap=all_pairs_cap)
+               if len(brows) else pd.DataFrame(
+                   columns=list(pairs_int.columns)))
+    pairs = pd.concat([pairs_int, pairs_b], ignore_index=True)
+    return pairs.drop_duplicates(subset=["a", "b"])
 
 
 def _pairs_from_buckets(rows: pd.DataFrame, key_cols,
@@ -285,13 +311,9 @@ def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
         batch_size=4096, concurrency=concurrency,
         fn_constructor_kwargs={"cfg": cfg, "num_perm": num_perm,
                                "bands": bands, "shingle": shingle})
-    rows = _hot_bucket_rows(band_rows, "bucket")
-    if not len(rows):
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    cand = _pairs_from_buckets(rows, ("bucket",))
+    cand = _bucket_candidate_pairs(band_rows, "bucket")
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    cand = cand.drop_duplicates(subset=["a", "b"])
     # narrow second pass: signatures for candidate docs only (bounded by
     # near-dup candidates, not corpus — no signature ever rides the band
     # shuffle)
@@ -382,13 +404,9 @@ def simhash_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, max_hamming: int = 3
         })
 
     band_rows = sims.map_batches(explode, batch_format="pyarrow")
-    rows = _hot_bucket_rows(band_rows, "bucket")
-    if not len(rows):
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    cand = _pairs_from_buckets(rows, ("bucket",), "simhash")
+    cand = _bucket_candidate_pairs(band_rows, "bucket", "simhash")
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    cand = cand.drop_duplicates(subset=["a", "b"])
     d = hamming64(cand["pa"].to_numpy().astype(np.int64).view(np.uint64),
                   cand["pb"].to_numpy().astype(np.int64).view(np.uint64))
     out = pd.DataFrame({"a": cand["a"].values, "b": cand["b"].values,

@@ -117,7 +117,7 @@ def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
     the shuffle carries only (doc_id, bucket) int rows (sort + in-block
     neighbor detection, no group-count aggregate); vectors for the rare
     candidate ids are fetched in a narrow second pass."""
-    from ..pipelines.dedup import _hot_bucket_rows, _pairs_from_buckets
+    from ..pipelines.dedup import _bucket_candidate_pairs
 
     base_seed = derive_seed(seed, "emb_dedup")
 
@@ -140,14 +140,10 @@ def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
 
     band_rows = ds.map_batches(assign, batch_format="pyarrow",
                                zero_copy_batch=True)
-    rows = _hot_bucket_rows(band_rows, "bucket")
-    if not len(rows):
-        return pd.DataFrame({"a": [], "b": [], "cosine": []})
-    cand = _pairs_from_buckets(rows, ("bucket",),
-                               all_pairs_cap=all_pairs_cap)
+    cand = _bucket_candidate_pairs(band_rows, "bucket",
+                                   all_pairs_cap=all_pairs_cap)
     if not len(cand):
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
-    cand = cand.drop_duplicates(subset=["a", "b"])
     # narrow second pass: vectors for candidate ids only
     hot_ids = np.unique(np.concatenate([cand["a"].to_numpy(),
                                         cand["b"].to_numpy()]))

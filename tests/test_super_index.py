@@ -167,3 +167,44 @@ class TestSuperQuery:
                                   sources=["src0"], window_range=(0, 16),
                                   super_dir=index_dir)
         assert base.equals(pruned)
+
+
+class TestSuperCombinedModes:
+    def test_policy_dropped_roots_become_always_pass(self, ray_session,
+                                                     tmp_path):
+        """A window whose level-0 bloom was dropped by the memory policy
+        must propagate as an always-pass super node — queries stay exact
+        with super pruning enabled."""
+        from hierarchical_bloom_filter_index_ray.sources import \
+            synth_sequences
+        cfg_pol = HbiConfig(seed=11, docs_per_window=64, fp=0.01, hll_p=12,
+                            cms_eps=0.02, cms_delta=0.05,
+                            policy_quantile=0.5, policy_conf=0.95)
+        ds = synth_sequences(1024, seed=3, n_sources=2, vocab=4)
+        out = tmp_path / "pol"
+        build_index(ds, cfg_pol, str(out), batch_size=128)
+        # policy with vocab=4 drops shallow levels incl. level 0
+        import pickle
+        idx_pd = load_index(str(out)).to_pandas()
+        assert any(min(pickle.loads(b)) > 0 for b in idx_pd["bloom_tree"])
+        rows = ds.take(3)
+        queries = [(f"q{i}", [int(r["tokens"][0])])
+                   for i, r in enumerate(rows)]
+        plain = membership_query(load_index(str(out)), ds, queries,
+                                 cfg_pol)
+        pruned = membership_query(load_index(str(out)), ds, queries,
+                                  cfg_pol, super_dir=str(out))
+        assert plain.num_rows > 0
+        assert plain.equals(pruned)
+
+    def test_multilevel_planner_with_super_gating(self, index_dir, corpus,
+                                                  sample_tokens):
+        queries = [(f"q{i}", toks) for i, toks in enumerate(sample_tokens)]
+        queries.append(("missing", [2**30 + 5, 2**30 + 6]))
+        base = membership_query(load_index(index_dir),
+                                rd.read_parquet(corpus), queries, CFG)
+        combo = membership_query(load_index(index_dir),
+                                 rd.read_parquet(corpus), queries, CFG,
+                                 planner="multilevel", super_dir=index_dir)
+        assert base.num_rows > 0
+        assert base.equals(combo)
