@@ -3,14 +3,17 @@
 Training-data-pipeline requirement (build brief): exact dedup,
 MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard verification.
 Ray shapes follow the public MinHash-LSH recipe (shingle -> minhash ->
-band -> bucket groupby -> verify -> cluster):
+band -> bucket collision -> verify -> cluster):
 
-- exact: content hash per row (vectorized) -> ``groupby(hash)`` keep the
-  min doc_id (deterministic survivor).
-- minhash-lsh: signatures per batch -> explode to (band, band_hash) rows ->
-  ``groupby`` buckets -> candidate pairs -> signature-Jaccard (and exact
-  n-gram Jaccard) verify -> union-find on the driver over the verified
-  pair list (bounded: only near-dup pairs survive).
+- exact: content hash per row (vectorized); the only shuffle carries
+  (hash, doc_id) pairs; losers are dropped by a broadcast filter bounded
+  by the DUPLICATED hashes.
+- minhash-lsh: signatures per batch -> (doc_id, bucket) band rows ->
+  range sort + in-block neighbor detection (no group-count aggregate) ->
+  DISTRIBUTED pair emission (interior buckets pair inside their sorted
+  block; only boundary buckets reach the driver) -> signature-Jaccard
+  verify on a narrow second signature pass -> union-find on the driver
+  over the VERIFIED pair list (bounded by true near-dups — the result).
 """
 
 from __future__ import annotations

@@ -36,7 +36,7 @@ import ray.data as rd
 from ..config import HbiConfig
 from ..functions.tokenize import flat_tokens_and_offsets
 from ..state import sketch_from_bytes
-from ..state.splitmix import U64, derive_seed, hash_u64, splitmix64
+from ..state.splitmix import derive_seed, hash_u64, splitmix64
 
 
 def compile_queries(queries: list[tuple[str, list[int]]], cfg: HbiConfig,

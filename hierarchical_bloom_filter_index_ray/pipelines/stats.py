@@ -2,11 +2,10 @@
 
 The "wide" aggregations of SURVEY.md §2.5 expressed as mergeable-UDAF
 pre-aggregation: ``map_batches`` emits ONE serialized partial sketch row per
-(group x batch) — tokens never leave the map stage — then an in-batch
-combiner merges same-source partials per block and a
-``groupby("source").map_groups`` reduce merges the survivors per group.
-The driver only receives the final one-row-per-source result (O(#sources),
-never O(batches)). Reference analogues: exact truth map
+(group x batch) — tokens never leave the map stage — and a whole-dataset
+``aggregate`` tree-merges the partial rows into a per-source sketch dict.
+The driver only receives the final merged dict (O(#sources) entries,
+never the O(batches) partial stream). Reference analogues: exact truth map
 ``SamplingSketchExperiment.java:819-825`` (test oracle), distinct counting
 :563, heavy hitters via CS estimates ``estimators/CSEstimator.java:67-91``,
 quantile rank pick :744-761.
@@ -27,7 +26,6 @@ from ..functions.tokenize import flat_tokens_and_offsets
 from ..state import (KLL, BottomK, CountMinSketch, HyperLogLog, TDigest,
                      TopM, derive_seed, sketch_from_bytes)
 
-GLOBAL_KINDS = ("hll", "cms", "kll_ntok", "tdigest_ntok", "bottomk")
 
 
 def _new_global(cfg: HbiConfig, top_m: int = 0) -> dict:

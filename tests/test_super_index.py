@@ -197,6 +197,29 @@ class TestSuperCombinedModes:
         assert plain.num_rows > 0
         assert plain.equals(pruned)
 
+    def test_per_query_scope_distributed_mode(self, index_dir, corpus,
+                                              sample_tokens):
+        """Per-query (source, window) scoping must survive the lossy bloom
+        gate of the distributed candidate exchange (re-applied exactly on
+        verified hits)."""
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            membership_query_table
+        import pyarrow as pa
+        qt = pa.table({
+            "query_id": pa.array(["q0", "q1"]),
+            "qtokens": pa.array([sample_tokens[0], sample_tokens[1]],
+                                pa.list_(pa.int32())),
+            "source": pa.array(["src0", None]),
+            "window_id": pa.array([None, 3], pa.int64()),
+        })
+        base = membership_query_table(load_index(index_dir),
+                                      rd.read_parquet(corpus), qt, CFG,
+                                      candidate_mode="broadcast")
+        dist = membership_query_table(load_index(index_dir),
+                                      rd.read_parquet(corpus), qt, CFG,
+                                      candidate_mode="distributed")
+        assert base.equals(dist)
+
     def test_multilevel_planner_with_super_gating(self, index_dir, corpus,
                                                   sample_tokens):
         queries = [(f"q{i}", toks) for i, toks in enumerate(sample_tokens)]
