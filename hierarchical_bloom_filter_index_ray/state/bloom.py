@@ -71,6 +71,12 @@ class BloomFilter:
             return (h1[:, None] + j * h2[:, None]) & U64(self.m - 1)
 
     # -- update / query --------------------------------------------------
+    # NOTE: a dense-bool + np.packbits update is ~7x faster single-threaded
+    # but was MEASURED SLOWER at 30 concurrent workers (the m-byte dense
+    # temporaries blow past L2 and saturate the memory bus, build dropped
+    # 7.5s -> 11.7s at sf0.1/32cpu); the chunked scatter below stays
+    # L2-resident and is the multi-worker winner. Don't "optimize" this
+    # from a single-process microbenchmark.
     def update(self, keys: np.ndarray) -> None:
         for c0 in range(0, len(keys), self._CHUNK):
             idx = self._indices(keys[c0:c0 + self._CHUNK]).ravel()
