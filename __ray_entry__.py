@@ -255,6 +255,17 @@ def _q_event_value_quantiles(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_pricing_summary(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines import pricing_summary
+    return pricing_summary(sf_dir, ship_cutoff="2001-01-01")
+
+
+def _q_top_customers(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines import \
+        top_customers_by_spend
+    return top_customers_by_spend(sf_dir, k=10)
+
+
 def _q_events_sessionize(sf_dir: str):
     """Per-user session windows (gap > 30 min starts a new session)."""
     import numpy as np
@@ -575,6 +586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_per_source": _q_heavy_hitters_per_source,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers_by_spend": _q_top_customers,
         "exact_dedup_rows": _q_exact_dedup_rows,
         "event_value_quantiles": _q_event_value_quantiles,
         "distinct_users_per_event_type": _q_distinct_users_per_event_type,
@@ -648,6 +661,24 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) AS window_start, COUNT(*) AS n_events, "
             "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY 1, 2"),
+        "pricing_summary": (
+            # integer-cent sums: both engines round PER ROW then sum ints
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS sum_base_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100,"
+            " 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
+            "COUNT(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '2001-01-01' GROUP BY 1, 2"),
+        "top_customers_by_spend": (
+            "SELECT o.o_custkey, c.c_name, c.c_mktsegment, "
+            "CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS spend_cents, COUNT(*) AS n_orders "
+            "FROM orders o LEFT JOIN customer c "
+            "ON c.c_custkey = o.o_custkey "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY spend_cents DESC, o.o_custkey ASC LIMIT 10"),
         "events_sessionize": (
             "WITH e AS (SELECT user_id, ts, event_id, value, "
             "CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > "

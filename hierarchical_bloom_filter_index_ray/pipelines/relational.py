@@ -1,0 +1,110 @@
+"""Relational pipelines over the TPC-H-ish star tables.
+
+Not reference operators — the engine-completeness side of the build brief:
+the same map-side-combiner / broadcast-join patterns the sketch pipelines
+use, exercised on numeric/relational data with exact DuckDB oracles.
+Monetary sums convert to integer cents PER ROW before aggregation so both
+engines sum integers (float summation order can flip a final rounding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row money -> int64 cents (round-half-away, like DuckDB ROUND)."""
+    v = col.to_numpy(zero_copy_only=False)
+    return pa.array(np.floor(v * 100 + 0.5).astype(np.int64), pa.int64())
+
+
+def pricing_summary(sf_dir: str, *, ship_cutoff: str = "2001-01-01"
+                    ) -> "rd.Dataset":
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) counts
+    and integer-cent monetary sums over lineitem rows shipped on/before
+    the cutoff. Map-side per-batch partial aggregation (combiner) -> tiny
+    groupby over <= #flag x #status groups."""
+    cutoff = np.datetime64(ship_cutoff).astype("datetime64[us]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship <= cutoff
+        batch = batch.filter(pa.array(keep))
+        if not batch.num_rows:
+            return pa.schema([
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty", pa.int64()),
+                ("sum_base_cents", pa.int64()),
+                ("sum_disc_cents", pa.int64()),
+                ("n_rows", pa.int64()),
+            ]).empty_table()
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        base_c = _cents(batch["l_extendedprice"]).to_numpy()
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        disc_c = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pandas(),
+            "l_linestatus": batch["l_linestatus"].to_pandas(),
+            "sum_qty": qty.astype(np.int64),
+            "sum_base_cents": base_c,
+            "sum_disc_cents": disc_c,
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_cents=("sum_base_cents", "sum"),
+            sum_disc_cents=("sum_disc_cents", "sum"),
+            n_rows=("sum_qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("sum_base_cents", alias_name="sum_base_cents"),
+                       Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+                       Sum("n_rows", alias_name="n_rows")))
+
+
+def top_customers_by_spend(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by total order spend with name/segment attached —
+    the broadcast-join pattern: orders aggregate per custkey (combiner +
+    small groupby); the small customer table rides to the driver where
+    the lookup is a vectorized merge (at scale: ``ray.put`` the customer
+    dict and map it in — never a shuffle join of the big side)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"]).to_numpy()
+        df = pd.DataFrame({"o_custkey": batch["o_custkey"].to_numpy(
+            zero_copy_only=False), "spend_cents": cents})
+        g = df.groupby("o_custkey", as_index=False).agg(
+            spend_cents=("spend_cents", "sum"),
+            n_orders=("spend_cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    spend = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Sum("spend_cents", alias_name="spend_cents"),
+                        Sum("n_orders", alias_name="n_orders"))
+             .sort(["spend_cents", "o_custkey"], descending=[True, False])
+             .limit(k).to_pandas())
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name", "c_mktsegment"])
+            .to_pandas())
+    out = spend.merge(cust, left_on="o_custkey", right_on="c_custkey",
+                      how="left")
+    return out[["o_custkey", "c_name", "c_mktsegment", "spend_cents",
+                "n_orders"]]

@@ -389,3 +389,35 @@ class TestEmbeddingDedup:
                                    n_tables=8, n_bits=8, seed=7)
         cmap = dict(zip(clusters["vec_id"], clusters["cluster_id"]))
         assert cmap[40] == cmap[0] and cmap[41] == cmap[0]
+
+
+class TestRelational:
+    def test_pricing_summary_exact(self, ray_session):
+        import duckdb
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            pricing_summary
+        got = pricing_summary(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"read_parquet('{SF}/lineitem.parquet')")
+        orc = con.execute(
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS "
+            "BIGINT) AS sum_base_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS "
+            "BIGINT)) AS BIGINT) AS sum_disc_cents, COUNT(*) AS n_rows "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-01-01' "
+            "GROUP BY 1,2").df()
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_top_customers_join(self, ray_session):
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            top_customers_by_spend
+        got = top_customers_by_spend(SF, k=5)
+        assert len(got) == 5
+        assert got["spend_cents"].is_monotonic_decreasing
+        assert got["c_name"].notna().all()
