@@ -266,6 +266,12 @@ def _q_top_customers(sf_dir: str):
     return top_customers_by_spend(sf_dir, k=10)
 
 
+def _q_revenue_by_priority(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines import \
+        revenue_by_priority
+    return revenue_by_priority(sf_dir)
+
+
 def _q_events_sessionize(sf_dir: str):
     """Per-user session windows (gap > 30 min starts a new session)."""
     import numpy as np
@@ -588,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "pricing_summary": _q_pricing_summary,
         "top_customers_by_spend": _q_top_customers,
+        "revenue_by_priority": _q_revenue_by_priority,
         "exact_dedup_rows": _q_exact_dedup_rows,
         "event_value_quantiles": _q_event_value_quantiles,
         "distinct_users_per_event_type": _q_distinct_users_per_event_type,
@@ -679,6 +686,12 @@ def oracle_sql() -> dict[str, str]:
             "ON c.c_custkey = o.o_custkey "
             "GROUP BY 1, 2, 3 "
             "ORDER BY spend_cents DESC, o.o_custkey ASC LIMIT 10"),
+        "revenue_by_priority": (
+            "SELECT o.o_orderpriority, "
+            "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) "
+            "* 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents, "
+            "COUNT(*) AS n_items FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey GROUP BY 1"),
         "events_sessionize": (
             "WITH e AS (SELECT user_id, ts, event_id, value, "
             "CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > "

@@ -77,6 +77,46 @@ def pricing_summary(sf_dir: str, *, ship_cutoff: str = "2001-01-01"
                        Sum("n_rows", alias_name="n_rows")))
 
 
+def revenue_by_priority(sf_dir: str, *, num_partitions: int = 8
+                        ) -> "rd.Dataset":
+    """Revenue per order priority via Ray's NATIVE distributed hash join
+    (big x big: lineitem joined to orders on the order key — both sides
+    hash-partition, neither broadcasts), then a combiner + tiny groupby.
+    Revenue converts to integer cents per row before summing."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_cents": pa.array(rev, pa.int64())})
+
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority"])
+    joined = li.map_batches(to_cents, batch_format="pyarrow").join(
+        od, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+            "rev_cents": batch["rev_cents"].to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            rev_cents=("rev_cents", "sum"),
+            n_items=("rev_cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return (joined.map_batches(combine, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("rev_cents", alias_name="rev_cents"),
+                       Sum("n_items", alias_name="n_items")))
+
+
 def top_customers_by_spend(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Top-k customers by total order spend with name/segment attached —
     the broadcast-join pattern: orders aggregate per custkey (combiner +

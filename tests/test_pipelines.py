@@ -421,3 +421,23 @@ class TestRelational:
         assert len(got) == 5
         assert got["spend_cents"].is_monotonic_decreasing
         assert got["c_name"].notna().all()
+
+    def test_revenue_join_exact(self, ray_session):
+        import duckdb
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            revenue_by_priority
+        got = revenue_by_priority(SF).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        orc = con.execute(
+            "SELECT o.o_orderpriority, "
+            "CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100,0)"
+            " AS BIGINT)) AS BIGINT) AS rev_cents, COUNT(*) AS n_items "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "GROUP BY 1").df()
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b)
