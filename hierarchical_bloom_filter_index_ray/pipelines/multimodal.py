@@ -1,11 +1,16 @@
 """Multimodal column plumbing (build-brief requirement).
 
-Images/audio/video are opaque ``binary`` columns with typed metadata. The
-decode kernels are STUBBED (no image/audio libs in this container): pass
-``decoder="fake"`` for a deterministic fake decode that exercises the real
-Ray-side plumbing (schema, batch sizing, actor signature, output layout);
-the default ``decoder="real"`` raises ``NotImplementedError`` at the
-point a codec library would be called.
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+Three decoder modes:
+
+- ``decoder="pgm"`` — a REAL decode path for binary PGM (P5) images,
+  parsed and resized in pure numpy (no codec library needed): actual
+  pixels flow through decode -> feature-extract -> resize.
+- ``decoder="fake"`` — deterministic stand-in features that exercise the
+  Ray-side plumbing (schema, batch sizing, actor signature, layout).
+- ``decoder="real"`` — the seam where PNG/JPEG/audio codecs would load;
+  those libs are not in this container, so it raises
+  ``NotImplementedError`` at pool start (declared stub).
 """
 
 from __future__ import annotations
@@ -16,6 +21,62 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..state.splitmix import hash_u64
+
+
+# ----------------------------------------------------- PGM (P5) codec ----
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) -> (h, w) uint8 array, pure numpy. Header:
+    b"P5" <ws> width <ws> height <ws> maxval <single ws> raster."""
+    if not payload.startswith(b"P5"):
+        raise ValueError("not a binary PGM (P5) payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":          # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace before raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PGM not supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i)
+    return raster.reshape(h, w)
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """(h, w) uint8 -> binary PGM (P5) bytes."""
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gathers (pure numpy)."""
+    h, w = img.shape
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def pgm_features(img: np.ndarray, feature_dim: int) -> np.ndarray:
+    """Real image features: an 8-bin intensity histogram (density) plus
+    coarse row/column mean pools, truncated/padded to ``feature_dim``."""
+    hist = np.bincount(img.reshape(-1) >> 5, minlength=8) / img.size
+    n_pool = max(1, (feature_dim - 8) // 2)
+    row_pool = np.array_split(img.mean(axis=1) / 255.0, n_pool)
+    col_pool = np.array_split(img.mean(axis=0) / 255.0, n_pool)
+    feats = np.concatenate([hist,
+                            [p.mean() for p in row_pool],
+                            [p.mean() for p in col_pool]])
+    out = np.zeros(feature_dim, dtype=np.float32)
+    out[:min(feature_dim, len(feats))] = feats[:feature_dim]
+    return out
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -45,8 +106,9 @@ class MediaFeatureExtractor:
             # the error surfaces at pool start, not mid-stream.
             raise NotImplementedError(
                 "media codecs are not available in this environment; "
-                "use decoder='fake' for the deterministic stub")
-        if decoder != "fake":
+                "use decoder='pgm' (real pure-numpy PGM decode) or "
+                "decoder='fake' for the deterministic stub")
+        if decoder not in ("fake", "pgm"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:
@@ -66,7 +128,13 @@ class MediaFeatureExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = self._fake_decode(payloads)
+        if self.decoder == "pgm":
+            feats = np.stack([
+                pgm_features(decode_pgm(p), self.feature_dim)
+                for p in payloads]) if payloads else np.empty(
+                    (0, self.feature_dim), np.float32)
+        else:
+            feats = self._fake_decode(payloads)
         offsets = np.arange(0, (len(payloads) + 1) * self.feature_dim,
                             self.feature_dim, dtype=np.int32)
         return pa.table({
@@ -92,19 +160,30 @@ def extract_features(ds: "rd.Dataset", *, decoder: str = "fake",
 
 
 class ImageResizer:
-    """Actor-pool resize stage (STUB): real impl would decode -> resize ->
-    re-encode per batch with PIL/cv2 loaded once per actor. The fake path
-    rewrites the typed metadata and passes payloads through so the schema
-    and batch plumbing are exercised."""
+    """Actor-pool resize stage. ``decoder="pgm"`` REALLY decodes, resizes
+    (nearest-neighbor, pure numpy) and re-encodes each payload;
+    ``decoder="fake"`` rewrites only the typed metadata (plumbing drill);
+    ``decoder="real"`` is the PNG/JPEG seam (stub — codecs absent)."""
 
     def __init__(self, *, width: int, height: int, decoder: str = "real"):
         if decoder == "real":
             raise NotImplementedError(
-                "image codecs unavailable; use decoder='fake'")
+                "image codecs unavailable; use decoder='pgm' or 'fake'")
+        if decoder not in ("fake", "pgm"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.width, self.height = width, height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if self.decoder == "pgm":
+            payloads = [
+                encode_pgm(resize_nearest(decode_pgm(p), self.width,
+                                          self.height))
+                for p in batch["payload"].to_pylist()]
+            batch = batch.set_column(
+                batch.schema.get_field_index("payload"), "payload",
+                pa.array(payloads, pa.binary()))
         return (batch.set_column(batch.schema.get_field_index("width"),
                                  "width",
                                  pa.array([self.width] * n, pa.int32()))
@@ -135,20 +214,35 @@ class FrameSampler:
         })
 
 
-def synth_media(n: int, *, seed: int = 42) -> "rd.Dataset":
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
+                width: int = 16, height: int = 16) -> "rd.Dataset":
+    """Deterministic media table for tests. ``kind="fake"`` -> opaque
+    seeded bytes; ``kind="pgm"`` -> REAL binary PGM images (seeded
+    gradient + hash-noise pattern) that the pgm decoder round-trips."""
     def gen(batch: dict) -> pa.Table:
         ids = np.asarray(batch["id"], dtype=np.int64)
-        payloads = [
-            bytes(((hash_u64(np.arange(64, dtype=np.uint64)
-                             + np.uint64(i), seed)) & np.uint64(255))
-                  .astype(np.uint8).tolist())
-            for i in ids]
+        payloads = []
+        for i in ids:
+            if kind == "pgm":
+                yy, xx = np.mgrid[0:height, 0:width]
+                noise = (hash_u64(
+                    (yy * width + xx).reshape(-1).astype(np.uint64)
+                    + np.uint64(i << 20), seed) & np.uint64(63)
+                ).astype(np.uint8).reshape(height, width)
+                img = ((xx * 191 // max(1, width - 1)) + noise
+                       ).astype(np.uint8)
+                payloads.append(encode_pgm(img))
+            else:
+                payloads.append(bytes((
+                    hash_u64(np.arange(64, dtype=np.uint64)
+                             + np.uint64(i), seed) & np.uint64(255)
+                ).astype(np.uint8).tolist()))
+        mt = "image/x-portable-graymap" if kind == "pgm" else "image/fake"
         return pa.table({
             "media_id": pa.array(ids),
             "payload": pa.array(payloads, pa.binary()),
-            "media_type": pa.array(["image/fake"] * len(ids), pa.string()),
-            "width": pa.array([8] * len(ids), pa.int32()),
-            "height": pa.array([8] * len(ids), pa.int32()),
+            "media_type": pa.array([mt] * len(ids), pa.string()),
+            "width": pa.array([width] * len(ids), pa.int32()),
+            "height": pa.array([height] * len(ids), pa.int32()),
         })
     return rd.range(n).map_batches(gen, batch_format="numpy")

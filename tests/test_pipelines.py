@@ -441,3 +441,45 @@ class TestRelational:
         a = got[cols].sort_values(cols).reset_index(drop=True)
         b = orc[cols].sort_values(cols).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestPgmMultimodal:
+    def test_pgm_roundtrip_and_resize(self):
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+            decode_pgm, encode_pgm, resize_nearest)
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+        assert np.array_equal(decode_pgm(encode_pgm(img)), img)
+        # comment-bearing header also parses
+        hdr = b"P5\n# a comment\n20 12\n255\n" + img.tobytes()
+        assert np.array_equal(decode_pgm(hdr), img)
+        small = resize_nearest(img, 10, 6)
+        assert small.shape == (6, 10)
+        # nearest-neighbor: every output pixel exists in the input row
+        assert np.array_equal(small, img[::2, ::2])
+
+    def test_real_pgm_pipeline_end_to_end(self, ray_session):
+        """REAL decode path: synth PGM corpus -> resize (actual pixels)
+        -> feature extraction, all through Ray actor pools."""
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+            ImageResizer, decode_pgm, extract_features, pgm_features,
+            synth_media)
+        ds = synth_media(24, seed=5, kind="pgm", width=16, height=16)
+        # concurrency=1 per stage: at num_cpus=4 two 2-actor pools would
+        # reserve all CPUs and starve the ReadRange tasks (deadlock).
+        resized = ds.map_batches(
+            ImageResizer, batch_format="pyarrow", batch_size=8,
+            concurrency=1,
+            fn_constructor_kwargs={"width": 8, "height": 8,
+                                   "decoder": "pgm"})
+        rows = resized.take_all()
+        assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+        img0 = decode_pgm(rows[0]["payload"])
+        assert img0.shape == (8, 8)
+        feats = extract_features(resized, decoder="pgm", feature_dim=16,
+                                 concurrency=1).take_all()
+        assert len(feats) == 24
+        got = np.array(feats[0]["features"], dtype=np.float32)
+        assert np.allclose(got, pgm_features(img0, 16))
+        # histogram density sums to ~1
+        assert abs(float(got[:8].sum()) - 1.0) < 1e-5
