@@ -563,10 +563,14 @@ def _q_doc_fingerprints(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """REAL decode path: synthetic binary-PGM corpus -> per-image
+    features (intensity histogram + pooled row/col means), all through
+    the actor-pool stage. concurrency=1 keeps the two pools + read tasks
+    schedulable at the driver's small num_cpus."""
     from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
         extract_features, synth_media)
-    return extract_features(synth_media(64, seed=SEED), decoder="fake",
-                            feature_dim=8)
+    return extract_features(synth_media(64, seed=SEED, kind="pgm"),
+                            decoder="pgm", feature_dim=8, concurrency=1)
 
 
 def _q_index_manifest(sf_dir: str):

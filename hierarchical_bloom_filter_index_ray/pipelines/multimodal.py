@@ -5,7 +5,9 @@ Three decoder modes:
 
 - ``decoder="pgm"`` — a REAL decode path for binary PGM (P5) images,
   parsed and resized in pure numpy (no codec library needed): actual
-  pixels flow through decode -> feature-extract -> resize.
+  pixels flow through decode -> feature-extract -> resize. The matching
+  ``decoder="pgmv"`` on :class:`FrameSampler` splits a pgmv container
+  (concatenated P5 frames) and uniformly samples real frames.
 - ``decoder="fake"`` — deterministic stand-in features that exercise the
   Ray-side plumbing (schema, batch sizing, actor signature, layout).
 - ``decoder="real"`` — the seam where PNG/JPEG/audio codecs would load;
@@ -24,13 +26,15 @@ from ..state.splitmix import hash_u64
 
 
 # ----------------------------------------------------- PGM (P5) codec ----
-def decode_pgm(payload: bytes) -> np.ndarray:
-    """Binary PGM (P5) -> (h, w) uint8 array, pure numpy. Header:
-    b"P5" <ws> width <ws> height <ws> maxval <single ws> raster."""
-    if not payload.startswith(b"P5"):
+def _parse_pgm_header(payload: bytes, start: int = 0
+                      ) -> tuple[int, int, int]:
+    """Parse a binary PGM (P5) header at ``start``. Header grammar:
+    b"P5" <ws> width <ws> height <ws> maxval <single ws>. Returns
+    ``(width, height, raster_offset)``."""
+    if payload[start:start + 2] != b"P5":
         raise ValueError("not a binary PGM (P5) payload")
     fields: list[int] = []
-    i = 2
+    i = start + 2
     while len(fields) < 3:
         while i < len(payload) and payload[i:i + 1].isspace():
             i += 1
@@ -46,8 +50,28 @@ def decode_pgm(payload: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PGM not supported")
-    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i)
+    return w, h, i
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) -> (h, w) uint8 array, pure numpy."""
+    w, h, off = _parse_pgm_header(payload)
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=off)
     return raster.reshape(h, w)
+
+
+def split_pgmv_frames(payload: bytes) -> list[bytes]:
+    """Split a ``pgmv`` container (back-to-back binary PGM frames; each
+    frame is self-delimiting — the header declares the raster length)
+    into per-frame PGM byte strings."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        w, h, off = _parse_pgm_header(payload, pos)
+        end = off + w * h
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
 
 
 def encode_pgm(img: np.ndarray) -> bytes:
@@ -193,17 +217,44 @@ class ImageResizer:
 
 
 class FrameSampler:
-    """Video frame-sampling stage (STUB): emits ``n_frames`` fake frame
-    rows per media item (flat_map-shaped output: one row per frame) with
-    deterministic frame ids — the real impl would seek/decode keyframes."""
+    """Video frame-sampling stage (flat_map-shaped: one output row per
+    sampled frame). ``decoder="pgmv"`` REALLY splits the pgmv container
+    (concatenated binary PGM frames) and uniformly samples ``n_frames``
+    of them, emitting each frame's own PGM payload (+ ``frame_no`` = the
+    source frame index, mirroring keyframe-seek behavior).
+    ``decoder="fake"`` replicates the opaque payload per frame (plumbing
+    drill); ``decoder="real"`` is the mp4/webm seam (stub — codecs
+    absent)."""
 
     def __init__(self, *, n_frames: int, decoder: str = "real"):
         if decoder == "real":
             raise NotImplementedError(
-                "video codecs unavailable; use decoder='fake'")
+                "video codecs unavailable; use decoder='pgmv' or 'fake'")
+        if decoder not in ("fake", "pgmv"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "pgmv":
+            ids: list[int] = []
+            frame_no: list[int] = []
+            payloads: list[bytes] = []
+            for mid, p in zip(batch["media_id"].to_pylist(),
+                              batch["payload"].to_pylist()):
+                frames = split_pgmv_frames(p)
+                total = len(frames)
+                k = min(self.n_frames, total)
+                # evenly-spaced source indices, same gather rule as resize
+                idx = (np.arange(k) * total) // max(1, k)
+                ids.extend([mid] * k)
+                frame_no.extend(idx.tolist())
+                payloads.extend(frames[i] for i in idx)
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(frame_no, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            })
         n = batch.num_rows
         rep = np.repeat(np.arange(n), self.n_frames)
         frame_no = np.tile(np.arange(self.n_frames, dtype=np.int32), n)
@@ -214,30 +265,44 @@ class FrameSampler:
         })
 
 
+def synth_frame(i: int, frame: int, *, seed: int, width: int, height: int
+                ) -> np.ndarray:
+    """Deterministic (h, w) uint8 test image: horizontal gradient +
+    per-(item, frame) hash noise."""
+    yy, xx = np.mgrid[0:height, 0:width]
+    noise = (hash_u64(
+        (yy * width + xx).reshape(-1).astype(np.uint64)
+        + np.uint64((int(i) << 20) + (frame << 10)), seed) & np.uint64(63)
+    ).astype(np.uint8).reshape(height, width)
+    return ((xx * 191 // max(1, width - 1)) + noise).astype(np.uint8)
+
+
 def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
-                width: int = 16, height: int = 16) -> "rd.Dataset":
+                width: int = 16, height: int = 16,
+                frames: int = 8) -> "rd.Dataset":
     """Deterministic media table for tests. ``kind="fake"`` -> opaque
-    seeded bytes; ``kind="pgm"`` -> REAL binary PGM images (seeded
-    gradient + hash-noise pattern) that the pgm decoder round-trips."""
+    seeded bytes; ``kind="pgm"`` -> REAL binary PGM images that the pgm
+    decoder round-trips; ``kind="pgmv"`` -> REAL pgmv "videos"
+    (``frames`` concatenated PGM frames per item)."""
     def gen(batch: dict) -> pa.Table:
         ids = np.asarray(batch["id"], dtype=np.int64)
         payloads = []
         for i in ids:
             if kind == "pgm":
-                yy, xx = np.mgrid[0:height, 0:width]
-                noise = (hash_u64(
-                    (yy * width + xx).reshape(-1).astype(np.uint64)
-                    + np.uint64(i << 20), seed) & np.uint64(63)
-                ).astype(np.uint8).reshape(height, width)
-                img = ((xx * 191 // max(1, width - 1)) + noise
-                       ).astype(np.uint8)
-                payloads.append(encode_pgm(img))
+                payloads.append(encode_pgm(synth_frame(
+                    i, 0, seed=seed, width=width, height=height)))
+            elif kind == "pgmv":
+                payloads.append(b"".join(
+                    encode_pgm(synth_frame(i, f, seed=seed, width=width,
+                                           height=height))
+                    for f in range(frames)))
             else:
                 payloads.append(bytes((
                     hash_u64(np.arange(64, dtype=np.uint64)
                              + np.uint64(i), seed) & np.uint64(255)
                 ).astype(np.uint8).tolist()))
-        mt = "image/x-portable-graymap" if kind == "pgm" else "image/fake"
+        mt = {"pgm": "image/x-portable-graymap",
+              "pgmv": "video/x-pgm-frames"}.get(kind, "image/fake")
         return pa.table({
             "media_id": pa.array(ids),
             "payload": pa.array(payloads, pa.binary()),

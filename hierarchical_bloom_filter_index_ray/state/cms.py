@@ -10,9 +10,9 @@ Follows the reference's ``estimators/CountSketch.java`` /
 - count-sketch estimate = median over rows of ``sign * counter``
   (``CountSketch.java:94-103``),
 - merge = elementwise add with shape+seed check
-  (``CountSketch.java:134-159,232-241``). We keep int64 counters (the
-  reference's ``IntCountSketch`` saturates int32; int64 never saturates at
-  our scales — noted divergence).
+  (``CountSketch.java:134-159,232-241``). ``CountSketch`` keeps int64
+  counters; ``IntCountSketch`` mirrors the reference's int32
+  saturating-add variant (``IntCountSketch.java:131-155,233-245``).
 
 Count-min is the one-sided variant (upper bound, min-of-rows) used for
 heavy-hitter queries; count-sketch is unbiased (median-of-rows).

@@ -483,3 +483,38 @@ class TestPgmMultimodal:
         assert np.allclose(got, pgm_features(img0, 16))
         # histogram density sums to ~1
         assert abs(float(got[:8].sum()) - 1.0) < 1e-5
+
+    def test_pgmv_container_split(self):
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+            decode_pgm, encode_pgm, split_pgmv_frames, synth_frame)
+        frames = [synth_frame(3, f, seed=9, width=7, height=5)
+                  for f in range(6)]
+        container = b"".join(encode_pgm(f) for f in frames)
+        parts = split_pgmv_frames(container)
+        assert len(parts) == 6
+        for part, img in zip(parts, frames):
+            assert np.array_equal(decode_pgm(part), img)
+
+    def test_pgmv_frame_sampling_end_to_end(self, ray_session):
+        """REAL video path: pgmv corpus -> FrameSampler splits the
+        container and uniformly samples actual frames through Ray."""
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+            FrameSampler, decode_pgm, synth_frame, synth_media)
+        ds = synth_media(6, seed=9, kind="pgmv", width=7, height=5,
+                         frames=10)
+        sampled = ds.map_batches(
+            FrameSampler, batch_format="pyarrow", batch_size=4,
+            concurrency=1,
+            fn_constructor_kwargs={"n_frames": 4, "decoder": "pgmv"})
+        rows = sampled.take_all()
+        assert len(rows) == 6 * 4
+        # evenly-spaced source indices: (arange(4) * 10) // 4
+        by_media: dict = {}
+        for r in rows:
+            by_media.setdefault(r["media_id"], []).append(r)
+        for mid, rs in by_media.items():
+            assert sorted(r["frame_no"] for r in rs) == [0, 2, 5, 7]
+            for r in rs:
+                expect = synth_frame(mid, r["frame_no"], seed=9,
+                                     width=7, height=5)
+                assert np.array_equal(decode_pgm(r["payload"]), expect)
