@@ -582,6 +582,18 @@ def _q_index_manifest(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_index_shape(sf_dir: str):
+    """SQL-checkable slice of the manifest: per-source doc/token/window
+    counts as recorded by the BUILD pipeline (``index_bytes`` stays in
+    the rows-only ``index_manifest`` query — byte sizes aren't
+    SQL-derivable)."""
+    df = _q_index_manifest(sf_dir)
+    out = df[["source", "n_docs", "n_tokens", "windows"]].copy()
+    for c in ("n_docs", "n_tokens", "windows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled (exact parity with DuckDB)
@@ -622,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "media_features": _q_media_features,
         "index_manifest": _q_index_manifest,
+        "index_shape": _q_index_shape,
     }
 
 
@@ -641,6 +654,13 @@ def oracle_sql() -> dict[str, str]:
             # the pipeline emits int64 (CORRECTNESS_r01 dtype-only fail)
             f"SELECT source, COUNT(*) AS n_docs, CAST(SUM({_NTOK}) AS "
             "BIGINT) AS total_tokens FROM documents GROUP BY source"),
+        "index_shape": (
+            # manifest counts vs first principles: window_id = doc_id >> 8
+            # (docs_per_window=256, stages/window.py:46-48)
+            f"SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM({_NTOK}) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(DISTINCT doc_id // 256) AS BIGINT) AS windows "
+            "FROM documents GROUP BY source ORDER BY source"),
         "top_words": (
             f"SELECT word, COUNT(*) AS cnt FROM ({_WORDS}) GROUP BY word "
             f"ORDER BY cnt DESC, word ASC LIMIT {K_TOP_WORDS}"),
