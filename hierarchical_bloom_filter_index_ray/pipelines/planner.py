@@ -426,14 +426,53 @@ def deepest_visited_level(width: int, r: int, max_depth: int) -> int:
     return lv
 
 
+# ------------------------------------------------- selective fanout ----
+_SF_MIN_MULT, _SF_MAX_MULT = 1.0, 2.0
+_SF_DEPTH_W, _SF_FEAS_W, _SF_COST_W = 0.4, 0.4, 0.2
+
+
+def fanout_cost_efficiency(parent_cost: float, child_cost: float) -> float:
+    """Relative expected-probe-cost score in [0, 1]
+    (``estimators/SelectiveFanout.java:50-60``)."""
+    if child_cost <= 0.0:
+        return 0.0
+    if parent_cost <= 0.0:
+        return 1.0
+    return float(min(max(parent_cost / child_cost, 0.0), 1.0))
+
+
+def selective_fanout_multiplier(parent_level: int, start_level: int,
+                                desc_limit: int, feasibility: float,
+                                cost_efficiency: float, *,
+                                enabled: bool = True) -> float:
+    """Branching multiplier in [1, 2]
+    (``estimators/SelectiveFanout.java:27-47``): weighted normalized
+    depth + feasibility + cost-efficiency score. Disabled -> always 2
+    children (the reference's default regime)."""
+    if not enabled:
+        return _SF_MAX_MULT
+    depth = 0.0
+    if desc_limit > start_level:
+        depth = (max(0, parent_level - start_level)
+                 / float(desc_limit - start_level))
+    score = (_SF_DEPTH_W * depth
+             + _SF_FEAS_W * min(max(feasibility, 0.0), 1.0)
+             + _SF_COST_W * min(max(cost_efficiency, 0.0), 1.0))
+    score = min(max(score, 0.0), 1.0)
+    return _SF_MIN_MULT + (_SF_MAX_MULT - _SF_MIN_MULT) * score
+
+
 def cost_at_level_ie(key_seq: np.ndarray, probs: np.ndarray, lp: int,
                      width: int, max_depth: int, *,
                      betas: np.ndarray | float = 0.0,
-                     max_order: int | None = None) -> float:
+                     max_order: int | None = None,
+                     selective: bool = False) -> float:
     """Expected probe count seeding at ``lp`` under the full IE model
-    (``CostFunctionIE.costAtLevel:29-75``, fanout 2 — the reference's
-    SelectiveFanout is disabled by default). ``betas`` may be a scalar or
-    a per-level array (per-level beta = the CostFunctionMaxProb seam)."""
+    (``CostFunctionIE.costAtLevel:29-75``). ``betas`` may be a scalar or
+    a per-level array (per-level beta = the CostFunctionMaxProb seam).
+    ``selective=True`` enables the SelectiveFanout regime (branching
+    multiplier in [1, 2] instead of the default fanout 2,
+    ``CostFunctionIE.java:57-63``)."""
     key_seq = np.asarray(key_seq)
     probs = np.clip(np.asarray(probs, dtype=np.float64), 1e-12, 1 - 1e-9)
     r = len(key_seq)
@@ -451,7 +490,10 @@ def cost_at_level_ie(key_seq: np.ndarray, probs: np.ndarray, lp: int,
                                       float(beta_arr[nxt]))
         h_c, f_c = hf_node_cond(width, nxt, key_seq, q,
                                 float(beta_arr[nxt]), max_order)
-        nodes = 2.0 * nodes * f
+        fanout = selective_fanout_multiplier(
+            level, lp, l_desc, f, fanout_cost_efficiency(h, h_c),
+            enabled=selective)
+        nodes = fanout * nodes * f
         if nodes <= 0.0:
             break
         total += h_c * nodes
@@ -463,18 +505,33 @@ def cost_at_level_ie(key_seq: np.ndarray, probs: np.ndarray, lp: int,
 def minimize_level_cost_ie(key_seq: np.ndarray, probs: np.ndarray,
                            width: int, max_depth: int, *,
                            betas: np.ndarray | float = 0.0,
-                           max_order: int | None = None
+                           max_order: int | None = None,
+                           selective: bool = False,
+                           base_interval_tokens: float | None = None
                            ) -> tuple[int, float]:
     """argmin over seed levels of the IE probe cost
-    (``LevelCostMinimizer`` over ``CostFunctionIE``)."""
+    (``LevelCostMinimizer`` over ``CostFunctionIE``). With
+    ``selective=True`` the chosen level is additionally clamped to
+    ``pruningLevel(conf=0.99, p_min)`` — the selective-regime guard of
+    ``LevelCostMinimizer.java:29,50-53`` (beta = 0, i.e. ``pruningLevel``
+    not ``pruningLevelBloom``)."""
     r = len(key_seq)
     max_lp = deepest_visited_level(width, r, max_depth)
     best_lp, best_cost = 0, float("inf")
     for lp in range(0, max_lp + 1):
         c = cost_at_level_ie(key_seq, probs, lp, width, max_depth,
-                             betas=betas, max_order=max_order)
+                             betas=betas, max_order=max_order,
+                             selective=selective)
         if c < best_cost:
             best_lp, best_cost = lp, c
+    if selective:
+        p_min = float(np.clip(np.asarray(probs, np.float64).min(),
+                              1e-12, 1 - 1e-9))
+        base = (float(base_interval_tokens) if base_interval_tokens
+                else float(width))
+        clamp = pruning_level_bloom(base, max_depth, 0.99, p_min, 0.0)
+        if best_lp > clamp:
+            best_lp = clamp
     return best_lp, best_cost
 
 

@@ -352,6 +352,47 @@ class TestIECostFamily:
         hi = ie_prefix_pass_prob(p, 4, 64, 0.01, max_order=2)
         assert lo <= full <= hi
 
+    def test_selective_fanout_multiplier(self):
+        """Parity with ``estimators/SelectiveFanout.java:27-60``."""
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import (
+            fanout_cost_efficiency, selective_fanout_multiplier)
+        # disabled regime: always two children
+        assert selective_fanout_multiplier(5, 0, 8, 0.9, 0.9,
+                                           enabled=False) == 2.0
+        # bounds: score 0 -> 1.0, score 1 -> 2.0
+        assert selective_fanout_multiplier(0, 0, 8, 0.0, 0.0) == 1.0
+        assert selective_fanout_multiplier(8, 0, 8, 1.0, 1.0) == 2.0
+        # exact weighted formula at an interior point
+        got = selective_fanout_multiplier(2, 0, 8, 0.5, 0.25)
+        assert abs(got - (1.0 + (0.4 * 0.25 + 0.4 * 0.5 + 0.2 * 0.25))
+                   ) < 1e-12
+        # degenerate window (descLimit <= startLevel): depth term 0
+        assert selective_fanout_multiplier(5, 3, 3, 0.0, 0.0) == 1.0
+        # cost-efficiency score edge cases (Java :50-60)
+        assert fanout_cost_efficiency(1.0, 0.0) == 0.0
+        assert fanout_cost_efficiency(0.0, 2.0) == 1.0
+        assert fanout_cost_efficiency(1.0, 4.0) == 0.25
+        assert fanout_cost_efficiency(8.0, 2.0) == 1.0  # clamped
+
+    def test_selective_regime_cost_and_clamp(self):
+        """Selective regime never expands MORE than fanout-2 (multiplier
+        <= 2), and the minimizer clamps the chosen level to
+        ``pruningLevel(0.99, p_min)`` (``LevelCostMinimizer.java:50-53``)."""
+        from hierarchical_bloom_filter_index_ray.pipelines.planner import (
+            cost_at_level_ie, minimize_level_cost_ie, pruning_level_bloom)
+        keys = np.arange(3, dtype=np.uint64)
+        probs = np.array([0.3, 0.4, 0.35])
+        for lp in range(0, 6):
+            base = cost_at_level_ie(keys, probs, lp, 4096, 8, betas=0.01)
+            sel = cost_at_level_ie(keys, probs, lp, 4096, 8, betas=0.01,
+                                   selective=True)
+            assert sel <= base + 1e-9
+        lp_sel, _ = minimize_level_cost_ie(
+            keys, probs, 4096, 8, betas=0.01, selective=True,
+            base_interval_tokens=16.0)
+        clamp = pruning_level_bloom(16.0, 8, 0.99, float(probs.min()), 0.0)
+        assert lp_sel <= clamp
+
     def test_cost_minimizer_ie_prefers_deep_for_frequent(self):
         from hierarchical_bloom_filter_index_ray.pipelines.planner import \
             minimize_level_cost_ie
