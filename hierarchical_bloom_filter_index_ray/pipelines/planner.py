@@ -563,19 +563,22 @@ class IECostPlanner:
     betas may come from the actual filters (the CostFunctionMaxProb
     behavior) or a scalar."""
 
-    def __init__(self, fp: float, max_depth: int, *, max_order: int = 2):
+    def __init__(self, fp: float, max_depth: int, *, max_order: int = 2,
+                 selective: bool = False):
         self.fp = fp
         self.max_depth = max_depth
         self.max_order = max_order
+        self.selective = selective  # SelectiveFanout regime (off = ref default)
 
     def plan(self, cms, window_tokens: int, query_keys: np.ndarray) -> int:
         if cms is None or window_tokens <= 0:
             return 0
         est = cms.estimate(query_keys).astype(np.float64)
         probs = est / max(window_tokens, 1)
-        lp, _ = minimize_level_cost_ie(query_keys, probs, window_tokens,
-                                       self.max_depth, betas=self.fp,
-                                       max_order=self.max_order)
+        lp, _ = minimize_level_cost_ie(
+            query_keys, probs, window_tokens, self.max_depth, betas=self.fp,
+            max_order=self.max_order, selective=self.selective,
+            base_interval_tokens=window_tokens / (1 << self.max_depth))
         return lp
 
 

@@ -94,7 +94,9 @@ class BloomProbe:
                              if isinstance(markov_model, bytes)
                              else markov_model)
         # planner seam: None | "mostfreq" (MostFreqPruning) | "cost"
-        # (LevelCostMinimizer / CostFunctionIE independence model)
+        # (LevelCostMinimizer / CostFunctionIE independence model) |
+        # "ie" / "ie_selective" (full IE; SelectiveFanout regime) |
+        # "multilevel" | "setconf" | "markov"
         self.planner_kind = planner or ("mostfreq" if conf is not None
                                         else None)
         # super-level gate: {source: (win_sorted, offsets, qi_flat)} — a
@@ -253,6 +255,11 @@ class BloomProbe:
                         elif self.planner_kind == "ie":
                             planner = IECostPlanner(cfg.fp,
                                                     cfg.window_bits)
+                        elif self.planner_kind == "ie_selective":
+                            # SelectiveFanout regime (SelectiveFanout.java)
+                            planner = IECostPlanner(cfg.fp,
+                                                    cfg.window_bits,
+                                                    selective=True)
                         elif self.planner_kind == "setconf":
                             planner = SetConfPlanner(self.conf or 0.95,
                                                      cfg.window_bits)

@@ -414,7 +414,8 @@ class TestIECostFamily:
                    for i, r in enumerate(rows)]
         queries.append(("miss", [2**30 + 5]))
         plain = membership_query(idx, ds, queries, CFG).to_pandas()
-        for mode, kw in (("ie", {}), ("setconf", {"conf": 0.9})):
+        for mode, kw in (("ie", {}), ("ie_selective", {}),
+                         ("setconf", {"conf": 0.9})):
             got = membership_query(load_index(str(tmp_path / "idx")), ds,
                                    queries, CFG, planner=mode,
                                    **kw).to_pandas()
