@@ -519,6 +519,60 @@ def _q_embedding_dup_pairs(sf_dir: str):
                                     n_bits=8, seed=SEED)
 
 
+SIM_JOIN_THRESHOLD = 0.45  # natural pairs exist at every SF; nearest pair
+#   cosine is >= 1e-4 from the cut at sf<=0.1 while DuckDB's float32
+#   list_cosine_similarity differs from our float64 kernel by <= 2e-7, so
+#   both sides agree on exactly which pairs qualify.
+
+
+def _q_emb_sim_join(sf_dir: str):
+    """Exact distributed cosine threshold self-join (chunk-pair tasks over
+    a hash-partitioned store; no driver materialization). Int id pairs
+    only — DuckDB recomputes the float cosine in the oracle instead of
+    hash-comparing it."""
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray.pipelines import \
+        embedding_sim_join
+
+    slug = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = Path("/tmp/hbi_entry_cache") / f"simjoin-{slug}"
+    got = embedding_sim_join(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), str(out),
+        threshold=SIM_JOIN_THRESHOLD, chunk_rows=256, seed=SEED)
+    return got[["a", "b"]]
+
+
+def _q_knn_ivf_exact(sf_dir: str):
+    """IVF store probed with probe_all=True: the partition-pruned read
+    path must reproduce brute-force top-k EXACTLY (same SQL oracle as
+    ``knn_bruteforce``)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray.pipelines import (
+        build_ann_index, knn_indexed)
+
+    slug = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = Path("/tmp/hbi_entry_cache") / f"ann-{slug}"
+    if not (out / "ann_meta.json").exists():
+        build_ann_index(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                        str(out), n_bits=6, seed=SEED)
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    flat = head["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    x = flat.reshape(head.num_rows, -1)
+    ids = head["vec_id"].to_numpy()
+    order = np.argsort(ids)[:KNN_QUERIES]
+    q = x[order].astype(np.float64)
+    got = knn_indexed(str(out), q, k=KNN_K, probe_all=True,
+                      exclude_self=True, query_ids=ids[order])
+    got["query_id"] = ids[order][got["query_idx"].to_numpy()]
+    return got[["query_id", "neighbor_id", "rank"]]
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF/LSH-partitioned ANN: store bucketed once, query reads only
     probed bucket partitions (rows-only; recall pinned in pytest)."""
@@ -619,6 +673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_membership": _q_word_membership,
         "scoped_word_membership": _q_scoped_word_membership,
         "knn_bruteforce": _q_knn_bruteforce,
+        "knn_ivf_exact": _q_knn_ivf_exact,
+        "emb_sim_join": _q_emb_sim_join,
         # sketch / approximate (rows-only driver check; bounds tested in
         # pytest against exact oracles)
         "hll_distinct": _q_hll_distinct,
@@ -771,4 +827,19 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY q.vec_id ORDER BY "
             "list_cosine_similarity(q.embedding, e.embedding) DESC, "
             f"e.vec_id ASC) QUALIFY row_number() OVER w <= {KNN_K}"),
+        "knn_ivf_exact": (
+            # probe_all IVF == brute force: identical oracle by design
+            f"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "CAST(row_number() OVER w AS BIGINT) AS rank "
+            "FROM embeddings q, embeddings e "
+            f"WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY "
+            f"vec_id LIMIT {KNN_QUERIES}) AND e.vec_id != q.vec_id "
+            "WINDOW w AS (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, e.embedding) DESC, "
+            f"e.vec_id ASC) QUALIFY row_number() OVER w <= {KNN_K}"),
+        "emb_sim_join": (
+            "SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= "
+            f"{SIM_JOIN_THRESHOLD}"),
     }

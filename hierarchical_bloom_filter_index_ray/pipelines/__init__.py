@@ -4,8 +4,8 @@ from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
     membership_query, membership_query_table
 from .similarity import (build_ann_index, embedding_dedup,
-                         embedding_near_dup_pairs, knn_bruteforce,
-                         knn_indexed, knn_lsh)
+                         embedding_near_dup_pairs, embedding_sim_join,
+                         knn_bruteforce, knn_indexed, knn_lsh)
 from .stats import (build_global_sketches, build_ngram_model,
                     distinct_tokens, heavy_hitters, ntok_quantiles)
 from .relational import (pricing_summary, revenue_by_priority,
@@ -20,6 +20,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard", "knn_bruteforce", "knn_lsh", "build_ann_index",
     "knn_indexed", "embedding_near_dup_pairs", "embedding_dedup",
+    "embedding_sim_join",
     "build_global_sketches", "distinct_tokens", "heavy_hitters",
     "ntok_quantiles",
     "build_super_index", "load_super_meta", "super_prune",

@@ -170,6 +170,114 @@ def embedding_near_dup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def embedding_sim_join(ds: "rd.Dataset", out_dir: str, *,
+                       threshold: float, chunk_rows: int = 8192,
+                       n_chunks: int | None = None, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       concurrency=None) -> pd.DataFrame:
+    """EXACT cosine threshold self-join -> every unordered pair (a < b)
+    with cosine >= threshold. The similarity-join analogue of
+    ``knn_bruteforce``: answers are exact, so it doubles as the oracle for
+    the subquadratic LSH path (``embedding_near_dup_pairs``).
+
+    Two phases, neither materializes the corpus on the driver:
+
+    1. normalize vectors (float64) and hash-partition rows into K chunk
+       partitions of a parquet store (one pass, partitioned write);
+    2. one task per unordered chunk pair (i <= j): read ONLY those two
+       chunks, one matmul, emit qualifying id pairs. K(K+1)/2 independent
+       tasks scheduled by Ray Data — O(n^2 d) total work split evenly,
+       per-task memory bounded by 2 chunks. Each id pair is covered by
+       exactly one task (the (min,max) of the two rows' chunk ids).
+    """
+    import json
+    import math
+    from pathlib import Path
+
+    from ..stages.resources import default_concurrency
+    from ..state.splitmix import hash_u64
+
+    if concurrency is None:
+        concurrency = default_concurrency()
+    part_seed = derive_seed(seed, "simjoin_chunk")
+    n = ds.count()
+    k_chunks = n_chunks or max(1, math.ceil(n / chunk_rows))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch[vec_col])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        chunk = (hash_u64(ids.astype(np.uint64), part_seed)
+                 % np.uint64(k_chunks)).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "vec": pa.array(list(x), pa.list_(pa.float64())),
+            "chunk": pa.array(chunk, pa.int64()),
+        })
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if (out / "chunks").exists():      # a re-run must not append duplicate
+        import shutil                  # chunk files (pairs would multiply)
+        shutil.rmtree(out / "chunks")
+    (ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+       .write_parquet(str(out / "chunks"), partition_cols=["chunk"]))
+    (out / "simjoin_meta.json").write_text(json.dumps(
+        {"n_chunks": k_chunks, "threshold": threshold, "seed": seed}))
+
+    chunk_root = out / "chunks"
+
+    def scan_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        frames = []
+        for i, j in zip(batch["i"], batch["j"]):
+            def load(c):
+                d = chunk_root / f"chunk={c}"
+                files = sorted(d.glob("*.parquet"))
+                if not files:
+                    return None, None
+                t = pa.concat_tables([pq.read_table(f) for f in files])
+                ids = t["vec_id"].to_numpy(zero_copy_only=False)
+                m = _matrix(t["vec"])
+                return ids, m
+            ids_i, xi = load(i)
+            if ids_i is None:
+                continue
+            if i == j:
+                ids_j, xj = ids_i, xi
+            else:
+                ids_j, xj = load(j)
+                if ids_j is None:
+                    continue
+            sims = xi @ xj.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a = ids_i[ai]
+            b = ids_j[bj]
+            keep = a != b
+            a, b = a[keep], b[keep]
+            cos = sims[ai[keep], bj[keep]]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            if i == j:                       # each pair appears twice
+                keep2 = a < b
+                lo, hi, cos = lo[keep2], hi[keep2], cos[keep2]
+            frames.append(pd.DataFrame({"a": lo, "b": hi, "cosine": cos}))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    tasks = [{"i": i, "j": j} for i in range(k_chunks)
+             for j in range(i, k_chunks)]
+    res = (rd.from_items(tasks).map_batches(
+        scan_pairs, batch_format="pandas", batch_size=4).to_pandas())
+    res["a"] = res["a"].astype(np.int64)
+    res["b"] = res["b"].astype(np.int64)
+    return res.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def embedding_dedup(ds: "rd.Dataset", **kwargs) -> pd.DataFrame:
     """-> (vec_id, cluster_id) for every vector in a near-dup cluster
     (union-find over the verified pair list, like ``minhash_dedup``)."""
@@ -214,10 +322,18 @@ def build_ann_index(ds: "rd.Dataset", out_dir: str, *, n_bits: int = 8,
 
 
 def knn_indexed(out_dir: str, query_vectors: np.ndarray, k: int = 10, *,
-                multiprobe: int = 1, concurrency=None) -> pd.DataFrame:
+                multiprobe: int = 1, probe_all: bool = False,
+                exclude_self: bool = False,
+                query_ids: np.ndarray | None = None,
+                concurrency=None) -> pd.DataFrame:
     """Exact cosine top-k over ONLY the probed bucket partitions of a
     ``build_ann_index`` store (query's bucket + Hamming-1 neighbors under
-    ``multiprobe``). Same output schema as ``knn_lsh``."""
+    ``multiprobe``). Same output schema as ``knn_lsh``.
+
+    ``probe_all=True`` probes EVERY bucket partition: results are then
+    provably identical to ``knn_bruteforce`` over the same corpus (the
+    store is a partition of it), which makes the store's read path
+    SQL-oracle-checkable while still exercising the partitioned layout."""
     import json
     from pathlib import Path
 
@@ -229,11 +345,15 @@ def knn_indexed(out_dir: str, query_vectors: np.ndarray, k: int = 10, *,
     planes = _hyperplanes(q.shape[1], n_bits,
                           derive_seed(meta["seed"], "ann_lsh"))
     qb = lsh_bucket_ids(q, planes)
-    probe: set[int] = set(qb.tolist())
-    if multiprobe:
-        for b in qb.tolist():
-            for j in range(n_bits):
-                probe.add(b ^ (1 << j))
+    if probe_all:
+        probe = {int(p.name.split("=", 1)[1])
+                 for p in (Path(out_dir) / "buckets").glob("bucket=*")}
+    else:
+        probe = set(qb.tolist())
+        if multiprobe:
+            for b in qb.tolist():
+                for j in range(n_bits):
+                    probe.add(b ^ (1 << j))
     # read ONLY probed partitions (hive dirs exist per present bucket)
     paths = [str(f) for b in sorted(probe)
              for f in sorted((Path(out_dir) / "buckets"
@@ -246,12 +366,17 @@ def knn_indexed(out_dir: str, query_vectors: np.ndarray, k: int = 10, *,
     if concurrency is None:
         concurrency = default_concurrency()
     ref = ray.put(q)
+    k_local = k + 1 if exclude_self else k
     parts = ds.map_batches(
         _BatchTopK, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=4096, concurrency=concurrency,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k_local,
                                "id_col": meta["id_col"],
                                "vec_col": meta["vec_col"]}).to_pandas()
+    if exclude_self and query_ids is not None:
+        qi = parts["query_idx"].to_numpy()
+        parts = parts[parts["neighbor_id"].to_numpy()
+                      != np.asarray(query_ids)[qi]]
     return _merge_topk(parts, k)
 
 

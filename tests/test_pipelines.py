@@ -317,6 +317,44 @@ class TestAnnIndex:
             g = top1[top1["query_idx"] == qi]
             assert len(g) == 1 and int(g["neighbor_id"].iloc[0]) == ids[qi]
             assert g["cosine"].iloc[0] == pytest.approx(1.0)
+        # probe_all: partition-pruned read path == brute force, exactly
+        got_all = knn_indexed(str(tmp_path / "ann"), q, k=5,
+                              probe_all=True)
+        bf = knn_bruteforce(ds, q, k=5, exclude_self=False)
+        a = got_all[["query_idx", "neighbor_id", "rank"]].reset_index(
+            drop=True)
+        b = bf[["query_idx", "neighbor_id", "rank"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_embedding_sim_join_exact(self, ray_session, tmp_path):
+        """Chunk-pair threshold self-join == numpy all-pairs oracle at
+        several chunk counts (pair coverage is partition-invariant)."""
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            embedding_sim_join
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        flat = emb["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        x = flat.reshape(emb.num_rows, -1).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        ids = emb["vec_id"].to_numpy()
+        sims = x @ x.T
+        iu = np.triu_indices(len(x), 1)
+        thr = 0.4
+        sel = sims[iu] >= thr
+        want = sorted(zip(np.minimum(ids[iu[0]], ids[iu[1]])[sel],
+                          np.maximum(ids[iu[0]], ids[iu[1]])[sel]))
+        assert len(want) > 5  # threshold chosen so the join is non-trivial
+        for ci, chunk_rows in enumerate((64, 197, 10_000)):
+            ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+            got = embedding_sim_join(
+                ds, str(tmp_path / f"sj{ci}"), threshold=thr,
+                chunk_rows=chunk_rows, seed=7)
+            assert sorted(zip(got["a"], got["b"])) == want
+            np.testing.assert_allclose(
+                got["cosine"].to_numpy(),
+                [sims[np.nonzero(ids == a)[0][0],
+                      np.nonzero(ids == b)[0][0]]
+                 for a, b in zip(got["a"], got["b"])], rtol=1e-12)
 
 
 class TestTrigrams:
