@@ -272,6 +272,14 @@ def _q_revenue_by_priority(sf_dir: str):
     return revenue_by_priority(sf_dir)
 
 
+def _q_events_asof(sf_dir: str):
+    """Backward as-of join (click -> user's latest purchase at-or-before)
+    via the union + groupby(by) + searchsorted composition."""
+    from hierarchical_bloom_filter_index_ray.pipelines.events import \
+        clicks_last_purchase
+    return clicks_last_purchase(sf_dir)
+
+
 def _q_events_sessionize(sf_dir: str):
     """Per-user session windows (gap > 30 min starts a new session)."""
     import numpy as np
@@ -662,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_per_source": _q_heavy_hitters_per_source,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
         "pricing_summary": _q_pricing_summary,
         "top_customers_by_spend": _q_top_customers,
         "revenue_by_priority": _q_revenue_by_priority,
@@ -784,6 +793,14 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(MAX(ts)) AS session_end, COUNT(*) AS n_events, "
             "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
             "FROM s GROUP BY user_id, sess"),
+        "events_asof": (
+            # backward as-of: newest purchase at-or-before each click
+            "SELECT l.event_id AS event_id, l.user_id AS user_id, "
+            "r.event_id AS purchase_event_id, "
+            "CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = "
+            "'purchase') r ON l.user_id = r.user_id AND l.ts >= r.ts"),
         "exact_dedup_rows": (
             # duplicate = identical whitespace-token sequence (tokenize.py
             # semantics); survivor = min doc_id

@@ -64,3 +64,118 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> "rd.Dataset":
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "value"])
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str, on: str,
+              right_select: dict[str, str]) -> "rd.Dataset":
+    """Backward as-of join: each left row pairs with the NEWEST right row
+    whose ``on`` <= the left row's ``on`` within the same ``by`` key
+    (inner — unmatched left rows drop). Ray Data has no native as-of
+    join; this is the documented composition: tag sides -> union ->
+    ``groupby(by)`` (ONE hash shuffle co-locating both sides) ->
+    per-group vectorized ``searchsorted``.
+
+    ``right_select`` maps right columns to their output names (e.g.
+    ``{"event_id": "purchase_event_id"}``); all left columns pass
+    through. Partitioning assumption: one ``by`` key's full history fits
+    in a single group — true for bounded per-entity streams; pre-split a
+    pathological hot key by time range upstream if not.
+    """
+    import pandas as pd
+
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_names = list(left_schema.names)
+    out_names = list(right_select.values())
+    r_types = {f"__r_{dst}": right_schema.types[
+        right_schema.names.index(src)]
+        for src, dst in right_select.items()}
+
+    # both sides normalize to ONE schema (left cols + null-padded right
+    # cols and vice versa) so the union is exact, not best-effort
+    def norm_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in left_names}
+        for name, typ in r_types.items():
+            cols[name] = pa.nulls(batch.num_rows, typ)
+        cols["__side"] = pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    def norm_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for i, c in enumerate(left_names):
+            cols[c] = batch[c] if c in (by, on) else pa.nulls(
+                batch.num_rows, left_schema.types[i])
+        for src, dst in right_select.items():
+            cols[f"__r_{dst}"] = batch[src]
+        cols["__side"] = pa.array(
+            np.ones(batch.num_rows, dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    lt = left.map_batches(norm_left, batch_format="pyarrow")
+    rt = right.map_batches(norm_right, batch_format="pyarrow")
+
+    # null padding makes int columns float in the pandas group frame;
+    # restore the declared dtypes on the (null-free) joined output
+    want = {c: pd.api.types.pandas_dtype(
+        left_schema.types[i].to_pandas_dtype())
+        for i, c in enumerate(left_schema.names)}
+    for name, typ in r_types.items():
+        want[name.removeprefix("__r_")] = pd.api.types.pandas_dtype(
+            typ.to_pandas_dtype())
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["__side"] == 0]
+        rrows = g[g["__side"] == 1].sort_values(on, kind="stable")
+        if not len(lrows) or not len(rrows):
+            return pd.DataFrame({c: pd.Series([], dtype=want[c])
+                                 for c in left_names + out_names})
+        idx = np.searchsorted(rrows[on].to_numpy(),
+                              lrows[on].to_numpy(), side="right") - 1
+        hit = idx >= 0
+        lrows = lrows[hit]
+        picked = rrows.iloc[idx[hit]]
+        out = lrows[left_names].reset_index(drop=True)
+        for d in out_names:
+            out[d] = picked[f"__r_{d}"].to_numpy()
+        for c in out.columns:
+            out[c] = out[c].astype(want[c])
+        return out
+
+    return lt.union(rt).groupby(by).map_groups(per_key,
+                                               batch_format="pandas")
+
+
+def clicks_last_purchase(sf_dir: str) -> "rd.Dataset":
+    """As-of join demo over the events stream: every click matched to the
+    user's most recent purchase at-or-before the click ->
+    (event_id, user_id, purchase_event_id, lag_us). Exact DuckDB
+    equivalent: ``ASOF JOIN ... ON l.user_id = r.user_id AND
+    l.ts >= r.ts``."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def pick(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["event_type"], kind)
+            return batch.filter(m).select(["event_id", "ts", "user_id"])
+        return f
+
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    joined = asof_join(clicks, purchases, by="user_id", on="ts",
+                       right_select={"event_id": "purchase_event_id",
+                                     "ts": "purchase_ts"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lag = pc.subtract(batch["ts"].cast(pa.int64()),
+                          batch["purchase_ts"].cast(pa.int64()))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "purchase_event_id": batch["purchase_event_id"],
+            "lag_us": lag,
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

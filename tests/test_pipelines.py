@@ -249,6 +249,34 @@ class TestTextAndEvents:
         u13 = got[got["user_id"] == df["user_id"].iloc[0]]
         assert len(u13) >= 1
 
+    def test_asof_join_vs_pandas_merge_asof(self, ray_session):
+        """clicks_last_purchase == pandas merge_asof per user, including
+        users with clicks-but-no-purchases (drop) and int64 dtypes
+        preserved through the null-padded union."""
+        from hierarchical_bloom_filter_index_ray.pipelines.events import \
+            clicks_last_purchase
+        got = clicks_last_purchase(SF).to_pandas().sort_values(
+            "event_id").reset_index(drop=True)
+        assert {str(t) for t in got.dtypes} == {"int64"}
+        df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        clicks = df[df["event_type"] == "click"].sort_values("ts")
+        purch = df[df["event_type"] == "purchase"].sort_values("ts")
+        exact = pd.merge_asof(clicks, purch, on="ts", by="user_id",
+                              direction="backward",
+                              suffixes=("", "_p")).dropna(
+            subset=["event_id_p"])
+        exact = exact.sort_values("event_id").reset_index(drop=True)
+        assert got["event_id"].tolist() == exact["event_id"].tolist()
+        assert got["purchase_event_id"].tolist() == \
+            exact["event_id_p"].astype(np.int64).tolist()
+        # merge_asof drops the matched right ts; recompute lag directly
+        pts = purch.set_index("event_id")["ts"]
+        lag = (exact["ts"].values
+               - pts.loc[exact["event_id_p"].astype(np.int64)].values)
+        assert got["lag_us"].tolist() == (
+            lag.astype("timedelta64[us]").astype(np.int64).tolist())
+        assert (got["lag_us"] >= 0).all()
+
 
 class TestMultimodal:
     def test_real_decoder_raises(self):
