@@ -684,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf_exact": _q_knn_ivf_exact,
         "emb_sim_join": _q_emb_sim_join,
+        "lang_id_pred": _q_lang_id_pred,
         # sketch / approximate (rows-only driver check; bounds tested in
         # pytest against exact oracles)
         "hll_distinct": _q_hll_distinct,
@@ -695,7 +696,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
-        "lang_id_pred": _q_lang_id_pred,
         "doc_fingerprints": _q_doc_fingerprints,
         "media_features": _q_media_features,
         "index_manifest": _q_index_manifest,
@@ -859,4 +859,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= "
             f"{SIM_JOIN_THRESHOLD}"),
+        "lang_id_pred": _lang_id_oracle_sql(),
     }
+
+
+def _lang_id_oracle_sql() -> str:
+    """SQL re-derivation of the stopword-profile language heuristic
+    (functions/textstats.py lang_id): score(lang) = occurrences of the
+    lang's stopwords / max(#words, 1); argmax with lang-ascending
+    tie-break (numpy argmax over langs sorted); all-zero scores ->
+    'und'."""
+    from hierarchical_bloom_filter_index_ray.functions.textstats import \
+        _LANG_PROFILES
+
+    prof_vals = ", ".join(f"('{lang}', '{w}')"
+                          for lang in sorted(_LANG_PROFILES)
+                          for w in sorted(_LANG_PROFILES[lang]))
+    return (
+        "WITH w AS (SELECT doc_id, w FROM (SELECT doc_id, unnest("
+        "regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents) "
+        "WHERE w <> ''), "
+        "dn AS (SELECT d.doc_id, GREATEST(COALESCE(c.cnt, 0), 1) AS nw "
+        "FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt "
+        "FROM w GROUP BY 1) c USING (doc_id)), "
+        f"prof(lang, pw) AS (VALUES {prof_vals}), "
+        "hits AS (SELECT w.doc_id, prof.lang, COUNT(*) AS h FROM w "
+        "JOIN prof ON w.w = prof.pw GROUP BY 1, 2), "
+        "scored AS (SELECT dn.doc_id, l.lang, "
+        "CAST(COALESCE(h.h, 0) AS DOUBLE) / dn.nw AS score FROM dn "
+        "CROSS JOIN (SELECT DISTINCT lang FROM prof) l LEFT JOIN hits h "
+        "ON h.doc_id = dn.doc_id AND h.lang = l.lang), "
+        "pred AS (SELECT doc_id, CASE WHEN MAX(score) OVER "
+        "(PARTITION BY doc_id) <= 0 THEN 'und' ELSE lang END AS "
+        "lang_pred, row_number() OVER (PARTITION BY doc_id ORDER BY "
+        "score DESC, lang ASC) AS rn FROM scored) "
+        "SELECT lang_pred, COUNT(*) AS cnt FROM pred WHERE rn = 1 "
+        "GROUP BY 1")
