@@ -232,6 +232,22 @@ def _q_events_hourly(sf_dir: str):
     return out[["event_type", "window_start", "n_events", "sum_cents"]]
 
 
+def _q_events_sliding(sf_dir: str):
+    """Hopping/sliding windows (60 min length, 15 min hop): each event
+    counted in 4 overlapping windows."""
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_ray.pipelines.events import \
+        hopping_window_agg
+
+    out = hopping_window_agg(sf_dir, window_minutes=60,
+                             hop_minutes=15).to_pandas()
+    out["sum_cents"] = np.round(out["sum_value"] * 100).astype(np.int64)
+    out["window_start"] = (out["window_start"].astype("datetime64[s]")
+                           .astype("int64"))
+    return out[["event_type", "window_start", "n_events", "sum_cents"]]
+
+
 def _q_event_value_quantiles(sf_dir: str):
     """Exact quantiles of events.value via distributed value histogram +
     driver cumsum (left-continuous pick == duckdb quantile_disc)."""
@@ -669,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_quantiles_exact": _q_ntok_quantiles_exact,
         "heavy_hitters_per_source": _q_heavy_hitters_per_source,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
         "pricing_summary": _q_pricing_summary,
@@ -757,6 +774,14 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) AS window_start, COUNT(*) AS n_events, "
             "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY 1, 2"),
+        "events_sliding": (
+            # 60-min windows hopping every 15 min: event at t covers the
+            # 4 windows starting at floor(t/hop)*hop - k*hop, k=0..3
+            "SELECT event_type, CAST(((epoch_us(ts) // 900000000) * "
+            "900000000 - t.k * 900000000) // 1000000 AS BIGINT) AS "
+            "window_start, COUNT(*) AS n_events, "
+            "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
+            "FROM events, range(0, 4) AS t(k) GROUP BY 1, 2"),
         "pricing_summary": (
             # integer-cent sums: both engines round PER ROW then sum ints
             "SELECT l_returnflag, l_linestatus, "

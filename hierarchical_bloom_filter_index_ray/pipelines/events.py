@@ -41,6 +41,40 @@ def tumbling_window_agg(sf_dir: str, *, window_minutes: int = 60
                        Sum("value", alias_name="sum_value")))
 
 
+def hopping_window_agg(sf_dir: str, *, window_minutes: int = 60,
+                       hop_minutes: int = 15) -> "rd.Dataset":
+    """Sliding/hopping event-time windows: length ``window_minutes``,
+    advancing every ``hop_minutes`` (must divide it). Each event lands in
+    ``window/hop`` overlapping windows — the map side REPLICATES the row
+    per covering window (vectorized repeat; fan-out factor is the small
+    constant window/hop, not data-dependent), then the usual pre-combined
+    groupby. Output: (event_type, window_start, n_events, sum_value)."""
+    if window_minutes % hop_minutes:
+        raise ValueError("hop_minutes must divide window_minutes")
+    hop_us = hop_minutes * 60 * 1_000_000
+    fanout = window_minutes // hop_minutes
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        last = (ts // hop_us) * hop_us        # newest window containing t
+        k = np.tile(np.arange(fanout, dtype=np.int64), len(ts))
+        win = np.repeat(last, fanout) - k * hop_us
+        rep = pa.array(np.repeat(np.arange(len(ts)), fanout))
+        return pa.table({
+            "event_type": batch["event_type"].take(rep),
+            "window_start": pa.array(win).cast(pa.timestamp("us")),
+            "value": batch["value"].take(rep),
+        })
+
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby(["event_type", "window_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value", alias_name="sum_value")))
+
+
 def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> "rd.Dataset":
     """Per-user session windows (session = events gapped < gap_minutes):
     sorted per-user pandas logic inside ``groupby(user_id).map_groups``.

@@ -249,6 +249,31 @@ class TestTextAndEvents:
         u13 = got[got["user_id"] == df["user_id"].iloc[0]]
         assert len(u13) >= 1
 
+    def test_hopping_window_vs_pandas(self, ray_session):
+        from hierarchical_bloom_filter_index_ray.pipelines.events import \
+            hopping_window_agg
+        got = hopping_window_agg(SF, window_minutes=60,
+                                 hop_minutes=15).to_pandas()
+        df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        # every event is in exactly window/hop = 4 windows
+        assert got["n_events"].sum() == 4 * len(df)
+        rows = []
+        hop = pd.Timedelta(minutes=15)
+        for k in range(4):
+            d = df.copy()
+            d["window_start"] = d["ts"].dt.floor("15min") - k * hop
+            rows.append(d)
+        exact = (pd.concat(rows).groupby(["event_type", "window_start"])
+                 .agg(n_events=("event_id", "count"),
+                      sum_value=("value", "sum")).reset_index())
+        m = exact.merge(got, on=["event_type", "window_start"],
+                        suffixes=("_x", "_y"))
+        assert len(m) == len(exact) == len(got)
+        assert (m["n_events_x"] == m["n_events_y"]).all()
+        assert np.allclose(m["sum_value_x"], m["sum_value_y"])
+        with pytest.raises(ValueError):
+            hopping_window_agg(SF, window_minutes=60, hop_minutes=25)
+
     def test_asof_join_vs_pandas_merge_asof(self, ray_session):
         """clicks_last_purchase == pandas merge_asof per user, including
         users with clicks-but-no-purchases (drop) and int64 dtypes
