@@ -100,6 +100,19 @@ def _q_token_count(sf_dir: str):
     return token_counts(sf_dir)
 
 
+def _q_subword_counts(sf_dir: str):
+    """BPE-ish subword count per doc: one RE2 kernel both engines share
+    (Arrow count_substring_regex == DuckDB regexp_extract_all length)."""
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray.functions import subword_counts
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(subword_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .select_columns(["doc_id", "n_subwords"]))
+
+
 def _q_lang_dist(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -676,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled (exact parity with DuckDB)
         "token_count": _q_token_count,
+        "subword_counts": _q_subword_counts,
         "lang_dist": _q_lang_dist,
         "source_token_totals": _q_source_token_totals,
         "top_words": _q_top_words,
@@ -726,9 +740,16 @@ def oracle_sql() -> dict[str, str]:
     quant_union = " UNION ALL ".join(
         f"SELECT CAST({q} AS DOUBLE) AS q, quantile_disc(n_tok, {q}) AS "
         f"n_tok FROM tc" for q in QUANTILES)
+    from hierarchical_bloom_filter_index_ray.functions import \
+        SUBWORD_PATTERN
+    subword_pat = SUBWORD_PATTERN.replace("'", "''")
     return {
         "token_count": (
             f"SELECT doc_id, {_NTOK} AS n_tok, source FROM documents"),
+        "subword_counts": (
+            # same RE2 pattern the Arrow kernel counts with
+            f"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            f"'{subword_pat}')) AS BIGINT) AS n_subwords FROM documents"),
         "lang_dist": (
             "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang"),
         "source_token_totals": (

@@ -109,6 +109,25 @@ def lang_id(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
                                                pa.array(best_score, pa.float64()))
 
 
+# GPT-2-style pre-tokenization shape (contractions | space-prefixed letter /
+# digit / punctuation runs | whitespace runs), restricted to RE2 syntax (no
+# lookahead) so Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all segment text identically.
+SUBWORD_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                   r"| ?[^ \tA-Za-z0-9]+|[ \t]+")
+
+
+def subword_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """BPE-ish subword token count per doc: one vectorized RE2 kernel
+    (``pc.count_substring_regex``), no per-row Python. A proxy for
+    model-tokenizer cost accounting next to the whitespace ``n_tok``."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = pc.count_substring_regex(texts, SUBWORD_PATTERN).cast(pa.int64())
+    return batch.append_column("n_subwords", n)
+
+
 def doc_fingerprint(flat_tokens: np.ndarray, offsets: np.ndarray,
                     seed: int) -> np.ndarray:
     """Order-sensitive 64-bit content fingerprint per doc: sum (mod 2^64) of

@@ -118,6 +118,22 @@ class TestTextStats:
         out = lang_id(t)
         assert out["lang_pred"].to_pylist() == ["en", "es", "und"]
 
+    def test_subword_counts_matches_re(self):
+        """Arrow RE2 kernel == Python re.findall with the same pattern,
+        incl. empty text, unicode, contractions and digit runs."""
+        import re
+
+        from hierarchical_bloom_filter_index_ray.functions import (
+            SUBWORD_PATTERN, subword_counts)
+        texts = ["hello world's 42 cats!!", "  a b", "", "it'll rain 3.5mm",
+                 "тест юникод", "tab\there", "'s's's", "a" * 5000]
+        batch = pa.table({"doc_id": list(range(len(texts))),
+                          "text": texts})
+        out = subword_counts(batch)
+        want = [len(re.findall(SUBWORD_PATTERN, t)) for t in texts]
+        assert out["n_subwords"].to_pylist() == want
+        assert out["n_subwords"].type == pa.int64()
+
     def test_fingerprint_order_sensitive(self):
         a = np.array([1, 2, 3], dtype=np.int32)
         b = np.array([3, 2, 1], dtype=np.int32)
