@@ -309,6 +309,15 @@ def _q_events_asof(sf_dir: str):
     return clicks_last_purchase(sf_dir)
 
 
+def _q_events_band_join(sf_dir: str):
+    """Non-equi band join: purchases in the 5-minute look-back band of
+    each error event (bucket-replication pattern, exact counts)."""
+    from hierarchical_bloom_filter_index_ray.pipelines.events import \
+        band_join_count
+    return band_join_count(sf_dir, left_type="error",
+                           right_type="purchase", lookback_minutes=5)
+
+
 def _q_events_sessionize(sf_dir: str):
     """Per-user session windows (gap > 30 min starts a new session)."""
     import numpy as np
@@ -702,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
+        "events_band_join": _q_events_band_join,
         "pricing_summary": _q_pricing_summary,
         "top_customers_by_spend": _q_top_customers,
         "revenue_by_priority": _q_revenue_by_priority,
@@ -839,6 +849,13 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(MAX(ts)) AS session_end, COUNT(*) AS n_events, "
             "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
             "FROM s GROUP BY user_id, sess"),
+        "events_band_join": (
+            # purchases in (t - 5 min, t] per error event; zero counts kept
+            "SELECT e.event_id AS event_id, COUNT(p.event_id) AS n_right "
+            "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type = "
+            "'purchase') p ON p.ts > e.ts - INTERVAL 5 MINUTE "
+            "AND p.ts <= e.ts GROUP BY e.event_id"),
         "events_asof": (
             # backward as-of: newest purchase at-or-before each click
             "SELECT l.event_id AS event_id, l.user_id AS user_id, "

@@ -180,6 +180,68 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str, on: str,
                                                batch_format="pandas")
 
 
+def band_join_count(sf_dir: str, *, left_type: str = "error",
+                    right_type: str = "purchase",
+                    lookback_minutes: int = 5) -> "rd.Dataset":
+    """Non-equi band join: for every ``left_type`` event at time t, count
+    ``right_type`` events (any user) in the look-back band (t-Δ, t].
+
+    The range-join scale pattern: both sides bucket by Δ-wide time
+    buckets; each RIGHT row replicates to its bucket and the next one
+    (constant 2x fan-out — a right in (t-Δ, t] can only live in the
+    left's bucket or the previous one), then ONE groupby co-locates each
+    left with every right it can match and a per-group ``searchsorted``
+    difference counts the band. No all-pairs, no driver loop.
+    Output: (event_id, n_right) — exact, LEFT-join semantics (zero
+    counts kept)."""
+    import pandas as pd
+
+    band_us = lookback_minutes * 60 * 1_000_000
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        typ = batch["event_type"].to_numpy(zero_copy_only=False)
+        bucket = ts // band_us
+        out_id, out_ts, out_bucket, out_side = [], [], [], []
+        lm = typ == left_type
+        out_id.append(batch["event_id"].to_numpy(
+            zero_copy_only=False)[lm])
+        out_ts.append(ts[lm])
+        out_bucket.append(bucket[lm])
+        out_side.append(np.zeros(lm.sum(), dtype=np.int8))
+        rm = typ == right_type
+        for shift in (0, 1):                 # right rows: bucket, bucket+1
+            out_id.append(np.full(rm.sum(), -1, dtype=np.int64))
+            out_ts.append(ts[rm])
+            out_bucket.append(bucket[rm] + shift)
+            out_side.append(np.ones(rm.sum(), dtype=np.int8))
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "ts_us": pa.array(np.concatenate(out_ts), pa.int64()),
+            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+            "side": pa.array(np.concatenate(out_side), pa.int8()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["side"] == 0]
+        if not len(lrows):
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "n_right": pd.Series([], dtype=np.int64)})
+        rts = np.sort(g.loc[g["side"] == 1, "ts_us"].to_numpy())
+        lt = lrows["ts_us"].to_numpy()
+        n = (np.searchsorted(rts, lt, side="right")
+             - np.searchsorted(rts, lt - band_us, side="right"))
+        return pd.DataFrame({"event_id": lrows["event_id"].to_numpy(),
+                             "n_right": n.astype(np.int64)})
+
+    return (ev.map_batches(assign, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))
+
+
 def clicks_last_purchase(sf_dir: str) -> "rd.Dataset":
     """As-of join demo over the events stream: every click matched to the
     user's most recent purchase at-or-before the click ->

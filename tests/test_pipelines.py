@@ -249,6 +249,27 @@ class TestTextAndEvents:
         u13 = got[got["user_id"] == df["user_id"].iloc[0]]
         assert len(u13) >= 1
 
+    def test_band_join_count_vs_pandas(self, ray_session):
+        """Bucket-replicated band join == brute-force interval counts,
+        including zero-count left rows kept (LEFT semantics) and band
+        boundaries (exclusive low, inclusive high)."""
+        from hierarchical_bloom_filter_index_ray.pipelines.events import \
+            band_join_count
+        got = band_join_count(SF, left_type="error", right_type="purchase",
+                              lookback_minutes=5).to_pandas()
+        df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        left = df[df["event_type"] == "error"]
+        rts = np.sort(df.loc[df["event_type"] == "purchase", "ts"]
+                      .astype("int64").to_numpy())
+        lt = left["ts"].astype("int64").to_numpy()
+        band = 5 * 60 * 1_000_000
+        want = (np.searchsorted(rts, lt, side="right")
+                - np.searchsorted(rts, lt - band, side="right"))
+        m = left.assign(want=want).merge(got, on="event_id")
+        assert len(m) == len(left) == len(got)
+        assert (m["want"] == m["n_right"]).all()
+        assert (got["n_right"] == 0).any()  # LEFT semantics exercised
+
     def test_hopping_window_vs_pandas(self, ray_session):
         from hierarchical_bloom_filter_index_ray.pipelines.events import \
             hopping_window_agg
