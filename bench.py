@@ -54,7 +54,7 @@ def bench_config():
 
 
 STAGES = set((os.environ.get("GRAFT_BENCH_STAGES") or
-              "build,docs,query,sketch,dedup").split(","))
+              "build,docs,query,sketch,dedup,joins,simjoin").split(","))
 
 
 def main(gen_only: bool = False) -> None:
@@ -186,6 +186,32 @@ def main(gen_only: bool = False) -> None:
         minhash_lsh_pairs(sequences_table(SF_DIR, seed=SEED), cfg,
                           threshold=0.6)
         timings["minhash_lsh"] = time.perf_counter() - t0
+
+    # -- time-series join operators over the events table
+    if "joins" in STAGES:
+        from hierarchical_bloom_filter_index_ray.pipelines.events import (
+            band_join_count, clicks_last_purchase, hopping_window_agg)
+        t0 = time.perf_counter()
+        clicks_last_purchase(SF_DIR).materialize()
+        timings["asof_join"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        band_join_count(SF_DIR).materialize()
+        timings["band_join"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        hopping_window_agg(SF_DIR).materialize()
+        timings["hopping_window"] = time.perf_counter() - t0
+
+    # -- exact cosine similarity threshold join (chunk-pair tasks)
+    if "simjoin" in STAGES:
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            embedding_sim_join
+        sj_dir = f"{SCRATCH}/simjoin"
+        shutil.rmtree(sj_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        embedding_sim_join(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), sj_dir,
+            threshold=0.45, chunk_rows=512, seed=SEED)
+        timings["emb_sim_join"] = time.perf_counter() - t0
 
     total = sum(timings.values())
     print(json.dumps({

@@ -75,55 +75,88 @@ def hopping_window_agg(sf_dir: str, *, window_minutes: int = 60,
                        Sum("value", alias_name="sum_value")))
 
 
-def sessionize(sf_dir: str, *, gap_minutes: int = 30) -> "rd.Dataset":
-    """Per-user session windows (session = events gapped < gap_minutes):
-    sorted per-user pandas logic inside ``groupby(user_id).map_groups``.
-    Output one row per session: (user_id, session_start, session_end,
-    n_events, sum_value)."""
+def sessionize(sf_dir: str, *, gap_minutes: int = 30,
+               num_buckets: int = 64) -> "rd.Dataset":
+    """Per-user session windows (session = events gapped < gap_minutes).
+    Users hash into ``num_buckets`` bounded groups (one key's events stay
+    together; a per-user ``map_groups`` would make millions of tiny
+    pandas groups); inside a bucket the session split is one vectorized
+    sort + diff/cumsum across ALL its users. Output one row per session:
+    (user_id, session_start, session_end, n_events, sum_value)."""
     import pandas as pd
+
+    from ..state.splitmix import hash_u64
 
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_sess = (g["ts"].diff() > gap).cumsum()
-        out = g.groupby(new_sess).agg(
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        b = (hash_u64(keys, 0x5EED) % np.uint64(num_buckets)).astype(
+            np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        sess = (new_user | (g["ts"].diff() > gap)).cumsum()
+        out = g.groupby(sess).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"), session_end=("ts", "max"),
             n_events=("event_id", "count"), sum_value=("value", "sum"))
-        out["user_id"] = g["user_id"].iloc[0]
         return out.reset_index(drop=True)[
             ["user_id", "session_start", "session_end", "n_events",
              "sum_value"]]
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "value"])
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
 
 
 def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str, on: str,
-              right_select: dict[str, str]) -> "rd.Dataset":
+              right_select: dict[str, str], num_buckets: int = 64,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None) -> "rd.Dataset":
     """Backward as-of join: each left row pairs with the NEWEST right row
     whose ``on`` <= the left row's ``on`` within the same ``by`` key
     (inner — unmatched left rows drop). Ray Data has no native as-of
     join; this is the documented composition: tag sides -> union ->
-    ``groupby(by)`` (ONE hash shuffle co-locating both sides) ->
-    per-group vectorized ``searchsorted``.
+    ``groupby`` on a HASH BUCKET of the key (ONE shuffle co-locating both
+    sides; ``num_buckets`` bounded groups, not one per key — a million
+    tiny per-key pandas groups is the slow shape) -> one vectorized
+    ``pd.merge_asof(by=...)`` per bucket.
 
     ``right_select`` maps right columns to their output names (e.g.
     ``{"event_id": "purchase_event_id"}``); all left columns pass
-    through. Partitioning assumption: one ``by`` key's full history fits
-    in a single group — true for bounded per-entity streams; pre-split a
-    pathological hot key by time range upstream if not.
+    through. Partitioning assumption: a bucket's rows fit in one group's
+    memory — raise ``num_buckets`` with corpus size (buckets stay
+    balanced because keys hash uniformly; no per-key skew since one key's
+    history still lands in one bucket).
     """
     import pandas as pd
 
-    left_schema = left.schema()
-    right_schema = right.schema()
+    from ..state.splitmix import hash_u64
+
+    # pass schemas when statically known: Dataset.schema() on a lazy
+    # pipeline executes a sample block just to infer them
+    if left_schema is None:
+        left_schema = pa.schema(list(zip(left.schema().names,
+                                         left.schema().types)))
+    if right_schema is None:
+        right_schema = pa.schema(list(zip(right.schema().names,
+                                          right.schema().types)))
     left_names = list(left_schema.names)
     out_names = list(right_select.values())
     r_types = {f"__r_{dst}": right_schema.types[
         right_schema.names.index(src)]
         for src, dst in right_select.items()}
+
+    def _bucket(batch: pa.Table) -> pa.Array:
+        keys = batch[by].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array((hash_u64(keys, 0x5EED)
+                         % np.uint64(num_buckets)).astype(np.int64))
 
     # both sides normalize to ONE schema (left cols + null-padded right
     # cols and vice versa) so the union is exact, not best-effort
@@ -133,6 +166,7 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str, on: str,
             cols[name] = pa.nulls(batch.num_rows, typ)
         cols["__side"] = pa.array(
             np.zeros(batch.num_rows, dtype=np.int8), pa.int8())
+        cols["__bucket"] = _bucket(batch)
         return pa.table(cols)
 
     def norm_right(batch: pa.Table) -> pa.Table:
@@ -144,6 +178,7 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str, on: str,
             cols[f"__r_{dst}"] = batch[src]
         cols["__side"] = pa.array(
             np.ones(batch.num_rows, dtype=np.int8), pa.int8())
+        cols["__bucket"] = _bucket(batch)
         return pa.table(cols)
 
     lt = left.map_batches(norm_left, batch_format="pyarrow")
@@ -158,26 +193,29 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str, on: str,
         want[name.removeprefix("__r_")] = pd.api.types.pandas_dtype(
             typ.to_pandas_dtype())
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["__side"] == 0]
+    r_cols = [f"__r_{d}" for d in out_names]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["__side"] == 0].sort_values(on, kind="stable")
         rrows = g[g["__side"] == 1].sort_values(on, kind="stable")
         if not len(lrows) or not len(rrows):
             return pd.DataFrame({c: pd.Series([], dtype=want[c])
                                  for c in left_names + out_names})
-        idx = np.searchsorted(rrows[on].to_numpy(),
-                              lrows[on].to_numpy(), side="right") - 1
-        hit = idx >= 0
-        lrows = lrows[hit]
-        picked = rrows.iloc[idx[hit]]
-        out = lrows[left_names].reset_index(drop=True)
-        for d in out_names:
-            out[d] = picked[f"__r_{d}"].to_numpy()
+        merged = pd.merge_asof(
+            lrows[left_names], rrows[[by, on] + r_cols]
+            .rename(columns={on: "__r_on"}),
+            left_on=on, right_on="__r_on", by=by,
+            direction="backward", allow_exact_matches=True)
+        hit = merged["__r_on"].notna()     # unmatched -> right cols all NaN
+        out = merged[hit].reset_index(drop=True)
+        out = out[left_names + r_cols].rename(
+            columns={f"__r_{d}": d for d in out_names})
         for c in out.columns:
             out[c] = out[c].astype(want[c])
         return out
 
-    return lt.union(rt).groupby(by).map_groups(per_key,
-                                               batch_format="pandas")
+    return lt.union(rt).groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")
 
 
 def band_join_count(sf_dir: str, *, left_type: str = "error",
@@ -260,9 +298,13 @@ def clicks_last_purchase(sf_dir: str) -> "rd.Dataset":
 
     clicks = ev.map_batches(pick("click"), batch_format="pyarrow")
     purchases = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    side_schema = pa.schema([("event_id", pa.int64()),
+                             ("ts", pa.timestamp("us")),
+                             ("user_id", pa.int64())])
     joined = asof_join(clicks, purchases, by="user_id", on="ts",
                        right_select={"event_id": "purchase_event_id",
-                                     "ts": "purchase_ts"})
+                                     "ts": "purchase_ts"},
+                       left_schema=side_schema, right_schema=side_schema)
 
     def finish(batch: pa.Table) -> pa.Table:
         lag = pc.subtract(batch["ts"].cast(pa.int64()),
