@@ -113,6 +113,15 @@ def _q_subword_counts(sf_dir: str):
             .select_columns(["doc_id", "n_subwords"]))
 
 
+def _q_doc_frequent_bigrams(sf_dir: str):
+    """n-gram-LM-flavored fluency score: per-doc count of corpus-frequent
+    (>= 20 occurrences) adjacent word pairs. Distributed bigram count ->
+    small broadcast set -> per-batch membership count."""
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        doc_frequent_bigrams
+    return doc_frequent_bigrams(sf_dir, min_count=20)
+
+
 def _q_lang_dist(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -699,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled (exact parity with DuckDB)
         "token_count": _q_token_count,
         "subword_counts": _q_subword_counts,
+        "doc_frequent_bigrams": _q_doc_frequent_bigrams,
         "lang_dist": _q_lang_dist,
         "source_token_totals": _q_source_token_totals,
         "top_words": _q_top_words,
@@ -760,6 +770,17 @@ def oracle_sql() -> dict[str, str]:
             # same RE2 pattern the Arrow kernel counts with
             f"SELECT doc_id, CAST(len(regexp_extract_all(text, "
             f"'{subword_pat}')) AS BIGINT) AS n_subwords FROM documents"),
+        "doc_frequent_bigrams": (
+            "WITH arrs AS (SELECT doc_id, regexp_split_to_array(trim("
+            "text), '\\s+') AS arr FROM documents WHERE trim(text) <> "
+            "''), pairs AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS "
+            "bg FROM arrs, UNNEST(range(1, len(arr))) AS t(i) WHERE "
+            "len(arr) >= 2), freq AS (SELECT bg FROM (SELECT bg, "
+            "COUNT(*) AS c FROM pairs GROUP BY 1) WHERE c >= 20) "
+            "SELECT d.doc_id, CAST(COUNT(fp.bg) AS BIGINT) AS "
+            "n_freq_bigrams FROM documents d LEFT JOIN (SELECT p.doc_id, "
+            "p.bg FROM pairs p JOIN freq USING (bg)) fp "
+            "ON fp.doc_id = d.doc_id GROUP BY 1"),
         "lang_dist": (
             "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang"),
         "source_token_totals": (

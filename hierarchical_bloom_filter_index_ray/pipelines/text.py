@@ -127,6 +127,93 @@ def top_trigrams(sf_dir: str, k: int = 20) -> "rd.Dataset":
         ["cnt", "trigram"], descending=[True, False]).limit(k)
 
 
+def bigram_frequencies(sf_dir: str) -> "rd.Dataset":
+    """(bigram, cnt): word bigrams, boundary-safe (same shape as
+    ``trigram_frequencies``)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        words = split_words(batch["text"])
+        flat = words.values
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+        bounds = offs[1:-1]
+        bad = bounds - 1
+        bad = bad[(bad >= 0) & (bad < n - 1)]
+        valid = np.ones(n - 1, dtype=bool)
+        valid[bad] = False
+        bg = bg.filter(pa.array(valid))
+        de = bg.dictionary_encode()
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        idx = de.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx, minlength=len(de.dictionary))
+        return pa.table({"bigram": de.dictionary,
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (read_documents(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bigram").aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def doc_frequent_bigrams(sf_dir: str, *, min_count: int = 20
+                         ) -> "rd.Dataset":
+    """Per-doc count of adjacent word pairs that are corpus-frequent
+    (bigram count >= ``min_count``) — an n-gram-LM-flavored fluency
+    score with exact integer semantics. Two passes: (1) distributed
+    bigram counting (combiner + groupby), keep the frequent set — small
+    BY CONSTRUCTION (<= corpus_bigrams / min_count), so it broadcasts;
+    (2) per-batch membership count, no second shuffle (each doc lives in
+    one batch). Docs with no frequent bigram emit 0 (LEFT semantics)."""
+    import ray
+
+    freq = bigram_frequencies(sf_dir)
+    freq_set = (freq.filter(expr=f"cnt >= {min_count}")
+                .select_columns(["bigram"]).to_pandas())
+    freq_ref = ray.put(pa.array(freq_set["bigram"].to_numpy(), pa.string()))
+
+    class CountFrequent:
+        def __init__(self):
+            self.freq = ray.get(freq_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            words = split_words(batch["text"])
+            flat = words.values
+            offs = words.offsets.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            n_docs = batch.num_rows
+            out = np.zeros(n_docs, dtype=np.int64)
+            n = len(flat)
+            if n >= 2:
+                bg = pc.binary_join_element_wise(
+                    flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+                bounds = offs[1:-1]
+                bad = bounds - 1
+                bad = bad[(bad >= 0) & (bad < n - 1)]
+                valid = np.ones(n - 1, dtype=bool)
+                valid[bad] = False
+                bgv = bg.filter(pa.array(valid))
+                # bgv is per-doc contiguous: max(len_d - 1, 0) entries each
+                parent = np.repeat(np.arange(n_docs),
+                                   np.maximum(np.diff(offs) - 1, 0))
+                hit = pc.is_in(bgv, value_set=self.freq).to_numpy(
+                    zero_copy_only=False)
+                out = np.bincount(parent[hit],
+                                  minlength=n_docs).astype(np.int64)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_freq_bigrams": pa.array(out.astype(np.int64)),
+            })
+
+    return (read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(CountFrequent, batch_format="pyarrow",
+                         concurrency=(1, 8)))
+
+
 def quality_pipeline(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir).map_batches(
         quality_stats, batch_format="pyarrow")

@@ -431,6 +431,32 @@ class TestAnnIndex:
                  for a, b in zip(got["a"], got["b"])], rtol=1e-12)
 
 
+class TestFrequentBigrams:
+    def test_doc_frequent_bigrams_vs_python(self, ray_session):
+        """Two-pass frequent-bigram score == pure-python oracle; docs with
+        zero frequent bigrams are kept (LEFT semantics)."""
+        from collections import Counter
+
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            doc_frequent_bigrams
+        got = doc_frequent_bigrams(SF, min_count=20).to_pandas()
+        df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        cnt: Counter = Counter()
+        per_doc = {}
+        for _, r in df.iterrows():
+            ws = r["text"].split()
+            bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            per_doc[r["doc_id"]] = bgs
+            cnt.update(bgs)
+        freq = {b for b, c in cnt.items() if c >= 20}
+        want = {d: sum(b in freq for b in bgs)
+                for d, bgs in per_doc.items()}
+        assert len(got) == len(df)
+        g = dict(zip(got["doc_id"], got["n_freq_bigrams"]))
+        assert g == want
+        assert str(got["n_freq_bigrams"].dtype) == "int64"
+
+
 class TestTrigrams:
     def test_top_trigrams_duckdb_parity(self, ray_session):
         import duckdb
