@@ -61,7 +61,7 @@ def _index_dir(sf_dir: str) -> str:
     return str(out)
 
 
-def _membership(sf_dir: str):
+def _membership(sf_dir: str, with_counts: bool = False):
     import pyarrow as pa
 
     from hierarchical_bloom_filter_index_ray.functions import hash_words
@@ -81,8 +81,10 @@ def _membership(sf_dir: str):
     idx_dir = _index_dir(sf_dir)
     idx = load_index(idx_dir)
     seqs = sequences_table(sf_dir, seed=SEED)
-    res = membership_query(idx, seqs, queries, cfg, super_dir=idx_dir)
-    return res.rename_columns(["query", "doc_id"])
+    res = membership_query(idx, seqs, queries, cfg, super_dir=idx_dir,
+                           with_counts=with_counts)
+    names = ["query", "doc_id"] + (["n_matches"] if with_counts else [])
+    return res.rename_columns(names)
 
 
 def entry() -> Any:
@@ -408,6 +410,12 @@ def _q_word_membership(sf_dir: str):
     return _membership(sf_dir)
 
 
+def _q_word_match_counts(sf_dir: str):
+    """Membership + exact per-(query, doc) occurrence counts (overlapping
+    starts counted — ``HBI.report`` per-position semantics)."""
+    return _membership(sf_dir, with_counts=True)
+
+
 def _q_scoped_word_membership(sf_dir: str):
     """Membership restricted to one source (index partition pruning)."""
     import pyarrow as pa
@@ -731,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "window_partition_stats": _q_window_partition_stats,
         "word_membership": _q_word_membership,
+        "word_match_counts": _q_word_match_counts,
         "scoped_word_membership": _q_scoped_word_membership,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf_exact": _q_knn_ivf_exact,
@@ -919,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query, d.doc_id FROM documents d JOIN q ON "
             "' ' || regexp_replace(trim(d.text), '\\s+', ' ', 'g') || ' ' "
             "LIKE '% ' || q.query || ' %' WHERE d.source = 'src0'"),
+        "word_match_counts": _word_match_counts_sql(),
         "knn_bruteforce": (
             f"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
             "CAST(row_number() OVER w AS BIGINT) AS rank "
@@ -945,6 +955,25 @@ def oracle_sql() -> dict[str, str]:
             f"{SIM_JOIN_THRESHOLD}"),
         "lang_id_pred": _lang_id_oracle_sql(),
     }
+
+
+def _word_match_counts_sql() -> str:
+    """Exact occurrence counts per (query, doc): every query (word or
+    phrase) counted by a position scan over the token array, overlapping
+    starts included — the SQL twin of the verifier's shifted-compare."""
+    parts = []
+    for phrase in MEMBER_WORDS + MEMBER_PHRASES:
+        toks = phrase.split()
+        k = len(toks)
+        conds = " AND ".join(f"arr[i+{j}] = '{t}'"
+                             for j, t in enumerate(toks))
+        parts.append(
+            f"SELECT '{phrase}' AS query, doc_id, CAST(COUNT(*) AS "
+            f"BIGINT) AS n_matches FROM arrs, UNNEST(range(1, len(arr) "
+            f"- {k} + 2)) AS t(i) WHERE {conds} GROUP BY doc_id")
+    return ("WITH arrs AS (SELECT doc_id, regexp_split_to_array(trim("
+            "text), '\\s+') AS arr FROM documents WHERE trim(text) <> '')"
+            " " + " UNION ALL ".join(parts))
 
 
 def _lang_id_oracle_sql() -> str:

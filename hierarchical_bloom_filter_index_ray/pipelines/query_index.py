@@ -306,13 +306,16 @@ class BloomProbe:
 def _match_pairs(flat: np.ndarray, offsets: np.ndarray,
                  pair_rows: np.ndarray, pair_qis: np.ndarray,
                  q_tokens: list[np.ndarray]
-                 ) -> tuple[np.ndarray, np.ndarray]:
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Exact sliding-window match for a set of (row, query) candidate
     pairs: per query, ONE vectorized shifted-compare sweep over the
     gathered candidate-doc token stream (no per-candidate Python). Returns
-    (matched row indices, matched query indices)."""
+    (matched row indices, matched query indices, per-pair occurrence
+    counts — overlapping starts each count, matching the reference's
+    per-position ``report``)."""
     out_row_parts: list[np.ndarray] = []
     out_qi_parts: list[np.ndarray] = []
+    out_cnt_parts: list[np.ndarray] = []
     for qi in np.unique(pair_qis):
         q = q_tokens[qi]
         L = len(q)
@@ -333,26 +336,32 @@ def _match_pairs(flat: np.ndarray, offsets: np.ndarray,
         local = (np.arange(len(sub), dtype=np.int64)
                  - np.repeat(sub_offs[:-1], seg_lens))
         m &= local <= np.repeat(seg_lens - L, seg_lens)
-        hit = np.unique(row_of[m])
+        counts = np.bincount(row_of[m], minlength=len(rows_q))
+        hit = np.nonzero(counts)[0]
         if len(hit):
             out_row_parts.append(rows_q[hit])
             out_qi_parts.append(np.full(len(hit), qi, dtype=np.int32))
+            out_cnt_parts.append(counts[hit].astype(np.int64))
     if not out_row_parts:
-        return np.empty(0, np.int64), np.empty(0, np.int32)
-    return np.concatenate(out_row_parts), np.concatenate(out_qi_parts)
+        return (np.empty(0, np.int64), np.empty(0, np.int32),
+                np.empty(0, np.int64))
+    return (np.concatenate(out_row_parts), np.concatenate(out_qi_parts),
+            np.concatenate(out_cnt_parts))
 
 
 class ExactVerifier:
     """Sequences-side exact verification (semi-join on broadcast compact
     candidate structs ``{source: (sorted_doc_idx, offsets, query_idx)}``)."""
 
-    def __init__(self, cfg: HbiConfig, cand_ref, queries_ref):
+    def __init__(self, cfg: HbiConfig, cand_ref, queries_ref,
+                 with_counts: bool = False):
         self.cfg = cfg
         self.cands = ray.get(cand_ref) if not isinstance(cand_ref, dict) \
             else cand_ref
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.q_tokens = [np.asarray(q["tokens"], dtype=np.int32) for q in qs]
+        self.with_counts = with_counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.window import doc_index
@@ -378,28 +387,33 @@ class ExactVerifier:
             take, _ = _grouped_arange(offs[m_pos], lens)
             pr_parts.append(np.repeat(m_rows, lens))
             pq_parts.append(qi_flat[take])
-        if not pr_parts:
-            return pa.table({
+        def empty():
+            cols = {
                 "query_idx": pa.array([], pa.int32()),
                 "doc_id": pa.array([], batch["doc_id"].type
                                    if batch.num_rows else pa.string()),
-            })
+            }
+            if self.with_counts:
+                cols["n_matches"] = pa.array([], pa.int64())
+            return pa.table(cols)
+
+        if not pr_parts:
+            return empty()
         pair_rows = np.concatenate(pr_parts)
         pair_qis = np.concatenate(pq_parts)
         flat, offsets = flat_tokens_and_offsets(batch["tokens"])
-        out_rows, out_qis = _match_pairs(flat, offsets, pair_rows, pair_qis,
-                                         self.q_tokens)
+        out_rows, out_qis, out_cnts = _match_pairs(
+            flat, offsets, pair_rows, pair_qis, self.q_tokens)
         if not len(out_rows):
-            return pa.table({
-                "query_idx": pa.array([], pa.int32()),
-                "doc_id": pa.array([], batch["doc_id"].type
-                                   if batch.num_rows else pa.string()),
-            })
-        return pa.table({
+            return empty()
+        cols = {
             "query_idx": pa.array(out_qis, pa.int32()),
             "doc_id": batch["doc_id"].take(
                 pa.array(out_rows, pa.int64())),
-        })
+        }
+        if self.with_counts:
+            cols["n_matches"] = pa.array(out_cnts, pa.int64())
+        return pa.table(cols)
 
 
 class BloomGateVerifier:
@@ -414,7 +428,7 @@ class BloomGateVerifier:
     (lossy) gate."""
 
     def __init__(self, cfg: HbiConfig, bloom_ref, queries_ref,
-                 key_seed: int):
+                 key_seed: int, with_counts: bool = False):
         self.cfg = cfg
         blob = ray.get(bloom_ref) if not isinstance(bloom_ref, bytes) \
             else bloom_ref
@@ -423,19 +437,26 @@ class BloomGateVerifier:
             else queries_ref
         self.q_tokens = [np.asarray(q["tokens"], dtype=np.int32) for q in qs]
         self.key_seed = key_seed
+        self.with_counts = with_counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..state.splitmix import hash_str_u64
         from ..stages.window import doc_index
-        empty = pa.table({
-            "query_idx": pa.array([], pa.int32()),
-            "doc_id": pa.array([], batch["doc_id"].type if batch.num_rows
-                               else pa.string()),
-            "source": pa.array([], pa.string()),
-            "window_id": pa.array([], pa.int64()),
-        })
+
+        def empty():
+            cols = {
+                "query_idx": pa.array([], pa.int32()),
+                "doc_id": pa.array([], batch["doc_id"].type
+                                   if batch.num_rows else pa.string()),
+                "source": pa.array([], pa.string()),
+                "window_id": pa.array([], pa.int64()),
+            }
+            if self.with_counts:
+                cols["n_matches"] = pa.array([], pa.int64())
+            return pa.table(cols)
+
         if not batch.num_rows:
-            return empty
+            return empty()
         di = doc_index(batch)
         srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
         uniq_src, inv = np.unique(srcs, return_inverse=True)
@@ -444,29 +465,32 @@ class BloomGateVerifier:
         keys = splitmix64(src_hash[inv] ^ di.astype(np.uint64))
         rows = np.nonzero(self.bloom.contains(keys))[0]
         if not len(rows):
-            return empty
+            return empty()
         n_q = len(self.q_tokens)
         pair_rows = np.repeat(rows, n_q)
         pair_qis = np.tile(np.arange(n_q, dtype=np.int64), len(rows))
         flat, offsets = flat_tokens_and_offsets(batch["tokens"])
-        out_rows, out_qis = _match_pairs(flat, offsets, pair_rows, pair_qis,
-                                         self.q_tokens)
+        out_rows, out_qis, out_cnts = _match_pairs(
+            flat, offsets, pair_rows, pair_qis, self.q_tokens)
         if not len(out_rows):
-            return empty
+            return empty()
         take = pa.array(out_rows, pa.int64())
-        return pa.table({
+        cols = {
             "query_idx": pa.array(out_qis, pa.int32()),
             "doc_id": batch["doc_id"].take(take),
             "source": pa.array(srcs[out_rows].tolist(), pa.string()),
             "window_id": pa.array(
                 di[out_rows] >> self.cfg.window_bits, pa.int64()),
-        })
+        }
+        if self.with_counts:
+            cols["n_matches"] = pa.array(out_cnts, pa.int64())
+        return pa.table(cols)
 
 
 def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
                         compiled: list[dict], cfg: HbiConfig, q_ref,
                         n_cand: int, *, sources, window_range,
-                        per_query_scope):
+                        per_query_scope, with_counts: bool = False):
     """Distributed candidate exchange: aggregate candidate (source,
     doc_index) keys into ONE fixed-size bloom (a distributed tree reduce —
     candidates never reach the driver), broadcast it to the verify stage,
@@ -478,8 +502,11 @@ def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
     from ..state.splitmix import derive_seed, hash_str_u64
 
     if n_cand == 0:
-        return pd.DataFrame({"query_idx": pd.Series([], dtype="int32"),
-                             "doc_id": pd.Series([], dtype=object)})
+        cols = {"query_idx": pd.Series([], dtype="int32"),
+                "doc_id": pd.Series([], dtype=object)}
+        if with_counts:
+            cols["n_matches"] = pd.Series([], dtype="int64")
+        return pd.DataFrame(cols)
     key_seed = derive_seed(cfg.seed, "cand_gate")
 
     def to_keys(t: pa.Table) -> pa.Table:
@@ -500,7 +527,8 @@ def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
                  alias_name="cand_bloom"))
     bloom_ref = ray.put(agg["cand_bloom"])
     hits = sequences_ds.map_batches(
-        BloomGateVerifier(cfg, bloom_ref, q_ref, key_seed),
+        BloomGateVerifier(cfg, bloom_ref, q_ref, key_seed,
+                          with_counts=with_counts),
         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     if len(hits):
         keep = np.ones(len(hits), dtype=bool)
@@ -519,7 +547,8 @@ def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
             keep &= ((q_src[qi] == "") | (q_src[qi] == src))
             keep &= (q_win[qi] == -1) | (q_win[qi] == win)
         hits = hits[keep]
-    return hits[["query_idx", "doc_id"]]
+    return hits[["query_idx", "doc_id"] +
+                (["n_matches"] if with_counts else [])]
 
 
 def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
@@ -532,10 +561,14 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      super_dir: str | None = None,
                      candidate_mode: str = "auto",
                      broadcast_limit: int = 1_000_000,
-                     markov_model=None) -> pa.Table:
+                     markov_model=None,
+                     with_counts: bool = False) -> pa.Table:
     """Exact pattern-membership results for a batch of queries.
 
     Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
+    ``with_counts=True`` appends ``n_matches``: per (query, doc) exact
+    occurrence count, overlapping starts included (the reference's
+    per-position ``HBI.report`` semantics rather than bare membership).
     The candidate set travels driver-side between the two stages as
     compact numpy arrays; it is bounded by true_hits + FPR * windows *
     docs_per_window (the same asymmetry the reference exploits).
@@ -644,7 +677,8 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
         hits = _verify_distributed(cand_mat, sequences_ds, compiled, cfg,
                                    q_ref, n_cand, sources=sources,
                                    window_range=window_range,
-                                   per_query_scope=per_query_scope)
+                                   per_query_scope=per_query_scope,
+                                   with_counts=with_counts)
     else:
         cand = cand_mat.to_pandas()
         cand_structs: dict[str, tuple] = {}
@@ -663,16 +697,21 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                 cand_structs[str(src)] = (uniq, offs, qi)
         c_ref = ray.put(cand_structs)
         hits = sequences_ds.map_batches(
-            ExactVerifier(cfg, c_ref, q_ref), batch_format="pyarrow",
-            zero_copy_batch=True).to_pandas()
+            ExactVerifier(cfg, c_ref, q_ref, with_counts=with_counts),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     qid_arr = np.array([q["query_id"] for q in compiled], dtype=object)
-    tbl = pa.table({
+    cols = {
         "query_id": pa.array(
             qid_arr[hits["query_idx"].to_numpy()].tolist() if len(hits)
             else [], pa.string()),
         "doc_id": pa.Array.from_pandas(hits["doc_id"]) if len(hits)
         else pa.array([], pa.string()),
-    })
+    }
+    if with_counts:
+        cols["n_matches"] = (pa.array(
+            hits["n_matches"].to_numpy().astype(np.int64)) if len(hits)
+            else pa.array([], pa.int64()))
+    tbl = pa.table(cols)
     return tbl.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
 
 

@@ -5,6 +5,7 @@ SURVEY §7.1 step 4)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 import ray.data as rd
@@ -154,6 +155,40 @@ class TestSuperQuery:
                                   sources=["src1"], window_range=(2, 20),
                                   candidate_mode="distributed")
         assert base_s.equals(dist_s)
+
+    def test_with_counts_exact_occurrences(self, index_dir, corpus,
+                                           sample_tokens):
+        """with_counts=True returns per-(query, doc) occurrence counts ==
+        a numpy sliding-window oracle (overlapping starts each count),
+        identical through the broadcast AND distributed verify paths."""
+        queries = [(f"q{i}", toks) for i, toks in enumerate(sample_tokens)]
+        queries.append(("missing", [2**30 + 7, 2**30 + 8]))
+        idx = load_index(index_dir)
+        seqs = rd.read_parquet(corpus)
+        got = membership_query(idx, seqs, queries, CFG,
+                               with_counts=True).to_pandas()
+        dist = membership_query(load_index(index_dir),
+                                rd.read_parquet(corpus), queries, CFG,
+                                candidate_mode="distributed",
+                                with_counts=True).to_pandas()
+        pd.testing.assert_frame_equal(got, dist)
+        raw = rd.read_parquet(corpus).to_pandas()
+        toks_by_doc = dict(zip(raw["doc_id"],
+                               (np.asarray(t) for t in raw["tokens"])))
+        want = {}
+        for name, q in queries:
+            q = np.asarray(q)
+            for did, arr in toks_by_doc.items():
+                if len(arr) < len(q):
+                    continue
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    arr, len(q))
+                c = int((wins == q).all(axis=1).sum())
+                if c:
+                    want[(name, did)] = c
+        assert {(r["query_id"], r["doc_id"]): r["n_matches"]
+                for _, r in got.iterrows()} == want
+        assert (got["n_matches"] >= 1).all()
 
     def test_scoped_query_with_super(self, index_dir, corpus,
                                      sample_tokens):
