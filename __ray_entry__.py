@@ -699,6 +699,15 @@ def _q_index_manifest(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_index_fpr(sf_dir: str):
+    """Per-(source, level) realized bloom fill / fill-based FPR of the
+    built index (reference's empirical FPR check; bound pinned in
+    pytest — floats are estimates, so rows-only here)."""
+    from hierarchical_bloom_filter_index_ray.pipelines import \
+        index_fpr_stats
+    return index_fpr_stats(_index_dir(sf_dir))
+
+
 def _q_index_shape(sf_dir: str):
     """SQL-checkable slice of the manifest: per-source doc/token/window
     counts as recorded by the BUILD pipeline (``index_bytes`` stays in
@@ -760,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "index_manifest": _q_index_manifest,
         "index_shape": _q_index_shape,
+        "index_fpr": _q_index_fpr,
     }
 
 

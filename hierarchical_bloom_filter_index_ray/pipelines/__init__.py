@@ -1,4 +1,5 @@
-from .build_index import build_index, load_index, load_manifest
+from .build_index import (build_index, index_fpr_stats, load_index,
+                          load_manifest)
 from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
                     minhash_lsh_pairs, ngram_jaccard, simhash_pairs)
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
@@ -13,7 +14,8 @@ from .relational import (pricing_summary, revenue_by_priority,
 from .super_index import build_super_index, load_super_meta, super_prune
 
 __all__ = [
-    "build_index", "load_index", "load_manifest", "membership_query",
+    "build_index", "load_index", "load_manifest", "index_fpr_stats",
+    "membership_query",
     "membership_query_table", "compile_queries", "BloomProbe",
     "ExactVerifier",
     "exact_dedup", "exact_dedup_ids", "minhash_dedup", "minhash_lsh_pairs",

@@ -183,3 +183,56 @@ def load_index(out_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
     """The persisted index as a Dataset (hive partition col `source`
     restored as a string column)."""
     return rd.read_parquet(str(Path(out_dir) / PARTITIONS), columns=columns)
+
+
+def index_fpr_stats(out_dir: str) -> "rd.Dataset":
+    """Bloom health of a persisted index, per (source, level): window
+    count, mean set-bit fill and mean fill-based point-FPR estimate
+    rho^k (the reference's empirical check,
+    ``membership/BloomFilter.java:52-59``). Map-side partial sums per
+    batch -> tiny groupby over #sources x #levels rows; the realized
+    FPR must sit at or below the configured ``fp`` (pinned in pytest)."""
+    import pickle
+
+    import pandas as pd
+
+    from ..state import sketch_from_bytes
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        src_l, lv_l, n_l, fill_l, fpr_l = [], [], [], [], []
+        for src, blob in zip(batch["source"], batch["bloom_tree"]):
+            if blob is None:
+                continue
+            tree = pickle.loads(blob)
+            if not isinstance(tree, dict):
+                continue
+            for lv, b in tree.items():
+                if b is None:
+                    continue
+                bf = sketch_from_bytes(b)
+                src_l.append(str(src))
+                lv_l.append(int(lv))
+                n_l.append(1)
+                fill_l.append(bf.fill_ratio)
+                fpr_l.append(bf.fp_rate())
+        df = pd.DataFrame({"source": src_l, "level": lv_l,
+                           "n_windows": n_l, "fill_sum": fill_l,
+                           "fpr_sum": fpr_l})
+        return df.groupby(["source", "level"], as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    def finish(t) -> "pd.DataFrame":
+        t = t.copy()
+        t["mean_fill"] = t["fill_sum"] / t["n_windows"]
+        t["mean_fpr"] = t["fpr_sum"] / t["n_windows"]
+        return t[["source", "level", "n_windows", "mean_fill",
+                  "mean_fpr"]]
+
+    return (load_index(out_dir, columns=["source", "bloom_tree"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(["source", "level"])
+            .aggregate(Sum("n_windows", alias_name="n_windows"),
+                       Sum("fill_sum", alias_name="fill_sum"),
+                       Sum("fpr_sum", alias_name="fpr_sum"))
+            .map_batches(finish, batch_format="pandas"))

