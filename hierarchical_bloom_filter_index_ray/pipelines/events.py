@@ -197,7 +197,12 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str, on: str,
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lrows = g[g["__side"] == 0].sort_values(on, kind="stable")
-        rrows = g[g["__side"] == 1].sort_values(on, kind="stable")
+        # tiebreak on the selected right columns: equal-`on` right rows
+        # otherwise arrive in nondeterministic shuffle order, and
+        # merge_asof picks the LAST of them — sort so "last" is the
+        # greatest (on, *right_select) tuple, a stable documented rule
+        rrows = g[g["__side"] == 1].sort_values([on] + r_cols,
+                                                kind="stable")
         if not len(lrows) or not len(rrows):
             return pd.DataFrame({c: pd.Series([], dtype=want[c])
                                  for c in left_names + out_names})

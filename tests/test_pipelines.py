@@ -249,6 +249,58 @@ class TestTextAndEvents:
         u13 = got[got["user_id"] == df["user_id"].iloc[0]]
         assert len(u13) >= 1
 
+    def test_asof_and_band_join_randomized(self, ray_session, tmp_path):
+        """Randomized differential check on synthetic event frames:
+        ties (equal ts), users with only one side, empty sides, and
+        duplicate right timestamps all handled exactly."""
+        from hierarchical_bloom_filter_index_ray.pipelines.events import (
+            band_join_count, clicks_last_purchase)
+        for seed in (0, 1, 2):
+            rng = np.random.default_rng(seed)
+            n = 3000
+            # coarse ts grid forces many exact ties; few users force
+            # both-sides-present and one-side-only cases
+            ts = (np.sort(rng.integers(0, 10_000, n))
+                  * 60_000_000).astype("datetime64[us]")
+            df = pd.DataFrame({
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": ts,
+                "user_id": rng.integers(0, 37, n).astype(np.int64),
+                "event_type": rng.choice(
+                    ["click", "purchase", "error", "view"], n),
+                "value": rng.random(n),
+                "props": [""] * n,
+            })
+            p = tmp_path / f"ev{seed}"
+            p.mkdir()
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           str(p / "events.parquet"))
+            got = clicks_last_purchase(str(p)).to_pandas().sort_values(
+                "event_id").reset_index(drop=True)
+            clicks = df[df["event_type"] == "click"].sort_values(
+                ["ts", "event_id"], kind="stable")
+            purch = df[df["event_type"] == "purchase"].sort_values(
+                ["ts", "event_id"], kind="stable")
+            want = pd.merge_asof(clicks, purch, on="ts", by="user_id",
+                                 direction="backward", suffixes=("", "_p")
+                                 ).dropna(subset=["event_id_p"])
+            want = want.sort_values("event_id").reset_index(drop=True)
+            assert got["event_id"].tolist() == want["event_id"].tolist()
+            assert got["purchase_event_id"].tolist() == \
+                want["event_id_p"].astype(np.int64).tolist()
+            bj = band_join_count(str(p), left_type="error",
+                                 right_type="purchase",
+                                 lookback_minutes=5).to_pandas()
+            left = df[df["event_type"] == "error"]
+            rts = np.sort(purch["ts"].astype("int64").to_numpy())
+            lt = left["ts"].astype("int64").to_numpy()
+            band = 5 * 60 * 1_000_000
+            w = (np.searchsorted(rts, lt, side="right")
+                 - np.searchsorted(rts, lt - band, side="right"))
+            m = left.assign(w=w).merge(bj, on="event_id")
+            assert len(m) == len(left) == len(bj)
+            assert (m["w"] == m["n_right"]).all()
+
     def test_band_join_count_vs_pandas(self, ray_session):
         """Bucket-replicated band join == brute-force interval counts,
         including zero-count left rows kept (LEFT semantics) and band
