@@ -53,13 +53,24 @@ def load_manifest(out_dir: str) -> dict | None:
 def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
                 batch_size: int = 1024, concurrency=None,
                 num_cpus: float = 1.0, resume: bool = True,
-                super_levels: bool = True) -> dict:
+                super_levels: bool = True,
+                shard_windows: int | None = None) -> dict:
     """Build (or resume) the index; returns the manifest dict.
 
     ``super_levels``: also (re)build the cross-window super-level store
     (``pipelines/super_index.py``) — a tiny iterative aggregate over the
     per-window root blooms that bounds query probe work at O(log windows).
+
+    ``shard_windows``: partition the output additionally by
+    ``shard = window_id // shard_windows`` and record per-(source, shard)
+    completion in the manifest — resume granularity becomes a window
+    RANGE instead of a whole source, so restarting a crashed 100-TB
+    build skips finished shards of every source (a source at that scale
+    is far too big a unit to redo). ``None`` keeps the source-level
+    layout.
     """
+    import numpy as np
+
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
@@ -72,9 +83,26 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
             f"existing index at {out_dir} was built with different params "
             f"({manifest['params_hash']} != {cfg.params_hash()}); "
             "pass resume=False to rebuild")
+    if manifest is not None and manifest.get("shard_windows") != shard_windows:
+        raise ValueError(
+            f"existing index at {out_dir} uses shard_windows="
+            f"{manifest.get('shard_windows')}, not {shard_windows}")
     completed = set(manifest["completed_sources"]) if manifest else set()
+    completed_shards = (manifest or {}).get("completed_shards") or {}
+    done_keys = {f"{s}\x00{k}" for s, ks in completed_shards.items()
+                 for k in ks}
 
-    if completed:
+    if shard_windows is not None:
+        # shard-level cleanup: any (source, shard) dir not recorded
+        # complete is a crashed-run leftover
+        for sdir in (out / PARTITIONS).glob("source=*"):
+            src = sdir.name.split("=", 1)[1]
+            for shdir in sdir.glob("shard=*"):
+                k = int(shdir.name.split("=", 1)[1])
+                if f"{src}\x00{k}" not in done_keys:
+                    shutil.rmtree(shdir)
+        todo = None  # the row filter below prunes completed shards
+    elif completed:
         # source discovery only needed to prune a resumed build (projection
         # is pushed into the parquet read; a fresh build skips this job)
         all_sources = sorted(ds.select_columns(["source"]).unique("source"))
@@ -83,20 +111,33 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
         todo = None  # fresh build: everything, no discovery pass
     if todo is None or todo:
         # clear partial leftovers from a crashed run for the todo sources
-        for s in (todo or []):
-            leftover = out / PARTITIONS / f"source={s}"
-            if leftover.exists():
-                shutil.rmtree(leftover)
+        if shard_windows is None:
+            for s in (todo or []):
+                leftover = out / PARTITIONS / f"source={s}"
+                if leftover.exists():
+                    shutil.rmtree(leftover)
         work = ds
-        if completed:
+        if shard_windows is None and completed:
             keep = pa.array(sorted(todo))
             work = work.map_batches(
                 lambda t: t.filter(pc.is_in(t["source"], value_set=keep)),
                 batch_format="pyarrow")
+        chain = work.map_batches(add_window_columns, batch_format="pyarrow",
+                                 zero_copy_batch=True, fn_kwargs={"cfg": cfg})
+        if shard_windows is not None and done_keys:
+            done_arr = np.array(sorted(done_keys), dtype=object)
+
+            def drop_done(t: pa.Table) -> pa.Table:
+                keys = np.array(
+                    [f"{s}\x00{w // shard_windows}" for s, w in
+                     zip(t["source"].to_pylist(),
+                         t["window_id"].to_numpy(zero_copy_only=False))],
+                    dtype=object)
+                return t.filter(pa.array(~np.isin(keys, done_arr)))
+
+            chain = chain.map_batches(drop_done, batch_format="pyarrow")
         partials = (
-            work
-            .map_batches(add_window_columns, batch_format="pyarrow",
-                         zero_copy_batch=True, fn_kwargs={"cfg": cfg})
+            chain
             .map_batches(PartialSketchBuilder, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=batch_size,
                          fn_constructor_kwargs={"cfg": cfg},
@@ -128,11 +169,17 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
 
         ranges = (partials.select_columns(["source", "window_id"])
                   .map_batches(block_key_range, batch_format="pyarrow")
-                  .to_pandas().sort_values("min_key"))
-        disjoint = bool(ranges["dup_free"].all()) and all(
-            a < b for a, b in zip(ranges["max_key"].iloc[:-1],
-                                  ranges["min_key"].iloc[1:]))
-        if disjoint:
+                  .to_pandas())
+        if not len(ranges):
+            disjoint = None          # fully-complete resume: nothing new
+        else:
+            ranges = ranges.sort_values("min_key")
+            disjoint = bool(ranges["dup_free"].all()) and all(
+                a < b for a, b in zip(ranges["max_key"].iloc[:-1],
+                                      ranges["min_key"].iloc[1:]))
+        if disjoint is None:
+            merged = None
+        elif disjoint:
             merged = partials.map_batches(
                 finalize_unique_partials, batch_format="pandas",
                 fn_kwargs={"params_hash": cfg.params_hash(),
@@ -142,8 +189,17 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
                 merge_partials_group, batch_format="pandas",
                 fn_kwargs={"params_hash": cfg.params_hash(),
                            "policy": policy})
-        merged.write_parquet(str(out / PARTITIONS), partition_cols=["source"],
-                             mode="append")
+        if merged is not None:
+            part_cols = (["source"] if shard_windows is None
+                         else ["source", "shard"])
+            if shard_windows is not None:
+                merged = merged.map_batches(
+                    lambda df: df.assign(
+                        shard=(df["window_id"] // shard_windows).astype(
+                            "int64")),
+                    batch_format="pandas")
+            merged.write_parquet(str(out / PARTITIONS),
+                                 partition_cols=part_cols, mode="append")
 
     # manifest: lineage + per-source metrics read back from the partitions
     stats = pq.read_table(
@@ -164,6 +220,7 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
         "params_hash": cfg.params_hash(),
         "config": cfg.to_json(),
         "completed_sources": sorted(set(per_source) | completed),
+        "shard_windows": shard_windows,
         "sources": per_source,
         "built_unix": time.time(),
         "build_seconds": round(time.perf_counter() - t0, 3),
@@ -172,6 +229,10 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
         "total_tokens": int(df["n_tokens"].sum()),
         "total_index_bytes": int(df["index_bytes"].sum()),
     }
+    if shard_windows is not None:
+        manifest["completed_shards"] = {
+            s: sorted((g["window_id"] // shard_windows).unique().tolist())
+            for s, g in df.groupby("source")}
     (out / MANIFEST).write_text(json.dumps(manifest, indent=2))
     if super_levels:
         from .super_index import build_super_index

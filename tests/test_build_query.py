@@ -220,6 +220,82 @@ class TestResume:
                     "bloom_tree", "hll", "cms"):
             assert (a[col] == b[col]).all(), col
 
+    def test_sharded_resume_equals_full_build(self, ray_session, tmp_path):
+        """shard_windows: resume granularity = window range. A partial
+        build completes shard 0 only; resume rebuilds exactly the missing
+        shard (after wiping a fabricated crashed-run leftover) and the
+        result matches a one-shot sharded build row for row; queries over
+        the sharded layout equal the unsharded index's."""
+        import shutil as sh
+
+        import pyarrow.compute as pc
+
+        from hierarchical_bloom_filter_index_ray.stages.window import \
+            doc_index as di_fn
+
+        cfg = HbiConfig(seed=7, docs_per_window=32, hll_p=12,
+                        cms_eps=0.05, cms_delta=0.1)
+        ds_full = synth_sequences(512, seed=9, n_sources=4, vocab=512)
+        full = tmp_path / "full"
+        build_index(ds_full, cfg, str(full), batch_size=64,
+                    shard_windows=2)
+        man_f = load_manifest(str(full))
+        assert man_f["shard_windows"] == 2
+        assert all(ks == [0, 1]
+                   for ks in man_f["completed_shards"].values())
+
+        part = tmp_path / "part"
+
+        def first_shard(t):
+            return t.filter(pa.array((di_fn(t) >> 5) < 2))
+
+        build_index(ds_full.map_batches(first_shard,
+                                        batch_format="pyarrow"),
+                    cfg, str(part), batch_size=64, shard_windows=2,
+                    super_levels=False)
+        man1 = load_manifest(str(part))
+        assert all(ks == [0] for ks in man1["completed_shards"].values())
+        # fabricate a crashed-run leftover: a shard dir the manifest does
+        # not record — resume must wipe and rebuild it
+        src_dir = part / "partitions" / "source=src00"
+        sh.copytree(src_dir / "shard=0", src_dir / "shard=1")
+        build_index(ds_full, cfg, str(part), batch_size=64,
+                    shard_windows=2)
+        man2 = load_manifest(str(part))
+        assert all(ks == [0, 1]
+                   for ks in man2["completed_shards"].values())
+        a = load_index(str(full)).to_pandas()
+        b = load_index(str(part)).to_pandas()
+        for df in (a, b):
+            df["source"] = df["source"].astype(str)
+            df.sort_values(["source", "window_id"], inplace=True)
+            df.reset_index(drop=True, inplace=True)
+        assert len(a) == len(b)
+        for col in ("source", "window_id", "n_docs", "n_tokens",
+                    "bloom_tree", "hll", "cms"):
+            assert (a[col] == b[col]).all(), col
+        # resume with everything complete: a no-op that stays identical
+        build_index(ds_full, cfg, str(part), batch_size=64,
+                    shard_windows=2, super_levels=False)
+        assert len(load_index(str(part)).to_pandas()) == len(a)
+        # shard_windows mismatch on an existing index refuses
+        with pytest.raises(ValueError):
+            build_index(ds_full, cfg, str(part), batch_size=64,
+                        shard_windows=4)
+        # queries over the sharded layout == unsharded index
+        plain = tmp_path / "plain"
+        build_index(ds_full, cfg, str(plain), batch_size=64)
+        rows = ds_full.take(3)
+        pats = [(f"p{i}", [int(t) for t in r["tokens"][2:6]])
+                for i, r in enumerate(rows)]
+        pats.append(("missing", [2**30 + 3, 2**30 + 4]))
+        r_plain = membership_query(load_index(str(plain)), ds_full, pats,
+                                   cfg, super_dir=str(plain))
+        r_shard = membership_query(load_index(str(full)), ds_full, pats,
+                                   cfg, super_dir=str(full))
+        assert r_plain.num_rows > 0
+        assert r_plain.equals(r_shard)
+
     def test_params_mismatch_refuses_resume(self, ray_session, tmp_path):
         cfg1 = HbiConfig(seed=1, docs_per_window=32, hll_p=12)
         cfg2 = HbiConfig(seed=2, docs_per_window=32, hll_p=12)
