@@ -1,0 +1,120 @@
+"""Job entrypoints for running the library under ``ray job submit``.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m hierarchical_bloom_filter_index_ray build \
+        --input s3://corpus/sequences --out s3://indexes/run1 \
+        --docs-per-window 4096 --fp 0.01 --shard-windows 64
+
+    ray job submit --working-dir . -- \
+        python -m hierarchical_bloom_filter_index_ray query \
+        --index s3://indexes/run1 --sequences s3://corpus/sequences \
+        --queries queries.json --out hits.parquet
+
+The CLI owns the Ray session (``ray.init`` guarded on
+``ray.is_initialized`` — under ``ray job submit`` the runtime
+pre-initializes and the guard makes this a no-op); the library itself
+never calls ``ray.init`` (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="auto" if "--address=auto" in sys.argv
+                 else "local", include_dashboard=False,
+                 ignore_reinit_error=True)
+
+
+def _cfg_from_args(a: argparse.Namespace):
+    from .config import HbiConfig
+    return HbiConfig(seed=a.seed, docs_per_window=a.docs_per_window,
+                     fp=a.fp, ngram=a.ngram, hll_p=a.hll_p,
+                     cms_eps=a.cms_eps, cms_delta=a.cms_delta)
+
+
+def cmd_build(a: argparse.Namespace) -> int:
+    import ray.data as rd
+
+    from .pipelines import build_index
+    _ensure_ray()
+    ds = rd.read_parquet(a.input)
+    man = build_index(ds, _cfg_from_args(a), a.out,
+                      batch_size=a.batch_size,
+                      shard_windows=a.shard_windows,
+                      super_levels=not a.no_super)
+    print(json.dumps({"out": a.out,
+                      "total_tokens": man["total_tokens"],
+                      "total_windows": man["total_windows"],
+                      "build_seconds": man["build_seconds"]}))
+    return 0
+
+
+def cmd_query(a: argparse.Namespace) -> int:
+    import ray.data as rd
+
+    from .pipelines import load_index, membership_query
+    _ensure_ray()
+    cfg = _cfg_from_args(a)
+    queries = [(q["id"], [int(t) for t in q["tokens"]])
+               for q in json.loads(open(a.queries).read())]
+    hits = membership_query(load_index(a.index),
+                            rd.read_parquet(a.sequences), queries, cfg,
+                            super_dir=a.index, with_counts=a.counts)
+    import pyarrow.parquet as pq
+    pq.write_table(hits, a.out)
+    print(json.dumps({"out": a.out, "hits": hits.num_rows,
+                      "queries": len(queries)}))
+    return 0
+
+
+def _add_cfg_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--docs-per-window", type=int, default=256)
+    p.add_argument("--fp", type=float, default=0.01)
+    p.add_argument("--ngram", type=int, default=1)
+    p.add_argument("--hll-p", type=int, default=12)
+    p.add_argument("--cms-eps", type=float, default=0.02)
+    p.add_argument("--cms-delta", type=float, default=0.05)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hierarchical_bloom_filter_index_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the hierarchical sketch index")
+    b.add_argument("--input", required=True,
+                   help="parquet dir of (doc_id, tokens, n_tok, source)")
+    b.add_argument("--out", required=True)
+    b.add_argument("--batch-size", type=int, default=2048)
+    b.add_argument("--shard-windows", type=int, default=None,
+                   help="window-range resume shard size (windows/shard)")
+    b.add_argument("--no-super", action="store_true",
+                   help="skip the cross-window super-level store")
+    _add_cfg_args(b)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="batch membership queries")
+    q.add_argument("--index", required=True)
+    q.add_argument("--sequences", required=True)
+    q.add_argument("--queries", required=True,
+                   help='JSON list of {"id": ..., "tokens": [...]}')
+    q.add_argument("--out", required=True)
+    q.add_argument("--counts", action="store_true",
+                   help="include per-(query, doc) occurrence counts")
+    _add_cfg_args(q)
+    q.set_defaults(fn=cmd_query)
+
+    a = ap.parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

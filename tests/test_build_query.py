@@ -296,6 +296,38 @@ class TestResume:
         assert r_plain.num_rows > 0
         assert r_plain.equals(r_shard)
 
+    def test_cli_build_and_query(self, ray_session, tmp_path):
+        """`python -m hierarchical_bloom_filter_index_ray build|query`
+        round-trip (the ray-job-submit entrypoint), sharded + counts."""
+        import json
+
+        import pyarrow.parquet as pq2
+
+        from hierarchical_bloom_filter_index_ray.cli import main
+        ds = synth_sequences(256, seed=11, n_sources=2, vocab=256)
+        seqs = tmp_path / "seqs"
+        ds.write_parquet(str(seqs))
+        row = ds.take(1)[0]
+        qfile = tmp_path / "q.json"
+        qfile.write_text(json.dumps(
+            [{"id": "hit", "tokens": [int(t) for t in row["tokens"][:3]]},
+             {"id": "miss", "tokens": [2**30 + 11]}]))
+        rc = main(["build", "--input", str(seqs),
+                   "--out", str(tmp_path / "idx"),
+                   "--docs-per-window", "32", "--batch-size", "64",
+                   "--shard-windows", "2"])
+        assert rc == 0
+        rc = main(["query", "--index", str(tmp_path / "idx"),
+                   "--sequences", str(seqs), "--queries", str(qfile),
+                   "--out", str(tmp_path / "hits.parquet"),
+                   "--docs-per-window", "32", "--counts"])
+        assert rc == 0
+        hits = pq2.read_table(str(tmp_path / "hits.parquet")).to_pandas()
+        assert set(hits.columns) == {"query_id", "doc_id", "n_matches"}
+        assert (hits["query_id"] == "hit").any()
+        assert not (hits["query_id"] == "miss").any()
+        assert row["doc_id"] in set(hits["doc_id"])
+
     def test_params_mismatch_refuses_resume(self, ray_session, tmp_path):
         cfg1 = HbiConfig(seed=1, docs_per_window=32, hll_p=12)
         cfg2 = HbiConfig(seed=2, docs_per_window=32, hll_p=12)
