@@ -134,8 +134,14 @@ def main(gen_only: bool = False) -> None:
     # the reference's UNIFORM/RARE/MISSING query types
     # (utilities/BenchmarkOrchestrator.java:32-34)
     if "query" in STAGES:
+        import pyarrow.parquet as pq_
+
         rng = np.random.default_rng(7)
-        head = rd.read_parquet(synth_path).take(48)
+        # deterministic query selection: Dataset.take() returns whichever
+        # block lands first (scheduling-dependent); read the first file
+        # directly so every run probes the same patterns
+        first = sorted(Path(synth_path).glob("*.parquet"))[0]
+        head = pq_.read_table(first).slice(0, 48).to_pylist()
         queries = []
         for i, row in enumerate(head[:16]):  # short frequent patterns
             toks = row["tokens"]
