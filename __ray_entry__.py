@@ -320,6 +320,21 @@ def _q_events_asof(sf_dir: str):
     return clicks_last_purchase(sf_dir)
 
 
+def _q_events_props_sum(sf_dir: str):
+    """JSON-ish props field extraction (one RE2 kernel) + aggregate."""
+    from hierarchical_bloom_filter_index_ray.pipelines.events import \
+        props_field_sum
+    return props_field_sum(sf_dir, key="k")
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    """Star join: lineitem x orders (big-big hash join) with the
+    customer->nation dimension hop broadcast as a dense LUT."""
+    from hierarchical_bloom_filter_index_ray.pipelines.relational import \
+        revenue_by_nation
+    return revenue_by_nation(sf_dir)
+
+
 def _q_events_band_join(sf_dir: str):
     """Non-equi band join: purchases in the 5-minute look-back band of
     each error event (bucket-replication pattern, exact counts)."""
@@ -739,7 +754,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
         "events_band_join": _q_events_band_join,
+        "events_props_sum": _q_events_props_sum,
         "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
         "top_customers_by_spend": _q_top_customers,
         "revenue_by_priority": _q_revenue_by_priority,
         "exact_dedup_rows": _q_exact_dedup_rows,
@@ -889,6 +906,20 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(MAX(ts)) AS session_end, COUNT(*) AS n_events, "
             "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_cents "
             "FROM s GROUP BY user_id, sess"),
+        "events_props_sum": (
+            # same RE2 extraction the Arrow kernel uses; missing/garbage
+            # props count as 0
+            "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(COALESCE("
+            "CAST(NULLIF(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1), "
+            "'') AS BIGINT), 0)) AS BIGINT) AS sum_k FROM events "
+            "GROUP BY 1"),
+        "revenue_by_nation": (
+            "SELECT n.n_name, CAST(SUM(CAST(ROUND(l.l_extendedprice * "
+            "(1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS "
+            "rev_cents, COUNT(*) AS n_items FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"),
         "events_band_join": (
             # purchases in (t - 5 min, t] per error event; zero counts kept
             "SELECT e.event_id AS event_id, COUNT(p.event_id) AS n_right "

@@ -9,8 +9,8 @@ from .similarity import (build_ann_index, embedding_dedup,
                          knn_bruteforce, knn_indexed, knn_lsh)
 from .stats import (build_global_sketches, build_ngram_model,
                     distinct_tokens, heavy_hitters, ntok_quantiles)
-from .relational import (pricing_summary, revenue_by_priority,
-                         top_customers_by_spend)
+from .relational import (pricing_summary, revenue_by_nation,
+                         revenue_by_priority, top_customers_by_spend)
 from .super_index import build_super_index, load_super_meta, super_prune
 
 __all__ = [
@@ -27,5 +27,5 @@ __all__ = [
     "ntok_quantiles",
     "build_super_index", "load_super_meta", "super_prune",
     "build_ngram_model", "pricing_summary", "top_customers_by_spend",
-    "revenue_by_priority",
+    "revenue_by_priority", "revenue_by_nation",
 ]

@@ -223,6 +223,33 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str, on: str,
         per_bucket, batch_format="pandas")
 
 
+def props_field_sum(sf_dir: str, *, key: str = "k") -> "rd.Dataset":
+    """Semi-structured extraction: pull the integer ``key`` field out of
+    the JSON-string ``props`` column with ONE vectorized RE2 kernel
+    (``pc.extract_regex`` — no per-row json.loads) and aggregate per
+    event type. Output: (event_type, n_events, sum_k)."""
+    pattern = f'"{key}":\\s*(?P<v>-?\\d+)'
+
+    def extract(batch: pa.Table) -> pa.Table:
+        props = batch["props"]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        ext = pc.extract_regex(props, pattern)
+        v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        return pa.table({
+            "event_type": batch["event_type"],
+            "k": pc.coalesce(v, pa.scalar(0, pa.int64())),
+        })
+
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    return (ds.map_batches(extract, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("k", alias_name="sum_k")))
+
+
 def band_join_count(sf_dir: str, *, left_type: str = "error",
                     right_type: str = "purchase",
                     lookback_minutes: int = 5) -> "rd.Dataset":

@@ -117,6 +117,67 @@ def revenue_by_priority(sf_dir: str, *, num_partitions: int = 8
                        Sum("n_items", alias_name="n_items")))
 
 
+def revenue_by_nation(sf_dir: str, *, num_partitions: int = 8
+                      ) -> "rd.Dataset":
+    """Revenue per customer nation: the canonical star-join shape — ONE
+    big-big hash join (lineitem x orders on the order key), with the two
+    dimension hops (customer -> nation) folded into a broadcast dict
+    (1 driver-side read of the small tables, ``ray.put`` once, mapped
+    inside the join's output batches — never a shuffle join of the big
+    side against a dimension)."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]).to_pandas()
+    ckeys = cust["c_custkey"].to_numpy()
+    cnames = nation.set_index("n_nationkey")["n_name"].reindex(
+        cust["c_nationkey"].to_numpy()).to_numpy()
+    # dense array LUT (custkeys are small ints): O(1) vectorized gather
+    lut = np.empty(int(ckeys.max()) + 1, dtype=object)
+    lut[ckeys] = cnames
+    map_ref = ray.put(lut)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_cents": pa.array(rev, pa.int64())})
+
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+    joined = li.map_batches(to_cents, batch_format="pyarrow").join(
+        od, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    class Combine:
+        def __init__(self):
+            self.lut = ray.get(map_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            names = self.lut[ck]
+            df = pd.DataFrame({
+                "n_name": names,
+                "rev_cents": batch["rev_cents"].to_numpy(
+                    zero_copy_only=False)})
+            g = df.groupby("n_name", as_index=False).agg(
+                rev_cents=("rev_cents", "sum"),
+                n_items=("rev_cents", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return (joined.map_batches(Combine, batch_format="pyarrow",
+                               concurrency=(1, 8))
+            .groupby("n_name")
+            .aggregate(Sum("rev_cents", alias_name="rev_cents"),
+                       Sum("n_items", alias_name="n_items")))
+
+
 def top_customers_by_spend(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Top-k customers by total order spend with name/segment attached —
     the broadcast-join pattern: orders aggregate per custkey (combiner +

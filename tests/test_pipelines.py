@@ -249,6 +249,24 @@ class TestTextAndEvents:
         u13 = got[got["user_id"] == df["user_id"].iloc[0]]
         assert len(u13) >= 1
 
+    def test_props_field_sum_handles_malformed(self, ray_session,
+                                               tmp_path):
+        """RE2 props extraction: valid, empty, field-less, null and
+        negative props all handled (missing -> 0, no crash)."""
+        from hierarchical_bloom_filter_index_ray.pipelines.events import \
+            props_field_sum
+        t = pa.table({
+            "event_type": pa.array(["a", "a", "a", "b", "b"]),
+            "props": pa.array(['{"k": 7}', "", "{}", '{"k": -3}', None]),
+        })
+        p = tmp_path / "ev"
+        p.mkdir()
+        pq.write_table(t, str(p / "events.parquet"))
+        out = props_field_sum(str(p), key="k").to_pandas()
+        got = dict(zip(out["event_type"], zip(out["n_events"],
+                                              out["sum_k"])))
+        assert got == {"a": (3, 7), "b": (2, -3)}
+
     def test_asof_and_band_join_randomized(self, ray_session, tmp_path):
         """Randomized differential check on synthetic event frames:
         ties (equal ts), users with only one side, empty sides, and
