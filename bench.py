@@ -96,7 +96,8 @@ def main(gen_only: bool = False) -> None:
         # whole windows -> exactly one partial sketch per window
         synth_sequences(n_rows, seed=SEED, n_sources=8, vocab=131072,
                         override_num_blocks=max(1, n_rows // 16384),
-                        ).write_parquet(tmp, num_rows_per_file=16384)
+                        ).write_parquet(tmp, min_rows_per_file=16384,
+                                        max_rows_per_file=16384)
         os.rename(tmp, synth_path)
     if gen_only:
         print(json.dumps({"generated": synth_path}))
@@ -166,9 +167,22 @@ def main(gen_only: bool = False) -> None:
         from hierarchical_bloom_filter_index_ray.pipelines.super_index import \
             _load_super_local
         _load_super_local(f"{SCRATCH}/index/super")
+        # window-aligned file layout -> the verify stage reads only
+        # candidate files (validated; falls back to the full scan when a
+        # cached corpus predates the aligned-write guarantee)
+        import pyarrow.parquet as pqf
+
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            window_aligned_layout
+        meta = window_aligned_layout(synth_path, 16384, 16384 // 8, cfg)
+        if (len(meta) != max(1, n_rows // 16384)
+                or any(pqf.ParquetFile(m["path"]).metadata.num_rows
+                       != 16384 for m in meta)):
+            meta = None
         t0 = time.perf_counter()
         hits = membership_query(idx, seqs, queries, cfg,
-                                super_dir=f"{SCRATCH}/index")
+                                super_dir=f"{SCRATCH}/index",
+                                sequences_meta=meta)
         timings["query_membership"] = time.perf_counter() - t0
         extras["membership_qps"] = len(queries) / timings["query_membership"]
         extras["membership_hits"] = hits.num_rows

@@ -3,7 +3,8 @@ from .build_index import (build_index, index_fpr_stats, load_index,
 from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
                     minhash_lsh_pairs, ngram_jaccard, simhash_pairs)
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
-    membership_query, membership_query_table
+    membership_query, membership_query_table, prune_sequence_files, \
+    window_aligned_layout
 from .similarity import (build_ann_index, embedding_dedup,
                          embedding_near_dup_pairs, embedding_sim_join,
                          knn_bruteforce, knn_indexed, knn_lsh)
@@ -17,7 +18,7 @@ __all__ = [
     "build_index", "load_index", "load_manifest", "index_fpr_stats",
     "membership_query",
     "membership_query_table", "compile_queries", "BloomProbe",
-    "ExactVerifier",
+    "ExactVerifier", "prune_sequence_files", "window_aligned_layout",
     "exact_dedup", "exact_dedup_ids", "minhash_dedup", "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard", "knn_bruteforce", "knn_lsh", "build_ann_index",

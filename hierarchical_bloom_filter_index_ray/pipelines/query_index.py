@@ -487,6 +487,47 @@ class BloomGateVerifier:
         return pa.table(cols)
 
 
+def prune_sequence_files(sequences_meta: list[dict], cand_structs: dict,
+                         cfg: HbiConfig) -> list[str]:
+    """Files of a window-aligned corpus layout that can contain ANY
+    candidate doc: keep a file iff its [window_lo, window_hi) intersects
+    the union of candidate windows (vectorized interval check)."""
+    wins: set[int] = set()
+    for uniq_di, _, _ in cand_structs.values():
+        wins.update(np.unique(
+            np.asarray(uniq_di, dtype=np.int64)
+            >> cfg.window_bits).tolist())
+    if not wins:
+        return []
+    w = np.array(sorted(wins), dtype=np.int64)
+    los = np.array([m["window_lo"] for m in sequences_meta],
+                   dtype=np.int64)
+    his = np.array([m["window_hi"] for m in sequences_meta],
+                   dtype=np.int64)
+    # file needed iff some candidate window w satisfies lo <= w < hi:
+    # the smallest candidate >= lo must be < hi
+    pos = np.searchsorted(w, los, side="left")
+    ok = (pos < len(w)) & (np.where(pos < len(w), w[np.minimum(
+        pos, len(w) - 1)], np.iinfo(np.int64).max) < his)
+    return [m["path"] for m, keep in zip(sequences_meta, ok) if keep]
+
+
+def window_aligned_layout(path: str, rows_per_file: int,
+                          docs_per_file_per_source: int,
+                          cfg: HbiConfig) -> list[dict]:
+    """Layout metadata for a corpus written as equal-row window-aligned
+    files in sorted order (e.g. the bench synth corpus: sources
+    interleaved round-robin, ``rows_per_file`` rows each -> every source
+    advances ``docs_per_file_per_source`` docs per file)."""
+    from pathlib import Path as _P
+    files = sorted(str(p) for p in _P(path).glob("*.parquet"))
+    if docs_per_file_per_source % cfg.docs_per_window:
+        raise ValueError("files must hold whole windows per source")
+    span = docs_per_file_per_source >> cfg.window_bits
+    return [{"path": f, "window_lo": i * span, "window_hi": (i + 1) * span}
+            for i, f in enumerate(files)]
+
+
 def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
                         compiled: list[dict], cfg: HbiConfig, q_ref,
                         n_cand: int, *, sources, window_range,
@@ -562,7 +603,8 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      candidate_mode: str = "auto",
                      broadcast_limit: int = 1_000_000,
                      markov_model=None,
-                     with_counts: bool = False) -> pa.Table:
+                     with_counts: bool = False,
+                     sequences_meta: list[dict] | None = None) -> pa.Table:
     """Exact pattern-membership results for a batch of queries.
 
     Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
@@ -585,6 +627,16 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     the probe, and each surviving window only probes the queries that
     reached it — probe work drops from O(windows) to O(log windows) for
     absent tokens.
+
+    ``sequences_meta``: optional window-aligned file layout of the
+    sequences corpus — ``[{"path": ..., "window_lo": L, "window_hi": H}]``
+    (half-open window range per file, any source). When given and the
+    candidate exchange runs in broadcast mode, the verify stage reads
+    ONLY the files whose window range intersects a candidate window —
+    for selective queries the verify cost stops being O(corpus) and
+    becomes O(candidate windows), the sequences-side analogue of the
+    super-level index pruning. Results are identical either way (the
+    pruned set is a superset of every candidate's file).
     """
     import pyarrow.compute as pc
 
@@ -696,9 +748,25 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                 offs = np.concatenate([starts, [len(di)]]).astype(np.int64)
                 cand_structs[str(src)] = (uniq, offs, qi)
         c_ref = ray.put(cand_structs)
-        hits = sequences_ds.map_batches(
-            ExactVerifier(cfg, c_ref, q_ref, with_counts=with_counts),
-            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        verify_ds = sequences_ds
+        if sequences_meta is not None:
+            paths = prune_sequence_files(sequences_meta, cand_structs, cfg)
+            if not paths:
+                verify_ds = None
+            else:
+                import ray.data as rd_
+                verify_ds = rd_.read_parquet(paths)
+        if verify_ds is None:
+            import pandas as pd
+            hits = pd.DataFrame(
+                {"query_idx": pd.Series([], dtype="int32"),
+                 "doc_id": pd.Series([], dtype=object)}
+                | ({"n_matches": pd.Series([], dtype="int64")}
+                   if with_counts else {}))
+        else:
+            hits = verify_ds.map_batches(
+                ExactVerifier(cfg, c_ref, q_ref, with_counts=with_counts),
+                batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     qid_arr = np.array([q["query_id"] for q in compiled], dtype=object)
     cols = {
         "query_id": pa.array(

@@ -20,13 +20,19 @@ CFG = HbiConfig(seed=42, docs_per_window=64, fp=0.01, ngram=1,
                 expected_tokens_per_doc=64, expected_distinct_per_doc=48,
                 hll_p=12, cms_eps=0.02, cms_delta=0.05)
 N_ROWS = 4096  # 2 sources x 32 windows of 64 docs
+N_SOURCES = 2
+CORPUS_ROWS_PER_FILE = 1024  # 512 docs/source/file = 8 whole windows
 
 
 @pytest.fixture(scope="module")
 def corpus(ray_session, tmp_path_factory):
     path = tmp_path_factory.mktemp("superdata") / "seqs"
-    synth_sequences(N_ROWS, seed=7, n_sources=2, vocab=200_000,
-                    len_min=8, len_max=64).write_parquet(str(path))
+    synth_sequences(N_ROWS, seed=7, n_sources=N_SOURCES, vocab=200_000,
+                    len_min=8, len_max=64,
+                    override_num_blocks=N_ROWS // CORPUS_ROWS_PER_FILE
+                    ).write_parquet(
+        str(path), min_rows_per_file=CORPUS_ROWS_PER_FILE,
+        max_rows_per_file=CORPUS_ROWS_PER_FILE)
     return str(path)
 
 
@@ -189,6 +195,42 @@ class TestSuperQuery:
         assert {(r["query_id"], r["doc_id"]): r["n_matches"]
                 for _, r in got.iterrows()} == want
         assert (got["n_matches"] >= 1).all()
+
+    def test_sequences_file_pruning(self, index_dir, corpus,
+                                    sample_tokens, tmp_path):
+        """sequences_meta: verify reads only candidate-window files.
+        Results identical to the full scan; a one-window candidate set
+        keeps exactly one file; missing-everywhere queries keep none."""
+        from hierarchical_bloom_filter_index_ray.pipelines import (
+            prune_sequence_files, window_aligned_layout)
+        queries = [(f"q{i}", toks) for i, toks in enumerate(sample_tokens)]
+        queries.append(("missing", [2**30 + 21, 2**30 + 22]))
+        idx = load_index(index_dir)
+        seqs = rd.read_parquet(corpus)
+        meta = window_aligned_layout(corpus, CORPUS_ROWS_PER_FILE,
+                                     CORPUS_ROWS_PER_FILE // N_SOURCES,
+                                     CFG)
+        assert len(meta) > 1
+        base = membership_query(load_index(index_dir),
+                                rd.read_parquet(corpus), queries, CFG)
+        pruned = membership_query(idx, seqs, queries, CFG,
+                                  sequences_meta=meta)
+        assert base.num_rows > 0
+        assert base.equals(pruned)
+        # selectivity: candidates in window 0 only -> exactly file 0
+        bits = CFG.window_bits
+        cand = {"src0": (np.array([3], dtype=np.int64),  # window 0 doc
+                         np.array([0, 1], dtype=np.int64),
+                         np.array([0], dtype=np.int64))}
+        keep = prune_sequence_files(meta, cand, CFG)
+        assert keep == [meta[0]["path"]]
+        last_win = (meta[-1]["window_lo"]) << bits
+        cand2 = {"src0": (np.array([last_win], dtype=np.int64),
+                          np.array([0, 1], dtype=np.int64),
+                          np.array([0], dtype=np.int64))}
+        assert prune_sequence_files(meta, cand2, CFG) == \
+            [meta[-1]["path"]]
+        assert prune_sequence_files(meta, {}, CFG) == []
 
     def test_scoped_query_with_super(self, index_dir, corpus,
                                      sample_tokens):
