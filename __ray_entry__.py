@@ -102,6 +102,19 @@ def _q_token_count(sf_dir: str):
     return token_counts(sf_dir)
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact trigram-set Jaccard similarity join over the documents
+    (distributed pair emission + intersection-count groupby). Int id
+    pairs only; DuckDB recomputes the ratio in the oracle."""
+    from hierarchical_bloom_filter_index_ray.pipelines import \
+        ngram_jaccard_join
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        sequences_table
+    got = ngram_jaccard_join(sequences_table(sf_dir, seed=SEED), n=3,
+                             threshold=0.5, seed=SEED)
+    return got[["a", "b"]]
+
+
 def _q_subword_counts(sf_dir: str):
     """BPE-ish subword count per doc: one RE2 kernel both engines share
     (Arrow count_substring_regex == DuckDB regexp_extract_all length)."""
@@ -740,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled (exact parity with DuckDB)
         "token_count": _q_token_count,
         "subword_counts": _q_subword_counts,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "doc_frequent_bigrams": _q_doc_frequent_bigrams,
         "lang_dist": _q_lang_dist,
         "source_token_totals": _q_source_token_totals,
@@ -806,6 +820,21 @@ def oracle_sql() -> dict[str, str]:
             # same RE2 pattern the Arrow kernel counts with
             f"SELECT doc_id, CAST(len(regexp_extract_all(text, "
             f"'{subword_pat}')) AS BIGINT) AS n_subwords FROM documents"),
+        "ngram_jaccard_pairs": (
+            # exact distinct-trigram Jaccard >= 0.5 (nearest pair is
+            # >= 0.38 from the cut at sf<=0.01: threshold-stable)
+            "WITH arrs AS (SELECT doc_id, regexp_split_to_array(trim("
+            "text), '\\s+') AS arr FROM documents WHERE trim(text) <> "
+            "''), tg AS (SELECT DISTINCT doc_id, arr[i] || ' ' || "
+            "arr[i+1] || ' ' || arr[i+2] AS g FROM arrs, UNNEST(range(1, "
+            "len(arr) - 1)) AS t(i) WHERE len(arr) >= 3), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1), "
+            "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS "
+            "i FROM tg x JOIN tg y ON x.g = y.g AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2) SELECT inter.a AS a, inter.b AS b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.a JOIN sizes sb ON "
+            "sb.doc_id = inter.b WHERE CAST(i AS DOUBLE) / "
+            "(sa.n + sb.n - i) >= 0.5"),
         "doc_frequent_bigrams": (
             "WITH arrs AS (SELECT doc_id, regexp_split_to_array(trim("
             "text), '\\s+') AS arr FROM documents WHERE trim(text) <> "

@@ -1,7 +1,8 @@
 from .build_index import (build_index, index_fpr_stats, load_index,
                           load_manifest)
 from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
-                    minhash_lsh_pairs, ngram_jaccard, simhash_pairs)
+                    minhash_lsh_pairs, ngram_jaccard, ngram_jaccard_join,
+                    simhash_pairs)
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
     membership_query, membership_query_table, prune_sequence_files, \
     window_aligned_layout
@@ -21,7 +22,8 @@ __all__ = [
     "ExactVerifier", "prune_sequence_files", "window_aligned_layout",
     "exact_dedup", "exact_dedup_ids", "minhash_dedup", "minhash_lsh_pairs",
     "simhash_pairs",
-    "ngram_jaccard", "knn_bruteforce", "knn_lsh", "build_ann_index",
+    "ngram_jaccard", "ngram_jaccard_join", "knn_bruteforce", "knn_lsh",
+    "build_ann_index",
     "knn_indexed", "embedding_near_dup_pairs", "embedding_dedup",
     "embedding_sim_join",
     "build_global_sketches", "distinct_tokens", "heavy_hitters",

@@ -419,6 +419,114 @@ def simhash_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, max_hamming: int = 3
 
 
 # ----------------------------------------------------- exact ngram jaccard --
+def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
+                       threshold: float = 0.5,
+                       seed: int = 42) -> pd.DataFrame:
+    """EXACT n-gram-set similarity join: every doc pair whose distinct
+    n-gram Jaccard >= threshold -> (a, b, jaccard). The exact counterpart
+    of the MinHash estimate (``minhash_lsh_pairs`` is the subquadratic
+    scale path; this one enumerates every co-occurring pair, the
+    inherent cost of exactness).
+
+    Distributed shape: (n-gram key, doc) rows -> range sort -> each block
+    pairs its INTERIOR n-gram groups locally and only per-block
+    first/last-key rows reach the driver (the `_bucket_candidate_pairs`
+    boundary scheme) -> a distributed ``groupby(a, b).count`` turns pair
+    multiplicity into the exact intersection size -> Jaccard from the
+    per-doc distinct-gram counts. Integer arithmetic end to end.
+    """
+    from ray.data.aggregate import Count
+
+    from ..functions import flat_tokens_and_offsets, ngram_keys
+    from ..state.splitmix import derive_seed
+
+    gram_seed = derive_seed(seed, "jaccard_ngram")
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens_and_offsets(batch["tokens"])
+        keys, off = ngram_keys(flat, offsets, n, gram_seed)
+        counts = np.diff(off)
+        parent = np.repeat(np.arange(batch.num_rows), counts)
+        df = pd.DataFrame({"g": keys, "p": parent}).drop_duplicates()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array(df["g"].to_numpy(), pa.uint64()),
+            "doc_id": pa.array(ids[df["p"].to_numpy()], pa.int64()),
+        })
+
+    rows = ds.map_batches(gram_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    sizes_df = (rows.groupby("doc_id")
+                .aggregate(Count(alias_name="ngrams")).to_pandas())
+    size_of = dict(zip(sizes_df["doc_id"].to_numpy(),
+                       sizes_df["ngrams"].to_numpy()))
+
+    def _all_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Every intra-group pair (a < b), once per group occurrence —
+        multiplicity across groups IS the intersection count."""
+        df = df.sort_values(["g", "doc_id"], kind="stable")
+        g = df["g"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        first = np.nonzero(new)[0]
+        sizes = np.diff(np.concatenate([first, [len(df)]]))
+        doc = df["doc_id"].to_numpy()
+        ai, bi = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            starts = first[sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            ai.append((starts[:, None] + iu[None, :]).ravel())
+            bi.append((starts[:, None] + ju[None, :]).ravel())
+        if not ai:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        av = doc[np.concatenate(ai)]
+        bv = doc[np.concatenate(bi)]
+        return pd.DataFrame({"a": np.minimum(av, bv),
+                             "b": np.maximum(av, bv)})
+
+    srt = rows.sort("g").materialize()
+
+    def interior_pairs(t: pa.Table) -> pd.DataFrame:
+        if not t.num_rows:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        h = t["g"].to_numpy(zero_copy_only=False)
+        interior = (h != h[0]) & (h != h[-1])
+        return _all_pairs(t.filter(pa.array(interior)).to_pandas())
+
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        h = t["g"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((h == h[0]) | (h == h[-1])))
+
+    pairs_ds = srt.map_batches(interior_pairs, batch_format="pyarrow")
+    bnd = srt.map_batches(boundary_rows,
+                          batch_format="pyarrow").to_pandas()
+    if len(bnd):
+        bnd_pairs = _all_pairs(bnd)
+        if len(bnd_pairs):
+            pairs_ds = pairs_ds.union(rd.from_pandas(bnd_pairs))
+    inter = (pairs_ds.groupby(["a", "b"])
+             .aggregate(Count(alias_name="i")).to_pandas())
+    if not len(inter):
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    na = inter["a"].map(size_of).to_numpy(dtype=np.int64)
+    nb = inter["b"].map(size_of).to_numpy(dtype=np.int64)
+    i = inter["i"].to_numpy(dtype=np.int64)
+    jac = i / (na + nb - i)
+    out = inter.assign(jaccard=jac)[jac >= threshold]
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    return (out[["a", "b", "jaccard"]]
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 def ngram_jaccard(tokens_a: np.ndarray, tokens_b: np.ndarray, n: int,
                   seed: int) -> float:
     """Exact n-gram Jaccard between two token arrays (verification oracle)."""

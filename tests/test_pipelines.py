@@ -501,6 +501,44 @@ class TestAnnIndex:
                  for a, b in zip(got["a"], got["b"])], rtol=1e-12)
 
 
+class TestNgramJaccardJoin:
+    def test_exact_join_vs_per_pair_oracle(self, ray_session):
+        """Distributed trigram Jaccard join: every returned pair's value
+        equals the per-pair python-set oracle; no qualifying pair is
+        missed (exhaustive check over all doc pairs); block layout
+        (boundary reassembly) does not change results."""
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            ngram_jaccard_join
+        from hierarchical_bloom_filter_index_ray.pipelines.dedup import \
+            ngram_jaccard
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            sequences_table
+        from hierarchical_bloom_filter_index_ray.state.splitmix import \
+            derive_seed
+        got = ngram_jaccard_join(sequences_table(SF, seed=42), n=3,
+                                 threshold=0.5, seed=42)
+        raw = sequences_table(SF, seed=42).to_pandas()
+        toks = dict(zip(raw["doc_id"],
+                        (np.asarray(t, dtype=np.int32)
+                         for t in raw["tokens"])))
+        seed = derive_seed(42, "jaccard_ngram")
+        ids = sorted(toks)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                j = ngram_jaccard(toks[a], toks[b], 3, seed)
+                if j >= 0.5:
+                    want[(a, b)] = j
+        assert {(r["a"], r["b"]): r["jaccard"]
+                for _, r in got.iterrows()} == pytest.approx(want)
+        assert len(want) > 3
+        # layout invariance: many tiny blocks exercise the boundary path
+        got2 = ngram_jaccard_join(
+            sequences_table(SF, seed=42).repartition(37), n=3,
+            threshold=0.5, seed=42)
+        pd.testing.assert_frame_equal(got, got2)
+
+
 class TestFrequentBigrams:
     def test_doc_frequent_bigrams_vs_python(self, ray_session):
         """Two-pass frequent-bigram score == pure-python oracle; docs with
