@@ -1,5 +1,5 @@
-from .build_index import (build_index, index_fpr_stats, load_index,
-                          load_manifest)
+from .build_index import (build_index, expire_windows, index_fpr_stats,
+                          load_index, load_manifest)
 from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
                     minhash_lsh_pairs, ngram_jaccard, ngram_jaccard_join,
                     simhash_pairs)
@@ -17,6 +17,7 @@ from .super_index import build_super_index, load_super_meta, super_prune
 
 __all__ = [
     "build_index", "load_index", "load_manifest", "index_fpr_stats",
+    "expire_windows",
     "membership_query",
     "membership_query_table", "compile_queries", "BloomProbe",
     "ExactVerifier", "prune_sequence_files", "window_aligned_layout",

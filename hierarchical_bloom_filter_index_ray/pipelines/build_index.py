@@ -201,7 +201,18 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
             merged.write_parquet(str(out / PARTITIONS),
                                  partition_cols=part_cols, mode="append")
 
-    # manifest: lineage + per-source metrics read back from the partitions
+    manifest = _write_manifest(out, cfg, completed, shard_windows,
+                               round(time.perf_counter() - t0, 3))
+    if super_levels:
+        from .super_index import build_super_index
+        manifest["super"] = build_super_index(out_dir, cfg)
+    return manifest
+
+
+def _write_manifest(out: Path, cfg: HbiConfig, completed: set,
+                    shard_windows: int | None,
+                    build_seconds: float) -> dict:
+    """Lineage + per-source metrics read back from the partitions."""
     stats = pq.read_table(
         str(out / PARTITIONS),
         columns=["source", "window_id", "n_docs", "n_tokens", "index_bytes"])
@@ -223,7 +234,7 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
         "shard_windows": shard_windows,
         "sources": per_source,
         "built_unix": time.time(),
-        "build_seconds": round(time.perf_counter() - t0, 3),
+        "build_seconds": build_seconds,
         "total_windows": int(df["window_id"].count()),
         "total_docs": int(df["n_docs"].sum()),
         "total_tokens": int(df["n_tokens"].sum()),
@@ -234,7 +245,70 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
             s: sorted((g["window_id"] // shard_windows).unique().tolist())
             for s, g in df.groupby("source")}
     (out / MANIFEST).write_text(json.dumps(manifest, indent=2))
-    if super_levels:
+    return manifest
+
+
+def expire_windows(out_dir: str, cfg: HbiConfig, *, before_window: int,
+                   super_levels: bool = True) -> dict:
+    """Retention at rest — the reference's sliding-window expiry
+    (``PMIndex/HBI.java`` tree rollover) applied to the persisted index:
+    drop every index row whose ``window_id < before_window``; returns the
+    refreshed manifest.
+
+    Sharded layout (``build_index(shard_windows=K)``): shard dirs wholly
+    below the cutoff just UNLINK (O(expired shards), no data rewrite);
+    only the single boundary shard per source rewrites. Unsharded layout:
+    per-source filter-rewrite. The super store rebuilds from the
+    remaining window roots; queries never see expired windows (the same
+    result as ``window_range=(before_window, inf)`` on the full index).
+    """
+    import time as _t
+
+    t0 = _t.perf_counter()
+    out = Path(out_dir)
+    manifest = load_manifest(out_dir)
+    if manifest is None:
+        raise ValueError(f"no index at {out_dir}")
+    if manifest["params_hash"] != cfg.params_hash():
+        raise ValueError("config mismatch with the existing index")
+    shard_windows = manifest.get("shard_windows")
+
+    def rewrite_filtered(target: Path) -> None:
+        """Keep only rows with window_id >= cutoff in one partition dir."""
+        files = sorted(target.rglob("*.parquet"))
+        for f in files:
+            t = pq.read_table(str(f))
+            keep = pc.greater_equal(t["window_id"], before_window)
+            kept = t.filter(keep)
+            if kept.num_rows == t.num_rows:
+                continue
+            if kept.num_rows == 0:
+                f.unlink()
+            else:
+                pq.write_table(kept, str(f))
+        if not any(target.rglob("*.parquet")):
+            shutil.rmtree(target)
+
+    for sdir in sorted((out / PARTITIONS).glob("source=*")):
+        if shard_windows is not None:
+            for shdir in sorted(sdir.glob("shard=*")):
+                k = int(shdir.name.split("=", 1)[1])
+                hi = (k + 1) * shard_windows
+                lo = k * shard_windows
+                if hi <= before_window:
+                    shutil.rmtree(shdir)        # wholly expired: unlink
+                elif lo < before_window:
+                    rewrite_filtered(shdir)     # boundary shard only
+            if not any(sdir.rglob("*.parquet")):
+                shutil.rmtree(sdir)
+        else:
+            rewrite_filtered(sdir)
+
+    manifest = _write_manifest(out, cfg, set(), shard_windows,
+                               round(_t.perf_counter() - t0, 3))
+    manifest["expired_before_window"] = before_window
+    (out / MANIFEST).write_text(json.dumps(manifest, indent=2))
+    if super_levels and (out / "super").exists():
         from .super_index import build_super_index
         manifest["super"] = build_super_index(out_dir, cfg)
     return manifest

@@ -196,6 +196,45 @@ class TestSuperQuery:
                 for _, r in got.iterrows()} == want
         assert (got["n_matches"] >= 1).all()
 
+    def test_expire_windows(self, index_dir, corpus, sample_tokens,
+                            tmp_path):
+        """Retention: expiring windows < W drops exactly those rows
+        (sharded layout unlinks whole shard dirs, boundary shard
+        rewrites), refreshes manifest + super store, and queries equal a
+        window_range=(W, inf) scope on the un-expired index."""
+        import shutil as sh
+
+        from hierarchical_bloom_filter_index_ray.pipelines import (
+            expire_windows, load_manifest)
+        queries = [(f"q{i}", toks) for i, toks in enumerate(sample_tokens)]
+        cutoff = 10
+        want = membership_query(load_index(index_dir),
+                                rd.read_parquet(corpus), queries, CFG,
+                                window_range=(cutoff, 1 << 60))
+        for shard in (None, 4):
+            d = tmp_path / f"exp{shard}"
+            if shard is None:
+                sh.copytree(index_dir, d)
+            else:
+                build_index(rd.read_parquet(corpus), CFG, str(d),
+                            batch_size=512, shard_windows=shard)
+            man = expire_windows(str(d), CFG, before_window=cutoff)
+            assert man["expired_before_window"] == cutoff
+            left = load_index(str(d)).to_pandas()
+            assert int(left["window_id"].min()) == cutoff
+            # 32 windows/source, 2 sources -> 22 left each
+            assert man["total_windows"] == 2 * (32 - cutoff)
+            if shard is not None:
+                # shards 0,1 wholly expired -> dirs gone; shard 2 boundary
+                src_dirs = sorted((d / "partitions").glob("source=*"))
+                assert src_dirs
+                names = sorted(p.name for p in src_dirs[0].glob("shard=*"))
+                assert names == [f"shard={k}" for k in range(2, 8)]
+            got = membership_query(load_index(str(d)),
+                                   rd.read_parquet(corpus), queries, CFG,
+                                   super_dir=str(d))
+            assert got.equals(want)
+
     def test_sequences_file_pruning(self, index_dir, corpus,
                                     sample_tokens, tmp_path):
         """sequences_meta: verify reads only candidate-window files.
