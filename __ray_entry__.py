@@ -348,6 +348,18 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_suppliers_by_region(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines.relational import \
+        suppliers_by_region
+    return suppliers_by_region(sf_dir)
+
+
+def _q_revenue_by_brand(sf_dir: str):
+    from hierarchical_bloom_filter_index_ray.pipelines.relational import \
+        revenue_by_brand
+    return revenue_by_brand(sf_dir)
+
+
 def _q_events_band_join(sf_dir: str):
     """Non-equi band join: purchases in the 5-minute look-back band of
     each error event (bucket-replication pattern, exact counts)."""
@@ -771,6 +783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_sum": _q_events_props_sum,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
+        "revenue_by_brand": _q_revenue_by_brand,
+        "suppliers_by_region": _q_suppliers_by_region,
         "top_customers_by_spend": _q_top_customers,
         "revenue_by_priority": _q_revenue_by_priority,
         "exact_dedup_rows": _q_exact_dedup_rows,
@@ -942,6 +956,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULLIF(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1), "
             "'') AS BIGINT), 0)) AS BIGINT) AS sum_k FROM events "
             "GROUP BY 1"),
+        "suppliers_by_region": (
+            "SELECT r.r_name, COUNT(*) AS n_suppliers, "
+            "CAST(SUM(CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT)) AS "
+            "BIGINT) AS acctbal_cents FROM supplier s "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey GROUP BY 1"),
+        "revenue_by_brand": (
+            "SELECT p.p_brand, CAST(SUM(CAST(ROUND(l.l_extendedprice * "
+            "(1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS "
+            "rev_cents, COUNT(*) AS n_items FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey GROUP BY 1"),
         "revenue_by_nation": (
             "SELECT n.n_name, CAST(SUM(CAST(ROUND(l.l_extendedprice * "
             "(1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS "

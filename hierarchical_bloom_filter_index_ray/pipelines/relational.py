@@ -178,6 +178,82 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int = 8
                        Sum("n_items", alias_name="n_items")))
 
 
+def suppliers_by_region(sf_dir: str) -> "rd.Dataset":
+    """Per-region supplier counts + integer-cent balances: the two
+    dimension hops (nation -> region) fold into one broadcast LUT mapped
+    over the supplier stream."""
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"]
+                             ).to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    reg_name = region.set_index("r_regionkey")["r_name"]
+    nk = nation["n_nationkey"].to_numpy()
+    lut = np.empty(int(nk.max()) + 1, dtype=object)
+    lut[nk] = reg_name.reindex(nation["n_regionkey"].to_numpy()).to_numpy()
+    lut_ref = ray.put(lut)
+
+    class ToRegion:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = self.lut[batch["s_nationkey"].to_numpy(
+                zero_copy_only=False)]
+            return pa.table({
+                "r_name": pa.array(names.tolist(), pa.string()),
+                "acctbal_cents": _cents(batch["s_acctbal"]),
+            })
+
+    from ray.data.aggregate import Count, Sum
+    return (rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_nationkey", "s_acctbal"])
+            .map_batches(ToRegion, batch_format="pyarrow",
+                         concurrency=(1, 4))
+            .groupby("r_name")
+            .aggregate(Count(alias_name="n_suppliers"),
+                       Sum("acctbal_cents", alias_name="acctbal_cents")))
+
+
+def revenue_by_brand(sf_dir: str) -> "rd.Dataset":
+    """Revenue per part brand: lineitem (big) against the part dimension
+    via a broadcast dense LUT — never a shuffle join of the big side."""
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"]).to_pandas()
+    pk = part["p_partkey"].to_numpy()
+    lut = np.empty(int(pk.max()) + 1, dtype=object)
+    lut[pk] = part["p_brand"].to_numpy()
+    lut_ref = ray.put(lut)
+
+    class Combine:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            price = batch["l_extendedprice"].to_numpy(
+                zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            rev = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(
+                np.int64)
+            df = pd.DataFrame({
+                "p_brand": self.lut[batch["l_partkey"].to_numpy(
+                    zero_copy_only=False)],
+                "rev_cents": rev})
+            g = df.groupby("p_brand", as_index=False).agg(
+                rev_cents=("rev_cents", "sum"),
+                n_items=("rev_cents", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice",
+                                     "l_discount"])
+            .map_batches(Combine, batch_format="pyarrow",
+                         concurrency=(1, 8))
+            .groupby("p_brand")
+            .aggregate(Sum("rev_cents", alias_name="rev_cents"),
+                       Sum("n_items", alias_name="n_items")))
+
+
 def top_customers_by_spend(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Top-k customers by total order spend with name/segment attached —
     the broadcast-join pattern: orders aggregate per custkey (combiner +
