@@ -676,6 +676,37 @@ def _q_knn_ivf_exact(sf_dir: str):
     return got[["query_id", "neighbor_id", "rank"]]
 
 
+def _q_knn_kmeans_exact(sf_dir: str):
+    """k-means IVF store (distributed Lloyd's fit) probed with
+    probe_all=True: the centroid-partitioned read path must reproduce
+    brute-force top-k exactly (same SQL oracle as ``knn_bruteforce``)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray.pipelines import (
+        build_ann_index_kmeans, knn_kmeans)
+
+    slug = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = Path("/tmp/hbi_entry_cache") / f"kmeans-{slug}"
+    if not (out / "kmeans_meta.json").exists():
+        build_ann_index_kmeans(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), str(out),
+            n_clusters=8, iters=5, seed=SEED)
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    flat = head["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    x = flat.reshape(head.num_rows, -1)
+    ids = head["vec_id"].to_numpy()
+    order = np.argsort(ids)[:KNN_QUERIES]
+    q = x[order].astype(np.float64)
+    got = knn_kmeans(str(out), q, k=KNN_K, probe_all=True,
+                     exclude_self=True, query_ids=ids[order])
+    got["query_id"] = ids[order][got["query_idx"].to_numpy()]
+    return got[["query_id", "neighbor_id", "rank"]]
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF/LSH-partitioned ANN: store bucketed once, query reads only
     probed bucket partitions (rows-only; recall pinned in pytest)."""
@@ -797,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scoped_word_membership": _q_scoped_word_membership,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf_exact": _q_knn_ivf_exact,
+        "knn_kmeans_exact": _q_knn_kmeans_exact,
         "emb_sim_join": _q_emb_sim_join,
         "lang_id_pred": _q_lang_id_pred,
         # sketch / approximate (rows-only driver check; bounds tested in
@@ -1035,6 +1067,16 @@ def oracle_sql() -> dict[str, str]:
             f"e.vec_id ASC) QUALIFY row_number() OVER w <= {KNN_K}"),
         "knn_ivf_exact": (
             # probe_all IVF == brute force: identical oracle by design
+            f"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "CAST(row_number() OVER w AS BIGINT) AS rank "
+            "FROM embeddings q, embeddings e "
+            f"WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY "
+            f"vec_id LIMIT {KNN_QUERIES}) AND e.vec_id != q.vec_id "
+            "WINDOW w AS (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, e.embedding) DESC, "
+            f"e.vec_id ASC) QUALIFY row_number() OVER w <= {KNN_K}"),
+        "knn_kmeans_exact": (
+            # probe_all over the k-means IVF store == brute force
             f"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
             "CAST(row_number() OVER w AS BIGINT) AS rank "
             "FROM embeddings q, embeddings e "

@@ -6,9 +6,10 @@ from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
     membership_query, membership_query_table, prune_sequence_files, \
     window_aligned_layout
-from .similarity import (build_ann_index, embedding_dedup,
-                         embedding_near_dup_pairs, embedding_sim_join,
-                         knn_bruteforce, knn_indexed, knn_lsh)
+from .similarity import (build_ann_index, build_ann_index_kmeans,
+                         embedding_dedup, embedding_near_dup_pairs,
+                         embedding_sim_join, kmeans_fit, knn_bruteforce,
+                         knn_indexed, knn_kmeans, knn_lsh)
 from .stats import (build_global_sketches, build_ngram_model,
                     distinct_tokens, heavy_hitters, ntok_quantiles)
 from .relational import (pricing_summary, revenue_by_nation,
@@ -26,7 +27,8 @@ __all__ = [
     "ngram_jaccard", "ngram_jaccard_join", "knn_bruteforce", "knn_lsh",
     "build_ann_index",
     "knn_indexed", "embedding_near_dup_pairs", "embedding_dedup",
-    "embedding_sim_join",
+    "embedding_sim_join", "kmeans_fit", "build_ann_index_kmeans",
+    "knn_kmeans",
     "build_global_sketches", "distinct_tokens", "heavy_hitters",
     "ntok_quantiles",
     "build_super_index", "load_super_meta", "super_prune",

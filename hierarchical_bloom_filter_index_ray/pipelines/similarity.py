@@ -380,6 +380,149 @@ def knn_indexed(out_dir: str, query_vectors: np.ndarray, k: int = 10, *,
     return _merge_topk(parts, k)
 
 
+# ------------------------------------------------------ k-means IVF ANN --
+def kmeans_fit(ds: "rd.Dataset", n_clusters: int, *, iters: int = 10,
+               seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
+    """DISTRIBUTED Lloyd's k-means over unit-normalized vectors: each
+    iteration is one map_batches (per-batch cluster sums/counts — the
+    combiner) + one tiny global aggregate; only the (k, d) centroid
+    matrix moves between driver and workers. Deterministic: seeded
+    counter-based init, empty clusters re-seeded from the same chain."""
+    import ray.data as rd_
+
+    first = ds.take_batch(2, batch_format="pyarrow")
+    d = _matrix(first[vec_col]).shape[1]
+    keys = np.arange(n_clusters * d, dtype=np.uint64) ^ np.uint64(
+        derive_seed(seed, "kmeans_init") & 0xFFFFFFFFFFFFFFFF)
+    u = (splitmix64(keys) >> np.uint64(11)).astype(np.float64) / (1 << 53)
+    cents = (u.reshape(n_clusters, d) - 0.5)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                        1e-30)
+    for it in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = _matrix(batch[vec_col])
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                               1e-30)
+            a = (x @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=len(c))
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int32()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            })
+
+        from ray.data.aggregate import Sum
+
+        def merge_sums(df):
+            import pandas as pd
+            mat = np.stack(df["vsum"].to_numpy())
+            out = pd.DataFrame({"cluster": [int(df["cluster"].iloc[0])]})
+            out["vsum"] = [mat.sum(axis=0)]
+            out["cnt"] = int(df["cnt"].sum())
+            return out
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("cluster").map_groups(merge_sums,
+                                              batch_format="pandas")
+               .to_pandas())
+        new = cents.copy()
+        for _, r in agg.iterrows():
+            if r["cnt"] > 0:
+                v = np.asarray(r["vsum"], dtype=np.float64)
+                new[int(r["cluster"])] = v / max(
+                    np.linalg.norm(v), 1e-30)
+        cents = new
+    return cents
+
+
+def build_ann_index_kmeans(ds: "rd.Dataset", out_dir: str, *,
+                           n_clusters: int = 16, iters: int = 10,
+                           seed: int = 42, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> dict:
+    """True IVF: k-means centroids (distributed fit) -> corpus written
+    partitioned by nearest-centroid cluster; queries read only the
+    ``nprobe`` closest clusters' partitions."""
+    import json
+    from pathlib import Path
+
+    cents = kmeans_fit(ds, n_clusters, iters=iters, seed=seed,
+                       vec_col=vec_col)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        x = _matrix(batch[vec_col])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                           1e-30)
+        a = (x @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(a))
+
+    out = Path(out_dir)
+    if (out / "clusters").exists():
+        import shutil
+        shutil.rmtree(out / "clusters")
+    out.mkdir(parents=True, exist_ok=True)
+    (ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+       .write_parquet(str(out / "clusters"), partition_cols=["cluster"]))
+    (out / "kmeans_meta.json").write_text(json.dumps(
+        {"n_clusters": n_clusters, "seed": seed, "id_col": id_col,
+         "vec_col": vec_col, "centroids": cents.tolist()}))
+    return {"n_clusters": n_clusters, "centroids": cents}
+
+
+def knn_kmeans(out_dir: str, query_vectors: np.ndarray, k: int = 10, *,
+               nprobe: int = 2, probe_all: bool = False,
+               exclude_self: bool = False,
+               query_ids: np.ndarray | None = None,
+               concurrency=None) -> pd.DataFrame:
+    """Exact cosine top-k over the ``nprobe`` nearest cluster partitions
+    of a ``build_ann_index_kmeans`` store (``probe_all=True`` scans every
+    cluster -> provably identical to brute force)."""
+    import json
+    from pathlib import Path
+
+    import ray.data as rd_
+
+    meta = json.loads((Path(out_dir) / "kmeans_meta.json").read_text())
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    if probe_all:
+        probe = set(range(meta["n_clusters"]))
+    else:
+        order = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+        probe = set(order.ravel().tolist())
+    paths = [str(f) for c in sorted(probe)
+             for f in sorted((Path(out_dir) / "clusters"
+                              / f"cluster={c}").glob("*.parquet"))]
+    if not paths:
+        return pd.DataFrame({"query_idx": [], "neighbor_id": [],
+                             "cosine": [], "rank": []})
+    ds = rd_.read_parquet(paths)
+    from ..stages.resources import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
+    ref = ray.put(q)
+    k_local = k + 1 if exclude_self else k
+    parts = ds.map_batches(
+        _BatchTopK, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=concurrency,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k_local,
+                               "id_col": meta["id_col"],
+                               "vec_col": meta["vec_col"]}).to_pandas()
+    if exclude_self and query_ids is not None:
+        qi = parts["query_idx"].to_numpy()
+        parts = parts[parts["neighbor_id"].to_numpy()
+                      != np.asarray(query_ids)[qi]]
+    return _merge_topk(parts, k)
+
+
 # ------------------------------------------------------- LSH-bucketed ANN --
 def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
     """Deterministic random hyperplanes via counter-based gaussians."""

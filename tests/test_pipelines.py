@@ -470,6 +470,42 @@ class TestAnnIndex:
         b = bf[["query_idx", "neighbor_id", "rank"]].reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_kmeans_ivf_store(self, ray_session, tmp_path):
+        """Distributed k-means IVF: deterministic fit, probe_all ==
+        brute force, nprobe path keeps perfect self-recall and reads
+        only the probed cluster partitions."""
+        from hierarchical_bloom_filter_index_ray.pipelines import (
+            build_ann_index_kmeans, kmeans_fit, knn_kmeans)
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        c1 = kmeans_fit(ds, 8, iters=4, seed=5)
+        c2 = kmeans_fit(rd.read_parquet(f"{SF}/embeddings.parquet"), 8,
+                        iters=4, seed=5)
+        np.testing.assert_array_equal(c1, c2)  # deterministic fit
+        build_ann_index_kmeans(ds, str(tmp_path / "km"), n_clusters=8,
+                               iters=4, seed=5)
+        assert len(list((tmp_path / "km" / "clusters").glob(
+            "cluster=*"))) > 1
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        flat = emb["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        x = flat.reshape(emb.num_rows, -1)
+        q = x[:6].astype(np.float64)
+        ids = emb["vec_id"].to_numpy()
+        got_all = knn_kmeans(str(tmp_path / "km"), q, k=5,
+                             probe_all=True)
+        bf = knn_bruteforce(rd.read_parquet(f"{SF}/embeddings.parquet"),
+                            q, k=5, exclude_self=False)
+        pd.testing.assert_frame_equal(
+            got_all[["query_idx", "neighbor_id", "rank"]].reset_index(
+                drop=True),
+            bf[["query_idx", "neighbor_id", "rank"]].reset_index(
+                drop=True))
+        near = knn_kmeans(str(tmp_path / "km"), q, k=5, nprobe=2)
+        top1 = near[near["rank"] == 1]
+        for qi in range(6):
+            g = top1[top1["query_idx"] == qi]
+            assert len(g) == 1 and int(g["neighbor_id"].iloc[0]) == ids[qi]
+
     def test_embedding_sim_join_exact(self, ray_session, tmp_path):
         """Chunk-pair threshold self-join == numpy all-pairs oracle at
         several chunk counts (pair coverage is partition-invariant)."""
