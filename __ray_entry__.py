@@ -223,6 +223,34 @@ def _q_ntok_quantiles_exact(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_ntok_quantiles_by_source(sf_dir: str):
+    """Grouped exact quantiles: one distributed (source, n_tok)
+    histogram, then a per-source cumsum rank pick on the driver —
+    driver state is #sources x distinct lengths, not row count."""
+    import math
+
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from hierarchical_bloom_filter_index_ray.pipelines.text import \
+        token_counts
+
+    hist = (token_counts(sf_dir).groupby(["source", "n_tok"])
+            .aggregate(Count(alias_name="cnt")).to_pandas())
+    rows = []
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("n_tok").reset_index(drop=True)
+        cum = g["cnt"].cumsum()
+        n = int(cum.iloc[-1])
+        for q in QUANTILES:
+            rank = max(0, math.ceil(q * n) - 1)
+            i = int((cum >= rank + 1).idxmax())
+            rows.append({"source": src, "q": float(q),
+                         "n_tok": int(g["n_tok"].iloc[i])})
+    return pd.DataFrame(rows)
+
+
 def _q_heavy_hitters_per_source(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -805,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_words_per_source": _q_distinct_words_per_source,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ntok_quantiles_exact": _q_ntok_quantiles_exact,
+        "ntok_quantiles_by_source": _q_ntok_quantiles_by_source,
         "heavy_hitters_per_source": _q_heavy_hitters_per_source,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
@@ -927,6 +956,12 @@ def oracle_sql() -> dict[str, str]:
         "ntok_quantiles_exact": (
             f"WITH tc AS (SELECT {_NTOK} AS n_tok FROM documents) "
             + quant_union),
+        "ntok_quantiles_by_source": (
+            f"WITH tc AS (SELECT source, {_NTOK} AS n_tok FROM "
+            "documents) " + " UNION ALL ".join(
+                f"SELECT source, CAST({q} AS DOUBLE) AS q, "
+                f"quantile_disc(n_tok, {q}) AS n_tok FROM tc "
+                "GROUP BY source" for q in QUANTILES)),
         "heavy_hitters_per_source": (
             f"WITH wf AS (SELECT source, word, COUNT(*) AS cnt FROM "
             f"({_WORDS}) GROUP BY source, word) SELECT source, word, cnt "
