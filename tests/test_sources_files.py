@@ -1,0 +1,159 @@
+"""File-format readers (text/JSONL/CSV) and the segment splitter.
+
+Pins: (a) every format normalizes to the same documents schema and
+tokenizes identically to the parquet path; (b) segmentation is exact —
+concatenating a doc's segments reproduces its token stream; (c) ids are
+deterministic under block-layout changes.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hierarchical_bloom_filter_index_ray.functions.tokenize import \
+    tokenize_documents
+from hierarchical_bloom_filter_index_ray.sources import (
+    read_documents_csv, read_documents_jsonl, read_documents_text,
+    segment_sequences, synth_sequences)
+
+LINES_A = ["the quick brown fox", "jumps over the lazy dog", "",
+           "  padded   line  "]
+LINES_B = ["second file first line", "tail line"]
+
+
+@pytest.fixture()
+def text_dir(tmp_path):
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("\n".join(LINES_A))
+    (d / "b.txt").write_text("\n".join(LINES_B))
+    return d
+
+
+def _docs_df(ds):
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "text", "source"]
+    return df
+
+
+class TestTextReader:
+    def test_line_mode(self, ray_session, text_dir):
+        df = _docs_df(read_documents_text(str(text_dir), source="s"))
+        # empty line dropped; line numbers survive the filter
+        want = {
+            "a.txt:00000000": "the quick brown fox",
+            "a.txt:00000001": "jumps over the lazy dog",
+            "a.txt:00000003": "  padded   line  ",
+            "b.txt:00000000": "second file first line",
+            "b.txt:00000001": "tail line",
+        }
+        assert dict(zip(df.doc_id, df.text)) == want
+        assert set(df.source) == {"s"}
+
+    def test_file_mode(self, ray_session, text_dir):
+        df = _docs_df(read_documents_text(str(text_dir), mode="file"))
+        assert list(df.doc_id) == ["a.txt", "b.txt"]
+        assert df.text[0] == "\n".join(LINES_A)
+        assert set(df.source) == {"text"}
+
+    def test_tokenize_parity_with_parquet_path(self, ray_session, text_dir,
+                                               tmp_path):
+        """text reader -> tokenize == parquet documents -> tokenize."""
+        ds = read_documents_text(str(text_dir))
+        got = ds.map_batches(tokenize_documents, batch_format="pyarrow",
+                             fn_kwargs={"seed": 7}).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+
+        docs = _docs_df(read_documents_text(str(text_dir)))
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       tmp_path / "docs.parquet")
+        import ray.data as rd
+        want = rd.read_parquet(str(tmp_path / "docs.parquet")).map_batches(
+            tokenize_documents, batch_format="pyarrow",
+            fn_kwargs={"seed": 7}).to_pandas()
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert got.doc_id.tolist() == want.doc_id.tolist()
+        assert [list(t) for t in got.tokens] == [list(t) for t in want.tokens]
+
+
+class TestTabularReaders:
+    def test_jsonl(self, ray_session, tmp_path):
+        p = tmp_path / "d.jsonl"
+        rows = [{"id": "x1", "body": "alpha beta", "src": "w"},
+                {"id": "x2", "body": "gamma", "src": "w"}]
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        df = _docs_df(read_documents_jsonl(
+            str(p), text_col="body", id_col="id", source_col="src"))
+        assert df.doc_id.tolist() == ["x1", "x2"]
+        assert df.text.tolist() == ["alpha beta", "gamma"]
+        assert set(df.source) == {"w"}
+
+    def test_jsonl_content_hash_ids(self, ray_session, tmp_path):
+        p = tmp_path / "d.jsonl"
+        p.write_text("\n".join(json.dumps({"text": t}) for t in
+                               ["one two", "three"]))
+        df = _docs_df(read_documents_jsonl(str(p)))
+        assert len(df) == 2 and df.doc_id.str.startswith("jsonl-").all()
+        # deterministic: same content -> same ids on a re-read
+        df2 = _docs_df(read_documents_jsonl(str(p)))
+        assert df.doc_id.tolist() == df2.doc_id.tolist()
+
+    def test_csv(self, ray_session, tmp_path):
+        p = tmp_path / "d.csv"
+        p.write_text("id,text\n1,hello world\n2,bye\n")
+        df = _docs_df(read_documents_csv(str(p), id_col="id"))
+        assert df.doc_id.tolist() == ["1", "2"]
+        assert df.text.tolist() == ["hello world", "bye"]
+        assert set(df.source) == {"csv"}
+
+
+class TestSegmenter:
+    def test_exact_reassembly(self, ray_session):
+        ds = synth_sequences(300, seed=11, len_min=1, len_max=100,
+                             len_mu=3.0, len_sigma=1.0)
+        orig = {r["doc_id"]: list(r["tokens"]) for r in ds.take_all()}
+        seg = segment_sequences(ds, seg_len=16).take_all()
+        assert all(len(r["tokens"]) <= 16 and
+                   len(r["tokens"]) == r["n_tok"] for r in seg)
+        rebuilt: dict[str, list] = {}
+        for r in sorted(seg, key=lambda r: r["doc_id"]):
+            base = r["doc_id"].rsplit("#s", 1)[0]
+            rebuilt.setdefault(base, []).extend(r["tokens"])
+        assert rebuilt == orig
+        # all but the last segment of each doc is full-length
+        from collections import Counter
+        per_doc = Counter(r["doc_id"].rsplit("#s", 1)[0] for r in seg)
+        for r in seg:
+            base, k = r["doc_id"].rsplit("#s", 1)
+            if int(k) < per_doc[base] - 1:
+                assert len(r["tokens"]) == 16
+
+    def test_layout_invariance(self, ray_session):
+        a = segment_sequences(
+            synth_sequences(200, seed=5, override_num_blocks=1),
+            seg_len=32).take_all()
+        b = segment_sequences(
+            synth_sequences(200, seed=5, override_num_blocks=7),
+            seg_len=32).take_all()
+        ka = sorted((r["doc_id"], tuple(r["tokens"])) for r in a)
+        kb = sorted((r["doc_id"], tuple(r["tokens"])) for r in b)
+        assert ka == kb
+
+    def test_empty_docs_dropped_and_validation(self, ray_session):
+        import ray.data as rd
+        t = pa.table({
+            "doc_id": pa.array(["e", "f"]),
+            "tokens": pa.array([[], [1, 2, 3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([0, 3], pa.int32()),
+            "source": pa.array(["s", "s"]),
+        })
+        out = segment_sequences(rd.from_arrow(t), seg_len=2).take_all()
+        assert [r["doc_id"] for r in out] == ["f#s0000", "f#s0001"]
+        assert [list(r["tokens"]) for r in out] == [[1, 2], [3]]
+        with pytest.raises(ValueError):
+            segment_sequences(rd.from_arrow(t), seg_len=0)
