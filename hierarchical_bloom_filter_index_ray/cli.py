@@ -40,12 +40,40 @@ def _cfg_from_args(a: argparse.Namespace):
                      cms_eps=a.cms_eps, cms_delta=a.cms_delta)
 
 
-def cmd_build(a: argparse.Namespace) -> int:
+def _read_input(a: argparse.Namespace):
+    """--format selects the ingest path; everything lands on the
+    north-rule sequences shape before the build."""
     import ray.data as rd
 
+    from .functions.tokenize import tokenize_documents
+    from .sources import (read_documents_csv, read_documents_jsonl,
+                          read_documents_text, segment_sequences)
+    if a.format == "sequences":
+        ds = rd.read_parquet(a.input)
+    else:
+        if a.format == "text":
+            docs = read_documents_text(a.input, mode=a.text_mode)
+        elif a.format == "jsonl":
+            docs = read_documents_jsonl(a.input, text_col=a.text_col,
+                                        id_col=a.id_col,
+                                        source_col=a.source_col)
+        elif a.format == "csv":
+            docs = read_documents_csv(a.input, text_col=a.text_col,
+                                      id_col=a.id_col,
+                                      source_col=a.source_col)
+        else:
+            raise ValueError(f"unknown --format {a.format!r}")
+        ds = docs.map_batches(tokenize_documents, batch_format="pyarrow",
+                              fn_kwargs={"seed": a.seed})
+    if a.seg_len:
+        ds = segment_sequences(ds, seg_len=a.seg_len)
+    return ds
+
+
+def cmd_build(a: argparse.Namespace) -> int:
     from .pipelines import build_index
     _ensure_ray()
-    ds = rd.read_parquet(a.input)
+    ds = _read_input(a)
     man = build_index(ds, _cfg_from_args(a), a.out,
                       batch_size=a.batch_size,
                       shard_windows=a.shard_windows,
@@ -57,12 +85,25 @@ def cmd_build(a: argparse.Namespace) -> int:
     return 0
 
 
+def _cfg_for_index(a: argparse.Namespace):
+    """Query must probe with the EXACT config the index was built with;
+    prefer the manifest's stored config over re-typed CLI args."""
+    from pathlib import Path
+    man = Path(a.index) / "manifest.json"
+    if man.exists():
+        stored = json.loads(man.read_text()).get("config")
+        if stored is not None:
+            from .config import HbiConfig
+            return HbiConfig.from_json(stored)
+    return _cfg_from_args(a)
+
+
 def cmd_query(a: argparse.Namespace) -> int:
     import ray.data as rd
 
     from .pipelines import load_index, membership_query
     _ensure_ray()
-    cfg = _cfg_from_args(a)
+    cfg = _cfg_for_index(a)
     queries = [(q["id"], [int(t) for t in q["tokens"]])
                for q in json.loads(open(a.queries).read())]
     hits = membership_query(load_index(a.index),
@@ -91,8 +132,20 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("build", help="build the hierarchical sketch index")
     b.add_argument("--input", required=True,
-                   help="parquet dir of (doc_id, tokens, n_tok, source)")
+                   help="parquet dir of (doc_id, tokens, n_tok, source), "
+                        "or raw files per --format")
     b.add_argument("--out", required=True)
+    b.add_argument("--format", default="sequences",
+                   choices=["sequences", "text", "jsonl", "csv"],
+                   help="input format (non-sequences inputs are tokenized "
+                        "with --seed)")
+    b.add_argument("--text-mode", default="line", choices=["line", "file"],
+                   help="text format: one doc per line or per file")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--source-col", default=None)
+    b.add_argument("--seg-len", type=int, default=None,
+                   help="split each doc into fixed-length token segments")
     b.add_argument("--batch-size", type=int, default=2048)
     b.add_argument("--shard-windows", type=int, default=None,
                    help="window-range resume shard size (windows/shard)")

@@ -416,6 +416,11 @@ def super_prune(out_dir: str, cfg: HbiConfig, compiled: list[dict], *,
         return None
     if meta.get("format") != STORE_FORMAT:
         return None  # older store layout: skip pruning rather than misread
+    if meta.get("params_hash") not in (None, cfg.params_hash()):
+        # filters were sized/seeded under a different config; probing them
+        # with this cfg's key family would mis-index — skip pruning (the
+        # per-window probe still guards correctness via its own checks)
+        return None
     F = meta["fanout"]
     top = meta["levels"][-1]["level"]
     salt = _root_salt(cfg)

@@ -112,6 +112,47 @@ class TestTabularReaders:
         assert set(df.source) == {"csv"}
 
 
+class TestCliIngest:
+    def test_build_from_jsonl_and_query(self, ray_session, tmp_path):
+        """`build --format jsonl --seg-len` ingests raw docs end-to-end and
+        the built index answers a membership query for a present word."""
+        from hierarchical_bloom_filter_index_ray.cli import main
+        from hierarchical_bloom_filter_index_ray.functions.tokenize import \
+            hash_words
+
+        p = tmp_path / "d.jsonl"
+        rows = [{"id": f"d{i}", "text": f"common filler w{i} common"}
+                for i in range(8)]
+        rows.append({"id": "hit", "text": "needle in the stack " * 3})
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+
+        idx = tmp_path / "idx"
+        rc = main(["build", "--input", str(p), "--format", "jsonl",
+                   "--id-col", "id", "--out", str(idx), "--seg-len", "4",
+                   "--docs-per-window", "4", "--seed", "7"])
+        assert rc == 0 and (idx / "manifest.json").exists()
+
+        # query path needs the tokenized sequences on disk too
+        import ray.data as rd
+        from hierarchical_bloom_filter_index_ray.cli import _read_input
+        import argparse
+        ns = argparse.Namespace(format="jsonl", input=str(p), text_col="text",
+                                id_col="id", source_col=None, seed=7,
+                                seg_len=4, text_mode="line")
+        seqs = tmp_path / "seqs"
+        _read_input(ns).write_parquet(str(seqs))
+
+        tok = int(hash_words(pa.array(["needle"]), 7)[0])
+        qf = tmp_path / "q.json"
+        qf.write_text(json.dumps([{"id": "q0", "tokens": [tok]}]))
+        out = tmp_path / "hits.parquet"
+        rc = main(["query", "--index", str(idx), "--sequences", str(seqs),
+                   "--queries", str(qf), "--out", str(out), "--seed", "7"])
+        assert rc == 0
+        hits = pq.read_table(out).to_pandas()
+        assert set(hits.doc_id.str.rsplit("#s", n=1).str[0]) == {"hit"}
+
+
 class TestSegmenter:
     def test_exact_reassembly(self, ray_session):
         ds = synth_sequences(300, seed=11, len_min=1, len_max=100,
