@@ -86,7 +86,7 @@ class BloomProbe:
 
     def __init__(self, cfg: HbiConfig, queries_ref, conf: float | None = None,
                  planner: str | None = None, allowed_ref=None,
-                 markov_model=None):
+                 markov_model=None, probe_distinct: bool = False):
         self.cfg = cfg
         self.conf = conf
         # NgramModel for planner="markov" (bytes or live instance)
@@ -109,10 +109,17 @@ class BloomProbe:
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.queries = qs
-        self.q_keys = (np.concatenate([q["ngram_keys"] for q in qs])
+        # probe_distinct: the BlockSearchCharSet variant
+        # (search/BlockSearchCharSet.java) — probe each node with the
+        # DISTINCT n-gram keys only. The candidate test is an AND over
+        # set membership, so duplicate keys add zero information;
+        # repeated-token patterns probe fewer keys with identical results.
+        key_segs = ([np.unique(q["ngram_keys"]) for q in qs]
+                    if probe_distinct
+                    else [q["ngram_keys"] for q in qs])
+        self.q_keys = (np.concatenate(key_segs)
                        if qs else np.empty(0, dtype=np.uint64))
-        self.q_lens = np.array([len(q["ngram_keys"]) for q in qs],
-                               dtype=np.int64)
+        self.q_lens = np.array([len(k) for k in key_segs], dtype=np.int64)
         self.q_bounds = np.zeros(len(qs) + 1, dtype=np.int64)
         np.cumsum(self.q_lens, out=self.q_bounds[1:])
         self.level_salts = np.array(
@@ -604,6 +611,7 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      broadcast_limit: int = 1_000_000,
                      markov_model=None,
                      with_counts: bool = False,
+                     probe_distinct: bool = False,
                      sequences_meta: list[dict] | None = None) -> pa.Table:
     """Exact pattern-membership results for a batch of queries.
 
@@ -690,6 +698,7 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     cand_ds = index_ds.select_columns(cols).map_batches(
         BloomProbe(cfg, compiled, conf=conf, planner=planner,
                    allowed_ref=allowed_struct,
+                   probe_distinct=probe_distinct,
                    markov_model=(markov_model.to_bytes()
                                  if markov_model is not None
                                  and not isinstance(markov_model, bytes)

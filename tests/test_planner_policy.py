@@ -320,6 +320,47 @@ class TestMultiLevelAndSolvers:
         assert ml_probe.probe_key_count < base_probe.probe_key_count
 
 
+class TestProbeDistinct:
+    def test_distinct_probe_invariant_and_fewer_probes(
+            self, ray_session, tmp_path):
+        """BlockSearchCharSet variant (search/BlockSearchCharSet.java):
+        probing only the DISTINCT pattern keys per node returns identical
+        verified results with strictly fewer bloom key probes for
+        repeated-token patterns."""
+        import pyarrow.parquet as pq
+
+        from hierarchical_bloom_filter_index_ray.pipelines import (
+            BloomProbe, compile_queries)
+        from hierarchical_bloom_filter_index_ray.pipelines.build_index import \
+            PARTITIONS
+
+        ds = synth_sequences(1024, seed=21, n_sources=2, vocab=256)
+        build_index(ds, CFG, str(tmp_path / "idx"), batch_size=256)
+        idx = load_index(str(tmp_path / "idx"))
+        rows = ds.take(4)
+        # patterns with heavy internal repetition (tokens repeated 3x)
+        queries = [(f"q{i}", [int(t) for t in list(r["tokens"][:2]) * 3])
+                   for i, r in enumerate(rows)]
+        queries.append(("miss", [2**30 + 5] * 4))
+        plain = membership_query(idx, ds, queries, CFG).to_pandas()
+        dedup = membership_query(load_index(str(tmp_path / "idx")), ds,
+                                 queries, CFG,
+                                 probe_distinct=True).to_pandas()
+        assert plain.equals(dedup)
+        assert len(plain) > 0
+
+        batch = pq.read_table(str(tmp_path / "idx" / PARTITIONS))
+        batch = batch.set_column(
+            batch.column_names.index("source"),
+            "source", batch["source"].cast("string"))
+        compiled = compile_queries(queries, CFG)
+        base_probe = BloomProbe(CFG, compiled)
+        base_probe(batch)
+        d_probe = BloomProbe(CFG, compiled, probe_distinct=True)
+        d_probe(batch)
+        assert d_probe.probe_key_count < base_probe.probe_key_count
+
+
 class TestIECostFamily:
     """Full inclusion-exclusion cost model (CostFunctionIE /
     MathUtils.HF_* re-derivation) + SetConf / IE planner seams."""
