@@ -108,7 +108,8 @@ def cmd_query(a: argparse.Namespace) -> int:
                for q in json.loads(open(a.queries).read())]
     hits = membership_query(load_index(a.index),
                             rd.read_parquet(a.sequences), queries, cfg,
-                            super_dir=a.index, with_counts=a.counts)
+                            super_dir=a.index, with_counts=a.counts,
+                            probe_distinct=a.probe_distinct)
     import pyarrow.parquet as pq
     pq.write_table(hits, a.out)
     print(json.dumps({"out": a.out, "hits": hits.num_rows,
@@ -162,6 +163,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", required=True)
     q.add_argument("--counts", action="store_true",
                    help="include per-(query, doc) occurrence counts")
+    q.add_argument("--probe-distinct", action="store_true",
+                   help="probe nodes with distinct pattern keys only "
+                        "(fewer probes for repeated-token patterns, "
+                        "identical results)")
     _add_cfg_args(q)
     q.set_defaults(fn=cmd_query)
 

@@ -37,8 +37,28 @@ def doc_index(batch: pa.Table, col: str = "doc_id") -> np.ndarray:
     if pa.types.is_integer(arr.type):
         return arr.to_numpy(zero_copy_only=False).astype(np.int64)
     ext = pc.extract_regex(arr, r"(?P<idx>\d+)$")
-    idx = pc.struct_field(ext, "idx")
-    return pc.cast(idx, pa.int64()).to_numpy(zero_copy_only=False)
+    idx = pc.cast(pc.struct_field(ext, "idx"), pa.int64())
+    if idx.null_count:
+        # ids without a trailing decimal index (user-supplied keys, file
+        # basenames from the raw-file readers): fall back to a stable
+        # 40-bit blake2 hash of the id string (40 bits keeps the build's
+        # (src_code << 40 | window_id) group packing valid —
+        # stages/sketch_build.py:116). Deterministic across runs and
+        # processes, so build / probe / verify always agree on the
+        # (window, slot) of a doc; a hash collision only co-locates docs
+        # in a slot, adding candidates that exact verification discards.
+        # Ordinal-suffixed ids pack windows densely and are preferred at
+        # scale.
+        from ..state.splitmix import hash_str_u64
+        null_mask = idx.is_null().to_numpy(zero_copy_only=False)
+        out = idx.fill_null(0).to_numpy(zero_copy_only=False) \
+                 .astype(np.int64, copy=True)
+        missing = arr.filter(pa.array(null_mask)).to_pylist()
+        out[null_mask] = np.fromiter(
+            ((hash_str_u64(s, 0xD0C1D) & ((1 << 40) - 1)) for s in missing),
+            dtype=np.int64, count=len(missing))
+        return out
+    return idx.to_numpy(zero_copy_only=False)
 
 
 def add_window_columns(batch: pa.Table, cfg: HbiConfig) -> pa.Table:

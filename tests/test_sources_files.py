@@ -153,6 +153,56 @@ class TestCliIngest:
         assert set(hits.doc_id.str.rsplit("#s", n=1).str[0]) == {"hit"}
 
 
+class TestNonNumericDocIds:
+    def test_doc_index_hash_fallback(self):
+        """Ids with no trailing decimal index get a stable 40-bit hash
+        index; ids with one keep the exact ordinal (regression: build
+        crashed on user-supplied ids like 'hit')."""
+        from hierarchical_bloom_filter_index_ray.stages.window import \
+            doc_index
+
+        t = pa.table({"doc_id": pa.array(
+            ["d11", "hit", "report.txt", "x90"])})
+        di = doc_index(t)
+        assert di.dtype == np.int64
+        assert di[0] == 11 and di[3] == 90
+        assert 0 <= di[1] < (1 << 40) and 0 <= di[2] < (1 << 40)
+        assert di[1] != di[2]
+        di2 = doc_index(t)  # deterministic across calls
+        assert (di == di2).all()
+
+    def test_build_and_query_user_ids(self, ray_session, tmp_path):
+        """End-to-end build + membership query over docs whose ids carry
+        no ordinal at all (every window is hash-assigned)."""
+        import ray.data as rd
+
+        from hierarchical_bloom_filter_index_ray import HbiConfig
+        from hierarchical_bloom_filter_index_ray.pipelines import (
+            build_index, load_index, membership_query)
+
+        rng = np.random.default_rng(3)
+        names = ["alpha", "beta", "report.txt", "notes", "hit", "readme",
+                 "summary", "final", "draft", "misc"]
+        toks = {n: rng.integers(0, 500, size=30).tolist() for n in names}
+        toks["hit"] = [901, 902, 903] * 5
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(names, pa.string()),
+            "tokens": pa.array([toks[n] for n in names],
+                               pa.list_(pa.int32())),
+            "n_tok": pa.array([len(toks[n]) for n in names], pa.int32()),
+            "source": pa.array(["s0"] * len(names), pa.string()),
+        }))
+        cfg = HbiConfig(seed=7, docs_per_window=4, hll_p=12,
+                        cms_eps=0.05, cms_delta=0.1)
+        build_index(ds, cfg, str(tmp_path / "idx"), batch_size=64)
+        hits = membership_query(
+            load_index(str(tmp_path / "idx")), ds,
+            [("q0", [901, 902, 903]), ("miss", [777777, 888888])],
+            cfg).to_pandas()
+        assert hits.doc_id.tolist() == ["hit"]
+        assert hits.query_id.tolist() == ["q0"]
+
+
 class TestSegmenter:
     def test_exact_reassembly(self, ray_session):
         ds = synth_sequences(300, seed=11, len_min=1, len_max=100,
