@@ -22,14 +22,16 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 
-def _ensure_ray() -> None:
+def _ensure_ray(address: str | None = None) -> None:
+    """Own the Ray session. ``address`` comes from the real ``--address``
+    CLI option (``auto`` to join an existing cluster, e.g. under
+    ``ray job submit``; default ``local``) — it is threaded through the
+    parsed namespace, so programmatic ``main(argv=...)`` calls work too."""
     import ray
     if not ray.is_initialized():
-        ray.init(address="auto" if "--address=auto" in sys.argv
-                 else "local", include_dashboard=False,
+        ray.init(address=address or "local", include_dashboard=False,
                  ignore_reinit_error=True)
 
 
@@ -72,7 +74,7 @@ def _read_input(a: argparse.Namespace):
 
 def cmd_build(a: argparse.Namespace) -> int:
     from .pipelines import build_index
-    _ensure_ray()
+    _ensure_ray(a.address)
     ds = _read_input(a)
     man = build_index(ds, _cfg_from_args(a), a.out,
                       batch_size=a.batch_size,
@@ -102,7 +104,7 @@ def cmd_query(a: argparse.Namespace) -> int:
     import ray.data as rd
 
     from .pipelines import load_index, membership_query
-    _ensure_ray()
+    _ensure_ray(a.address)
     cfg = _cfg_for_index(a)
     queries = [(q["id"], [int(t) for t in q["tokens"]])
                for q in json.loads(open(a.queries).read())]
@@ -118,6 +120,9 @@ def cmd_query(a: argparse.Namespace) -> int:
 
 
 def _add_cfg_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--address", default=None,
+                   help="Ray address ('auto' joins an existing cluster; "
+                        "default: local single-node session)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--docs-per-window", type=int, default=256)
     p.add_argument("--fp", type=float, default=0.01)

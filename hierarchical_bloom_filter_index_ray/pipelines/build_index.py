@@ -210,14 +210,34 @@ def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
 
 
 def _write_manifest(out: Path, cfg: HbiConfig, completed: set,
-                    shard_windows: int | None,
-                    build_seconds: float) -> dict:
-    """Lineage + per-source metrics read back from the partitions."""
-    stats = pq.read_table(
-        str(out / PARTITIONS),
-        columns=["source", "window_id", "n_docs", "n_tokens", "index_bytes"])
+                    shard_windows: int | None, build_seconds: float,
+                    keep_shards: dict[str, list[int]] | None = None) -> dict:
+    """Lineage + per-source metrics read back from the partitions.
+
+    ``keep_shards``: pre-expiry shard-completion state to preserve —
+    expiry deletes data but must NOT un-complete the expired ranges, or a
+    later ``build_index(resume=True)`` over the same input would silently
+    re-ingest (resurrect) them.
+    """
+    import pandas as pd
+
+    pdir = out / PARTITIONS
+    if pdir.exists() and any(pdir.rglob("*.parquet")):
+        stats = pq.read_table(
+            str(pdir),
+            columns=["source", "window_id", "n_docs", "n_tokens",
+                     "index_bytes"])
+        df = stats.to_pandas()
+    else:
+        # every window expired (or nothing built yet): an empty, correctly
+        # typed frame keeps the manifest write total-zero instead of
+        # crashing after the data is already gone
+        df = pd.DataFrame({"source": pd.Series([], dtype=object),
+                           "window_id": pd.Series([], dtype="int64"),
+                           "n_docs": pd.Series([], dtype="int64"),
+                           "n_tokens": pd.Series([], dtype="int64"),
+                           "index_bytes": pd.Series([], dtype="int64")})
     per_source: dict[str, dict] = {}
-    df = stats.to_pandas()
     df["source"] = df["source"].astype(str)
     for s, g in df.groupby("source"):
         per_source[s] = {
@@ -241,9 +261,13 @@ def _write_manifest(out: Path, cfg: HbiConfig, completed: set,
         "total_index_bytes": int(df["index_bytes"].sum()),
     }
     if shard_windows is not None:
-        manifest["completed_shards"] = {
-            s: sorted((g["window_id"] // shard_windows).unique().tolist())
+        shards = {
+            s: set((g["window_id"] // shard_windows).unique().tolist())
             for s, g in df.groupby("source")}
+        for s, ks in (keep_shards or {}).items():
+            shards.setdefault(s, set()).update(int(k) for k in ks)
+        manifest["completed_shards"] = {
+            s: sorted(ks) for s, ks in sorted(shards.items())}
     (out / MANIFEST).write_text(json.dumps(manifest, indent=2))
     return manifest
 
@@ -304,13 +328,21 @@ def expire_windows(out_dir: str, cfg: HbiConfig, *, before_window: int,
         else:
             rewrite_filtered(sdir)
 
-    manifest = _write_manifest(out, cfg, set(), shard_windows,
-                               round(_t.perf_counter() - t0, 3))
+    # completion state survives expiry: the expired ranges were BUILT —
+    # deleting their data must not invite a resumed build to re-ingest them
+    manifest = _write_manifest(
+        out, cfg, set(manifest.get("completed_sources") or []),
+        shard_windows, round(_t.perf_counter() - t0, 3),
+        keep_shards=manifest.get("completed_shards"))
     manifest["expired_before_window"] = before_window
     (out / MANIFEST).write_text(json.dumps(manifest, indent=2))
     if super_levels and (out / "super").exists():
-        from .super_index import build_super_index
-        manifest["super"] = build_super_index(out_dir, cfg)
+        if manifest["total_windows"] == 0:
+            shutil.rmtree(out / "super")    # nothing left to summarize
+            manifest["super"] = None
+        else:
+            from .super_index import build_super_index
+            manifest["super"] = build_super_index(out_dir, cfg)
     return manifest
 
 

@@ -24,6 +24,78 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(np.floor(v * 100 + 0.5).astype(np.int64), pa.int64())
 
 
+def _dense_lut(ds: "rd.Dataset", key_col: str, val_col: str, *,
+               dtype=np.int32, batch_size: int = 65536) -> np.ndarray:
+    """Distributed-read dense LUT: stream the dimension's two columns
+    through Arrow batches — the driver only ever holds ONE batch plus the
+    final O(max_key) compact numeric array (never the dimension table as a
+    DataFrame), and the array is what gets ``ray.put`` once. Unset slots
+    hold -1 (missing dimension row)."""
+    lut = np.full(0, -1, dtype=dtype)
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(k):
+            continue
+        need = int(k.max()) + 1
+        if need > len(lut):
+            grown = np.full(max(need, 2 * len(lut)), -1, dtype=dtype)
+            grown[:len(lut)] = lut
+            lut = grown
+        lut[k] = b[val_col].to_numpy(zero_copy_only=False)
+    return lut
+
+
+def _dense_code_lut(ds: "rd.Dataset", key_col: str, val_col: str, *,
+                    batch_size: int = 65536
+                    ) -> tuple[np.ndarray, list[str]]:
+    """Like ``_dense_lut`` but for STRING dimension values: the LUT stores
+    int32 codes (compact to broadcast — no object array of repeated
+    strings) plus the code->string vocab. Driver-side Python touches only
+    each batch's UNIQUE values, so cost is O(vocab), not O(rows)."""
+    codes: dict[str, int] = {}
+    vocab: list[str] = []
+    lut = np.full(0, -1, dtype=np.int32)
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(k):
+            continue
+        col = b[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        de = col.dictionary_encode()
+        remap = np.empty(len(de.dictionary), dtype=np.int32)
+        for i, s in enumerate(de.dictionary.to_pylist()):
+            c = codes.get(s)
+            if c is None:
+                c = len(vocab)
+                codes[s] = c
+                vocab.append(s)
+            remap[i] = c
+        v = remap[de.indices.to_numpy(zero_copy_only=False)]
+        need = int(k.max()) + 1
+        if need > len(lut):
+            grown = np.full(max(need, 2 * len(lut)), -1, dtype=np.int32)
+            grown[:len(lut)] = lut
+            lut = grown
+        lut[k] = v
+    return lut, vocab
+
+
+def _lut_take(lut: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Bounds-safe vectorized LUT gather: fact keys outside ``[0, len)``
+    or hitting an unset slot return -1 instead of raising in a worker /
+    silently mis-grouping (round-2 ADVICE: general inputs may violate the
+    TPC-H FK integrity these pipelines otherwise assume). Callers drop
+    -1 rows — inner-join semantics, matching the DuckDB oracles."""
+    k = np.asarray(keys).astype(np.int64, copy=False)
+    if len(lut) == 0:
+        return np.full(len(k), -1, dtype=np.int32)
+    oob = (k < 0) | (k >= len(lut))
+    out = lut[np.where(oob, 0, k)].copy()
+    out[oob] = -1
+    return out
+
+
 def pricing_summary(sf_dir: str, *, ship_cutoff: str = "2001-01-01"
                     ) -> "rd.Dataset":
     """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) counts
@@ -121,20 +193,20 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int = 8
                       ) -> "rd.Dataset":
     """Revenue per customer nation: the canonical star-join shape — ONE
     big-big hash join (lineitem x orders on the order key), with the two
-    dimension hops (customer -> nation) folded into a broadcast dict
-    (1 driver-side read of the small tables, ``ray.put`` once, mapped
-    inside the join's output batches — never a shuffle join of the big
-    side against a dimension)."""
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"]).to_pandas()
-    ckeys = cust["c_custkey"].to_numpy()
-    cnames = nation.set_index("n_nationkey")["n_name"].reindex(
-        cust["c_nationkey"].to_numpy()).to_numpy()
-    # dense array LUT (custkeys are small ints): O(1) vectorized gather
-    lut = np.empty(int(ckeys.max()) + 1, dtype=object)
-    lut[ckeys] = cnames
+    dimension hops (customer -> nation) folded into a broadcast LUT of
+    int32 NATION CODES per custkey (streamed construction — the driver
+    holds only the compact array, never the customer table; ``ray.put``
+    once, mapped inside the join's output batches — never a shuffle join
+    of the big side against a dimension). Nation names attach at the very
+    end, on the <= #nations aggregated rows."""
+    lut = _dense_lut(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey", dtype=np.int32)
+    name_lut, name_vocab = _dense_code_lut(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]),
+        "n_nationkey", "n_name")
     map_ref = ray.put(lut)
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -160,36 +232,48 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int = 8
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            names = self.lut[ck]
+            nk = _lut_take(self.lut, ck)
+            keep = nk >= 0  # drop FK misses (inner-join semantics)
             df = pd.DataFrame({
-                "n_name": names,
+                "nation_code": nk[keep],
                 "rev_cents": batch["rev_cents"].to_numpy(
-                    zero_copy_only=False)})
-            g = df.groupby("n_name", as_index=False).agg(
+                    zero_copy_only=False)[keep]})
+            g = df.groupby("nation_code", as_index=False).agg(
                 rev_cents=("rev_cents", "sum"),
                 n_items=("rev_cents", "size"))
             return pa.Table.from_pandas(g, preserve_index=False)
 
+    def attach_name(t: pa.Table) -> pa.Table:
+        codes = _lut_take(name_lut, t["nation_code"].to_numpy(
+            zero_copy_only=False))
+        names = [name_vocab[c] if c >= 0 else None for c in codes.tolist()]
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "rev_cents": t["rev_cents"], "n_items": t["n_items"]})
+
     from ray.data.aggregate import Sum
     return (joined.map_batches(Combine, batch_format="pyarrow",
                                concurrency=(1, 8))
-            .groupby("n_name")
+            .groupby("nation_code")
             .aggregate(Sum("rev_cents", alias_name="rev_cents"),
-                       Sum("n_items", alias_name="n_items")))
+                       Sum("n_items", alias_name="n_items"))
+            .map_batches(attach_name, batch_format="pyarrow"))
 
 
 def suppliers_by_region(sf_dir: str) -> "rd.Dataset":
     """Per-region supplier counts + integer-cent balances: the two
-    dimension hops (nation -> region) fold into one broadcast LUT mapped
-    over the supplier stream."""
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_regionkey"]
-                             ).to_pandas()
-    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
-    reg_name = region.set_index("r_regionkey")["r_name"]
-    nk = nation["n_nationkey"].to_numpy()
-    lut = np.empty(int(nk.max()) + 1, dtype=object)
-    lut[nk] = reg_name.reindex(nation["n_regionkey"].to_numpy()).to_numpy()
+    dimension hops (nation -> region) fold into one broadcast int LUT
+    (streamed construction, no driver-side dimension DataFrame) mapped
+    over the supplier stream; region names attach on the <= #regions
+    aggregated rows."""
+    lut = _dense_lut(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]),
+        "n_nationkey", "n_regionkey", dtype=np.int32)
+    rname_lut, rname_vocab = _dense_code_lut(
+        rd.read_parquet(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]),
+        "r_regionkey", "r_name")
     lut_ref = ray.put(lut)
 
     class ToRegion:
@@ -197,31 +281,45 @@ def suppliers_by_region(sf_dir: str) -> "rd.Dataset":
             self.lut = ray.get(lut_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            names = self.lut[batch["s_nationkey"].to_numpy(
-                zero_copy_only=False)]
+            rk = _lut_take(self.lut, batch["s_nationkey"].to_numpy(
+                zero_copy_only=False))
+            keep = rk >= 0  # drop FK misses (inner-join semantics)
             return pa.table({
-                "r_name": pa.array(names.tolist(), pa.string()),
-                "acctbal_cents": _cents(batch["s_acctbal"]),
+                "region_code": pa.array(rk[keep], pa.int32()),
+                "acctbal_cents": pa.array(
+                    _cents(batch["s_acctbal"]).to_numpy()[keep], pa.int64()),
             })
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        codes = _lut_take(rname_lut, t["region_code"].to_numpy(
+            zero_copy_only=False))
+        names = [rname_vocab[c] if c >= 0 else None for c in codes.tolist()]
+        return pa.table({
+            "r_name": pa.array(names, pa.string()),
+            "n_suppliers": t["n_suppliers"],
+            "acctbal_cents": t["acctbal_cents"]})
 
     from ray.data.aggregate import Count, Sum
     return (rd.read_parquet(f"{sf_dir}/supplier.parquet",
                             columns=["s_nationkey", "s_acctbal"])
             .map_batches(ToRegion, batch_format="pyarrow",
                          concurrency=(1, 4))
-            .groupby("r_name")
+            .groupby("region_code")
             .aggregate(Count(alias_name="n_suppliers"),
-                       Sum("acctbal_cents", alias_name="acctbal_cents")))
+                       Sum("acctbal_cents", alias_name="acctbal_cents"))
+            .map_batches(attach_name, batch_format="pyarrow"))
 
 
 def revenue_by_brand(sf_dir: str) -> "rd.Dataset":
     """Revenue per part brand: lineitem (big) against the part dimension
-    via a broadcast dense LUT — never a shuffle join of the big side."""
-    part = rd.read_parquet(f"{sf_dir}/part.parquet",
-                           columns=["p_partkey", "p_brand"]).to_pandas()
-    pk = part["p_partkey"].to_numpy()
-    lut = np.empty(int(pk.max()) + 1, dtype=object)
-    lut[pk] = part["p_brand"].to_numpy()
+    via a broadcast dense int32 CODE LUT (streamed construction — the
+    driver holds the compact array + the tiny brand vocab, never the part
+    table; strings attach on the <= #brands aggregated rows) — never a
+    shuffle join of the big side."""
+    lut, vocab = _dense_code_lut(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand"]),
+        "p_partkey", "p_brand")
     lut_ref = ray.put(lut)
 
     class Combine:
@@ -234,14 +332,22 @@ def revenue_by_brand(sf_dir: str) -> "rd.Dataset":
             disc = batch["l_discount"].to_numpy(zero_copy_only=False)
             rev = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(
                 np.int64)
-            df = pd.DataFrame({
-                "p_brand": self.lut[batch["l_partkey"].to_numpy(
-                    zero_copy_only=False)],
-                "rev_cents": rev})
-            g = df.groupby("p_brand", as_index=False).agg(
+            code = _lut_take(self.lut, batch["l_partkey"].to_numpy(
+                zero_copy_only=False))
+            keep = code >= 0  # drop FK misses (inner-join semantics)
+            df = pd.DataFrame({"brand_code": code[keep],
+                               "rev_cents": rev[keep]})
+            g = df.groupby("brand_code", as_index=False).agg(
                 rev_cents=("rev_cents", "sum"),
                 n_items=("rev_cents", "size"))
             return pa.Table.from_pandas(g, preserve_index=False)
+
+    def attach_brand(t: pa.Table) -> pa.Table:
+        codes = t["brand_code"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_brand": pa.array([vocab[c] for c in codes.tolist()],
+                                pa.string()),
+            "rev_cents": t["rev_cents"], "n_items": t["n_items"]})
 
     from ray.data.aggregate import Sum
     return (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -249,17 +355,19 @@ def revenue_by_brand(sf_dir: str) -> "rd.Dataset":
                                      "l_discount"])
             .map_batches(Combine, batch_format="pyarrow",
                          concurrency=(1, 8))
-            .groupby("p_brand")
+            .groupby("brand_code")
             .aggregate(Sum("rev_cents", alias_name="rev_cents"),
-                       Sum("n_items", alias_name="n_items")))
+                       Sum("n_items", alias_name="n_items"))
+            .map_batches(attach_brand, batch_format="pyarrow"))
 
 
 def top_customers_by_spend(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Top-k customers by total order spend with name/segment attached —
-    the broadcast-join pattern: orders aggregate per custkey (combiner +
-    small groupby); the small customer table rides to the driver where
-    the lookup is a vectorized merge (at scale: ``ray.put`` the customer
-    dict and map it in — never a shuffle join of the big side)."""
+    the decorate-the-tiny-result pattern: orders aggregate per custkey
+    (combiner + small groupby) -> top-k; then the k winner rows are
+    decorated by an ``is_in`` FILTER PUSHED INTO the customer parquet
+    read (row-group pruning serves <= k rows — the full customer table
+    never reaches the driver, and the big side is never shuffle-joined)."""
     def partial(batch: pa.Table) -> pa.Table:
         cents = _cents(batch["o_totalprice"]).to_numpy()
         df = pd.DataFrame({"o_custkey": batch["o_custkey"].to_numpy(
@@ -278,8 +386,11 @@ def top_customers_by_spend(sf_dir: str, k: int = 10) -> pd.DataFrame:
                         Sum("n_orders", alias_name="n_orders"))
              .sort(["spend_cents", "o_custkey"], descending=[True, False])
              .limit(k).to_pandas())
-    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
-                            columns=["c_custkey", "c_name", "c_mktsegment"])
+    keys = spend["o_custkey"].tolist()
+    cust = (rd.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_mktsegment"],
+                filter=pc.field("c_custkey").isin(keys))
             .to_pandas())
     out = spend.merge(cust, left_on="o_custkey", right_on="c_custkey",
                       how="left")

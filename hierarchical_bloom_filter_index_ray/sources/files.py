@@ -108,9 +108,12 @@ def _normalize_docs(batch: pa.Table, *, text_col: str, id_col: str | None,
     """Arbitrary tabular batch -> documents schema.
 
     When ``id_col`` is None, doc_id is a content hash
-    ``{default_source}-{blake2(text):016x}`` — deterministic under any block
+    ``{default_source}-{blake2(text):016x}h`` — deterministic under any block
     layout, but duplicate texts collapse to one id (documented; pass an
-    ``id_col`` when the input has one).
+    ``id_col`` when the input has one). The trailing ``h`` keeps the id from
+    ending in a decimal-digit run, so ``stages/window.py:doc_index`` always
+    takes its full-id hash path instead of misreading part of the hex hash
+    as a tiny (massively colliding) ordinal.
     """
     text = pc.cast(batch[text_col], pa.string())
     if isinstance(text, pa.ChunkedArray):
@@ -122,7 +125,7 @@ def _normalize_docs(batch: pa.Table, *, text_col: str, id_col: str | None,
         if isinstance(de, pa.ChunkedArray):
             de = de.combine_chunks()
         vocab = de.dictionary.to_pylist()
-        uniq = [f"{default_source}-{hash_str_u64(t, 7):016x}" for t in vocab]
+        uniq = [f"{default_source}-{hash_str_u64(t, 7):016x}h" for t in vocab]
         idx = de.indices.to_numpy(zero_copy_only=False)
         doc_id = pa.array([uniq[i] for i in idx.tolist()], pa.string())
     if source_col is not None:

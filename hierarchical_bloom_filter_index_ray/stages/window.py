@@ -16,9 +16,27 @@ reference's ``utilities/Utils.java:6-22`` with positions measured in docs.
 Leaf level = single doc; leaf verification re-reads that doc's token row
 (the Parquet data is the reference's ``StreamBuffer`` ground truth).
 
-``doc_index`` extraction: an integer ``doc_id`` column is used directly; a
-string ``doc_id`` uses its trailing decimal digits (the fixture format
-``src{k}-doc{n}``).
+``doc_index`` extraction (all values land in ``[0, 2^40)`` so the build's
+``(src_code << 40 | window_id)`` group packing — ``stages/sketch_build.py``
+— stays valid for ANY id shape; build / probe / verify share this one
+function, so every stage agrees on a doc's (window, slot)):
+
+1. integer ``doc_id``: used directly; out-of-range values (< 0 or >= 2^40)
+   are splitmix-hashed into the 40-bit space.
+2. segment ids ``{base}#s{k}`` (``sources/files.py`` segmenter): the parent
+   doc's 28-bit index in the high bits, ``min(k, 4095)`` in the low 12 —
+   a doc's segments stay index-contiguous (dense windows per doc) and
+   segments of DIFFERENT docs never collapse onto one slot.
+3. line ids ``{file}:{lineno}`` (line-mode text reader): a 20-bit hash of
+   the file part in the high bits, ``min(lineno, 2^20-1)`` low — a file's
+   lines pack densely; distinct files land in distinct window ranges.
+4. plain trailing decimal ordinal (the fixture format ``src{k}-doc{n}``):
+   used directly when <= 12 digits and < 2^40.
+5. anything else (user keys, content-hash ids, huge digit runs inside hex
+   hashes): stable 40-bit blake2 hash of the full id. A hash collision only
+   co-locates docs in a slot, adding candidates that exact verification
+   discards. Ordinal-suffixed ids pack windows densely and are preferred
+   at scale.
 """
 
 from __future__ import annotations
@@ -29,36 +47,98 @@ import pyarrow.compute as pc
 
 from ..config import HbiConfig
 
+_MASK40 = (1 << 40) - 1
+_SEG_RE = r"^(?P<base>.*)#s(?P<k>\d{1,12})$"
+_LINE_RE = r"^(?P<stem>.+):(?P<line>\d{1,12})$"
+
+
+def _hash_codes(strings: pa.Array, bits: int, salt: int) -> np.ndarray:
+    """Stable ``bits``-bit blake2 hash per string; hashed once per UNIQUE
+    value (dictionary-encoded), so repeated ids/stems cost O(vocab)."""
+    from ..state.splitmix import hash_str_u64
+    de = strings.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    vocab = de.dictionary.to_pylist()
+    mask = (1 << bits) - 1
+    hv = np.fromiter((hash_str_u64(s, salt) & mask for s in vocab),
+                     dtype=np.int64, count=len(vocab))
+    return hv[de.indices.to_numpy(zero_copy_only=False)]
+
+
+def _trailing_ordinal(strings: pa.Array, cap: int) -> tuple[np.ndarray,
+                                                            np.ndarray]:
+    """``(values, valid)``: trailing decimal ordinal per id; valid only when
+    present, <= 12 digits (content-hash hex tails routinely end in longer
+    decimal runs) and ``< cap``."""
+    ext = pc.extract_regex(strings, r"(?P<idx>\d+)$")
+    digits = pc.struct_field(ext, "idx")
+    valid = pc.fill_null(
+        pc.and_(digits.is_valid(), pc.less_equal(pc.utf8_length(digits), 12)),
+        False).to_numpy(zero_copy_only=False)
+    safe = pc.if_else(pa.array(valid), digits, "0")
+    vals = pc.cast(safe, pa.int64()).to_numpy(zero_copy_only=False)
+    valid = valid & (vals < cap)
+    return vals, valid
+
+
+def _string_index(strings: pa.Array, bits: int) -> np.ndarray:
+    """Line-form / plain-ordinal / hash-fallback index in ``[0, 2^bits)``."""
+    n = len(strings)
+    out = np.empty(n, dtype=np.int64)
+    done = np.zeros(n, dtype=bool)
+    ext = pc.extract_regex(strings, _LINE_RE)
+    stem = pc.struct_field(ext, "stem")
+    lm = stem.is_valid().to_numpy(zero_copy_only=False)
+    if lm.any():
+        low = bits // 2
+        sel = pa.array(lm)
+        h = _hash_codes(stem.filter(sel), bits - low, 0xF11E)
+        ln = pc.cast(pc.struct_field(ext, "line").filter(sel),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        out[lm] = (h << low) | np.minimum(ln, (1 << low) - 1)
+        done |= lm
+    rem = ~done
+    if rem.any():
+        sub = strings.filter(pa.array(rem))
+        vals, valid = _trailing_ordinal(sub, 1 << bits)
+        idxs = np.flatnonzero(rem)
+        out[idxs[valid]] = vals[valid]
+        done[idxs[valid]] = True
+        still = idxs[~valid]
+        if len(still):
+            out[still] = _hash_codes(sub.filter(pa.array(~valid)),
+                                     bits, 0xD0C1D)
+    return out
+
 
 def doc_index(batch: pa.Table, col: str = "doc_id") -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
-        return arr.to_numpy(zero_copy_only=False).astype(np.int64)
-    ext = pc.extract_regex(arr, r"(?P<idx>\d+)$")
-    idx = pc.cast(pc.struct_field(ext, "idx"), pa.int64())
-    if idx.null_count:
-        # ids without a trailing decimal index (user-supplied keys, file
-        # basenames from the raw-file readers): fall back to a stable
-        # 40-bit blake2 hash of the id string (40 bits keeps the build's
-        # (src_code << 40 | window_id) group packing valid —
-        # stages/sketch_build.py:116). Deterministic across runs and
-        # processes, so build / probe / verify always agree on the
-        # (window, slot) of a doc; a hash collision only co-locates docs
-        # in a slot, adding candidates that exact verification discards.
-        # Ordinal-suffixed ids pack windows densely and are preferred at
-        # scale.
-        from ..state.splitmix import hash_str_u64
-        null_mask = idx.is_null().to_numpy(zero_copy_only=False)
-        out = idx.fill_null(0).to_numpy(zero_copy_only=False) \
-                 .astype(np.int64, copy=True)
-        missing = arr.filter(pa.array(null_mask)).to_pylist()
-        out[null_mask] = np.fromiter(
-            ((hash_str_u64(s, 0xD0C1D) & ((1 << 40) - 1)) for s in missing),
-            dtype=np.int64, count=len(missing))
+        out = arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=True)
+        oob = (out < 0) | (out > _MASK40)
+        if oob.any():
+            from ..state.splitmix import splitmix64
+            out[oob] = (splitmix64(out[oob].astype(np.uint64))
+                        .astype(np.int64) & _MASK40)
         return out
-    return idx.to_numpy(zero_copy_only=False)
+    n = len(arr)
+    out = np.empty(n, dtype=np.int64)
+    seg = pc.extract_regex(arr, _SEG_RE)
+    base = pc.struct_field(seg, "base")
+    sm = base.is_valid().to_numpy(zero_copy_only=False)
+    if sm.any():
+        sel = pa.array(sm)
+        bi = _string_index(base.filter(sel), 28)
+        k = pc.cast(pc.struct_field(seg, "k").filter(sel),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        out[sm] = (bi << 12) | np.minimum(k, 4095)
+    rem = ~sm
+    if rem.any():
+        out[rem] = _string_index(arr.filter(pa.array(rem)), 40)
+    return out
 
 
 def add_window_columns(batch: pa.Table, cfg: HbiConfig) -> pa.Table:

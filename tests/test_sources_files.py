@@ -171,6 +171,49 @@ class TestNonNumericDocIds:
         di2 = doc_index(t)  # deterministic across calls
         assert (di == di2).all()
 
+    def test_doc_index_never_exceeds_40_bits(self):
+        """Regression (round-2 ADVICE high): content-hash ids whose hex tail
+        is a long decimal-digit run must NOT yield ordinals >= 2^40 — that
+        corrupted the (src_code << 40 | window_id) group packing. Integer ids
+        out of range are hashed into the 40-bit space too."""
+        from hierarchical_bloom_filter_index_ray.stages.window import \
+            doc_index
+
+        t = pa.table({"doc_id": pa.array(
+            ["jsonl-f874530126598421",      # 15 decimal digits inside hex
+             "csv-99999999999999999999x1",  # absurd run then small ordinal
+             "jsonl-abcdeadbeef00h"])})     # new reader format (no digit tail)
+        di = doc_index(t)
+        assert ((0 <= di) & (di < (1 << 40))).all()
+        assert len(set(di.tolist())) == 3
+        ti = pa.table({"doc_id": pa.array([7, -1, 1 << 52], pa.int64())})
+        d2 = doc_index(ti)
+        assert d2[0] == 7 and ((0 <= d2) & (d2 < (1 << 40))).all()
+
+    def test_doc_index_segment_and_line_ids_do_not_collapse(self):
+        """Regression (round-2 ADVICE medium): segment ids '{doc}#s{k}' and
+        line ids '{file}:{lineno}' previously collapsed onto the bare k /
+        lineno ordinal, piling the whole corpus into a handful of windows.
+        Now: segments fold the parent doc index into high bits (dense and
+        distinct per doc); lines fold a file hash (dense per file)."""
+        from hierarchical_bloom_filter_index_ray.stages.window import \
+            doc_index
+
+        seg = pa.table({"doc_id": pa.array(
+            ["src00-doc00000041#s0003", "src00-doc00000042#s0003",
+             "src00-doc00000042#s0004"])})
+        ds = doc_index(seg)
+        assert ds[0] != ds[1]                 # same k, different doc
+        assert ds[2] == ds[1] + 1             # same doc: dense in k
+        assert ds[1] == (42 << 12) | 3        # parent ordinal in high bits
+
+        lines = pa.table({"doc_id": pa.array(
+            ["a.txt:00000005", "b.txt:00000005", "a.txt:00000006"])})
+        dl = doc_index(lines)
+        assert dl[0] != dl[1]                 # same lineno, different file
+        assert dl[2] == dl[0] + 1             # same file: dense in lineno
+        assert ((0 <= dl) & (dl < (1 << 40))).all()
+
     def test_build_and_query_user_ids(self, ray_session, tmp_path):
         """End-to-end build + membership query over docs whose ids carry
         no ordinal at all (every window is hash-assigned)."""
