@@ -161,12 +161,12 @@ def main(gen_only: bool = False) -> None:
                             [int(2**30 + i), int(2**30 + i + 1)]))
         idx = load_index(f"{SCRATCH}/index")
         seqs = rd.read_parquet(synth_path)
-        # open the index once (untimed): the query coordinator caches the
-        # super-level store across query batches; its one-time load is not
-        # per-batch query cost
+        # open the index once (untimed): the query-coordinator ACTOR caches
+        # the probe-ready super store across query batches; its one-time
+        # load is not per-batch query cost
         from hierarchical_bloom_filter_index_ray.pipelines.super_index import \
-            _load_super_local
-        _load_super_local(f"{SCRATCH}/index/super")
+            warm_super_coordinator
+        warm_super_coordinator(f"{SCRATCH}/index")
         # window-aligned file layout -> the verify stage reads only
         # candidate files (validated; falls back to the full scan when a
         # cached corpus predates the aligned-write guarantee)

@@ -101,11 +101,14 @@ class BloomProbe:
                                         else None)
         # super-level gate: {source: (win_sorted, offsets, qi_flat)} — a
         # window only probes the queries that survived the cross-window
-        # descend down to it (pipelines/super_index.py)
-        self.allowed = (ray.get(allowed_ref)
-                        if allowed_ref is not None
-                        and not isinstance(allowed_ref, dict)
-                        else allowed_ref)
+        # descend down to it (pipelines/super_index.py). An ObjectRef here
+        # (the ASYNC descend running on the coordinator actor) is resolved
+        # lazily on the worker at first batch, so constructing this probe
+        # on the driver never blocks on the descend.
+        self._allowed_src = allowed_ref
+        self._allowed_ready = (allowed_ref is None
+                               or isinstance(allowed_ref, dict))
+        self.allowed = allowed_ref if self._allowed_ready else None
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.queries = qs
@@ -196,6 +199,11 @@ class BloomProbe:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        if not self._allowed_ready:
+            obj = ray.get(self._allowed_src)
+            self.allowed = (obj.allowed if obj is not None
+                            and hasattr(obj, "allowed") else obj)
+            self._allowed_ready = True
         out: list[tuple[str, int, np.ndarray, np.ndarray]] = []
         n_q = len(self.queries)
         if n_q:
@@ -494,6 +502,44 @@ class BloomGateVerifier:
         return pa.table(cols)
 
 
+class _SuperGate:
+    """Index-partition prefilter from the ASYNC super descend: keeps only
+    (source, window) rows some query survived to. Resolves the
+    coordinator actor's ``SuperPruneResult`` lazily on the WORKER (first
+    batch) so the driver schedules the probe pipeline without waiting for
+    the descend — reads and the descend overlap."""
+
+    def __init__(self, sprune_ref):
+        self._ref = sprune_ref
+        self._ready = False
+        self._union = None
+        self._covered = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self._ready:
+            res = ray.get(self._ref)
+            self._union = res.window_union
+            self._covered = res.covered_sources
+            self._ready = True
+        if not t.num_rows:
+            return t
+        srcs = np.asarray(t["source"].to_pylist(), dtype=object)
+        wins = t["window_id"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(srcs), dtype=bool)
+        for s in np.unique(srcs):
+            m = srcs == s
+            if str(s) not in self._covered:
+                keep[m] = True  # source unknown to the super store
+                continue
+            w = self._union.get(str(s))
+            if w is None or not len(w):
+                continue
+            pos = np.searchsorted(w, wins[m])
+            posc = np.minimum(pos, len(w) - 1)
+            keep[m] = w[posc] == wins[m]
+        return t.filter(pa.array(keep))
+
+
 def prune_sequence_files(sequences_meta: list[dict], cand_structs: dict,
                          cfg: HbiConfig) -> list[str]:
     """Files of a window-aligned corpus layout that can contain ANY
@@ -608,7 +654,7 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      per_query_scope: list[tuple] | None = None,
                      super_dir: str | None = None,
                      candidate_mode: str = "auto",
-                     broadcast_limit: int = 1_000_000,
+                     broadcast_limit: int = 4_000_000,
                      markov_model=None,
                      with_counts: bool = False,
                      probe_distinct: bool = False,
@@ -649,11 +695,16 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     import pyarrow.compute as pc
 
     compiled = compile_queries(queries, cfg, strides=strides)
-    sprune = None
+    # async descend: dispatched to the coordinator actor; the driver
+    # proceeds to schedule the probe pipeline and every consumer resolves
+    # the ref lazily on its worker (VERDICT r2 #1: no driver-serial
+    # descend on the query critical path)
+    sprune_ref = None
     if super_dir is not None:
-        from .super_index import super_prune
-        sprune = super_prune(super_dir, cfg, compiled, sources=sources,
-                             window_range=window_range)
+        from .super_index import super_prune_async
+        sprune_ref = super_prune_async(super_dir, cfg, compiled,
+                                       sources=sources,
+                                       window_range=window_range)
     if sources is not None:
         keep = pa.array(sorted(sources))
         index_ds = index_ds.map_batches(
@@ -667,34 +718,19 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                 pc.less(t["window_id"], hi))),
             batch_format="pyarrow")
     allowed_struct = None
-    if sprune is not None:
-        union = sprune.window_union
-        covered = sprune.covered_sources
-
-        def keep_allowed(t: pa.Table) -> pa.Table:
-            srcs = np.asarray(t["source"].to_pylist(), dtype=object)
-            wins = t["window_id"].to_numpy(zero_copy_only=False)
-            keep = np.zeros(len(srcs), dtype=bool)
-            for s in np.unique(srcs) if len(srcs) else []:
-                m = srcs == s
-                if str(s) not in covered:
-                    keep[m] = True  # source unknown to the super store
-                    continue
-                w = union.get(str(s))
-                if w is None or not len(w):
-                    continue
-                pos = np.searchsorted(w, wins[m])
-                posc = np.minimum(pos, len(w) - 1)
-                keep[m] = w[posc] == wins[m]
-            return t.filter(pa.array(keep))
-
-        index_ds = index_ds.map_batches(keep_allowed, batch_format="pyarrow")
-        allowed_struct = sprune.allowed
+    if sprune_ref is not None:
+        index_ds = index_ds.map_batches(_SuperGate(sprune_ref),
+                                        batch_format="pyarrow")
+        allowed_struct = sprune_ref  # BloomProbe resolves lazily too
     cols = ["source", "window_id", "bloom_tree"]
     if conf is not None or planner is not None:
         cols += ["cms", "n_tokens"]
     # plain callable INSTANCES -> elastic task pool (no actor-pool startup
-    # cost; compiled queries ride along in the serialized closure)
+    # cost; compiled queries ride along in the serialized closure).
+    # batch_size=None: batches follow the read's block layout, which lets
+    # Ray FUSE ReadParquet->gate->Project->BloomProbe into one task — the
+    # bloom blobs (the index's dominant bytes) never round-trip through
+    # the object store between read and probe
     cand_ds = index_ds.select_columns(cols).map_batches(
         BloomProbe(cfg, compiled, conf=conf, planner=planner,
                    allowed_ref=allowed_struct,
@@ -703,7 +739,7 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                                  if markov_model is not None
                                  and not isinstance(markov_model, bytes)
                                  else markov_model)),
-        batch_format="pyarrow", batch_size=64)
+        batch_format="pyarrow")
 
     if per_query_scope is not None:
         # (source|None, window_id|None) per query: filter candidates the
@@ -726,8 +762,11 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
         cand_ds = cand_ds.map_batches(scope_filter, batch_format="pyarrow")
 
     # candidate exchange: broadcast the exact per-source structs while the
-    # candidate count is sane; switch to the fixed-size bloom gate when a
-    # frequent token would make the broadcast (and the driver) corpus-sized
+    # candidate count is sane (4M pairs ~ 100 MB of compact arrays — cheap
+    # against 100+ GB worker heaps, and the exact structs let the verify
+    # probe ONLY the candidate (row, query) pairs); switch to the
+    # fixed-size bloom gate when a frequent token would make the broadcast
+    # (and the driver) corpus-sized
     cand_mat = cand_ds.materialize()
     n_cand = cand_mat.count()
     mode = candidate_mode
@@ -744,15 +783,21 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
         cand = cand_mat.to_pandas()
         cand_structs: dict[str, tuple] = {}
         if len(cand):
+            # one factorize + ONE global lexsort, then per-source slicing
+            # by code boundary — no per-source object-string masks (was
+            # the dominant driver-serial cost between probe and verify)
+            import pandas as pd
             di_all = ((cand["window_id"].to_numpy() << cfg.window_bits)
                       | cand["slot"].to_numpy())
             qi_all = cand["query_idx"].to_numpy().astype(np.int64)
-            src_all = cand["source"].to_numpy()
-            for src in np.unique(src_all):
-                m = src_all == src
-                di, qi = di_all[m], qi_all[m]
-                order = np.lexsort((qi, di))
-                di, qi = di[order], qi[order]
+            src_codes, src_uniq = pd.factorize(cand["source"], sort=True)
+            order = np.lexsort((qi_all, di_all, src_codes))
+            sc = src_codes[order]
+            di_s, qi_s = di_all[order], qi_all[order]
+            bounds = np.searchsorted(sc, np.arange(len(src_uniq) + 1))
+            for i, src in enumerate(src_uniq):
+                di = di_s[bounds[i]:bounds[i + 1]]
+                qi = qi_s[bounds[i]:bounds[i + 1]]
                 uniq, starts = np.unique(di, return_index=True)
                 offs = np.concatenate([starts, [len(di)]]).astype(np.int64)
                 cand_structs[str(src)] = (uniq, offs, qi)
@@ -764,7 +809,11 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                 verify_ds = None
             else:
                 import ray.data as rd_
-                verify_ds = rd_.read_parquet(paths)
+                # one block per file: stops the read from SplitBlocks-ing
+                # (which breaks Read->ExactVerifier fusion) — the token
+                # stream then never round-trips through the object store
+                verify_ds = rd_.read_parquet(
+                    paths, override_num_blocks=len(paths))
         if verify_ds is None:
             import pandas as pd
             hits = pd.DataFrame(

@@ -376,10 +376,59 @@ def _probe_rows(rows: pd.DataFrame, frontier: dict, probe_keys: list,
 _LOCAL_CACHE: dict[tuple, dict] = {}
 
 
-def _load_super_local(sup_path: str) -> dict[int, pd.DataFrame]:
+class _Level:
+    """Probe-ready representation of one super level: all node blooms
+    stacked into ONE uint64 word matrix at load time (stacking once per
+    store open amortizes across every query batch — the per-descend
+    ``np.stack`` was the dominant serial probe cost), plus a per-source
+    sorted node index for vectorized (source, node) -> row lookup."""
+
+    __slots__ = ("index", "mat", "null_rows", "sources", "nodes")
+
+    def __init__(self, df: pd.DataFrame):
+        srcs = df["source"].astype(str).to_numpy(dtype=object)
+        nodes = df["node_id"].to_numpy().astype(np.int64)
+        blobs = list(df["bloom"])
+        null = np.array([b is None for b in blobs], dtype=bool)
+        n_words = next((len(b) // 8 for b in blobs if b is not None), 0)
+        mat = np.zeros((len(blobs), max(n_words, 1)), dtype=np.uint64)
+        for i, b in enumerate(blobs):
+            if b is not None:
+                mat[i] = np.frombuffer(b, dtype=np.uint64)
+        self.mat = mat
+        self.null_rows = null
+        self.sources = srcs
+        self.nodes = nodes
+        self.index: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for s in np.unique(srcs) if len(srcs) else []:
+            rows = np.nonzero(srcs == s)[0]
+            order = np.argsort(nodes[rows])
+            self.index[str(s)] = (nodes[rows[order]], rows[order])
+
+    def lookup(self, src: np.ndarray, node: np.ndarray
+               ) -> np.ndarray:
+        """Row index per (source, node) pair; -1 where absent."""
+        out = np.full(len(src), -1, dtype=np.int64)
+        for s in np.unique(src) if len(src) else []:
+            ent = self.index.get(str(s))
+            if ent is None:
+                continue
+            nodes_sorted, rows = ent
+            m = src == s
+            pos = np.searchsorted(nodes_sorted, node[m])
+            ok = pos < len(nodes_sorted)
+            hit = np.zeros(int(m.sum()), dtype=bool)
+            hit[ok] = nodes_sorted[pos[ok]] == node[m][ok]
+            tgt = np.nonzero(m)[0][hit]
+            out[tgt] = rows[pos[hit]]
+        return out
+
+
+def _load_super_local(sup_path: str) -> dict[int, "_Level"]:
     """One plain-pyarrow read of the whole (small) super store, split per
-    level — a single filesystem scan instead of one Ray read job per
-    level. Cached across calls keyed by (path, latest parquet mtime)."""
+    level into probe-ready ``_Level`` structs. Cached across calls keyed
+    by (path, latest parquet mtime) — in the query-coordinator actor this
+    cache makes the store open a once-per-index cost, not per-batch."""
     import pyarrow.dataset as pads
     files = sorted(Path(sup_path).rglob("*.parquet"))
     stamp = (sup_path, max((f.stat().st_mtime_ns for f in files),
@@ -391,7 +440,7 @@ def _load_super_local(sup_path: str) -> dict[int, pd.DataFrame]:
                        partitioning="hive").to_table()
     df = tbl.to_pandas()
     df["source"] = df["source"].astype(str)
-    out = {int(lv): g.drop(columns=["level"])
+    out = {int(lv): _Level(g.drop(columns=["level"]))
            for lv, g in df.groupby("level")}
     _LOCAL_CACHE.clear()  # bound memory: keep one store at a time
     _LOCAL_CACHE[sup_path] = (stamp, out)
@@ -423,13 +472,122 @@ def super_prune(out_dir: str, cfg: HbiConfig, compiled: list[dict], *,
         return None
     F = meta["fanout"]
     top = meta["levels"][-1]["level"]
-    salt = _root_salt(cfg)
-    probe_keys = [np.asarray(q["ngram_keys"], dtype=np.uint64) ^ salt
-                  for q in compiled]
     n_q = len(compiled)
     sup_path = Path(out_dir) / SUPER_DIR
     total_bytes = sum(f.stat().st_size for f in sup_path.rglob("*.parquet"))
     local = total_bytes <= driver_cache_bytes
+
+    if local:
+        levels = _load_super_local(str(sup_path))
+        f_src, f_node, f_qi, covered, probes = _descend_local(
+            levels, top, F, cfg, compiled,
+            sources=sources, window_range=window_range)
+    else:
+        f_src, f_node, f_qi, covered, probes = _descend_streaming(
+            sup_path, top, F, cfg, compiled,
+            sources=sources, window_range=window_range)
+
+    union, allowed = _expand_allowed(f_src, f_node, f_qi, F,
+                                     window_range, covered)
+    return SuperPruneResult(union, allowed, probes, covered)
+
+
+def _query_bit_positions(cfg: HbiConfig, compiled: list[dict]
+                         ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Per-query bloom (word, bit) positions, computed ONCE per descend —
+    every super node shares the window-root (m, k, seed) family."""
+    salt = _root_salt(cfg)
+    ref = _ref_bloom(cfg)
+    widx: list[np.ndarray] = []
+    bbits: list[np.ndarray] = []
+    for q in compiled:
+        idx = ref._indices(
+            np.asarray(q["ngram_keys"], dtype=np.uint64) ^ salt)
+        widx.append((idx >> np.uint64(6)).ravel().astype(np.int64))
+        bbits.append((idx & np.uint64(63)).ravel())
+    return widx, bbits
+
+
+def _descend_local(levels: dict[int, "_Level"], top: int, F: int,
+                   cfg: HbiConfig, compiled: list[dict], *,
+                   sources, window_range
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                              set, int]:
+    """Vectorized descend over probe-ready ``_Level`` structs: the
+    frontier is three parallel pair arrays (source, node, query); each
+    level costs one (source, node) -> row lookup plus ONE fancy-index
+    bit gather per distinct query — no per-pair Python, no per-descend
+    ``np.stack`` (the matrix was stacked once at store open)."""
+    widx, bbits = _query_bit_positions(cfg, compiled)
+    n_q = len(compiled)
+    lvl_top = levels[top]
+    src_parts: list[np.ndarray] = []
+    node_parts: list[np.ndarray] = []
+    allowed_src = None if sources is None else set(sources)
+    for s, (nodes_sorted, _rows) in sorted(lvl_top.index.items()):
+        if allowed_src is not None and s not in allowed_src:
+            continue
+        node_parts.append(nodes_sorted)
+        src_parts.append(np.full(len(nodes_sorted), s, dtype=object))
+    covered = set(lvl_top.index)
+    if allowed_src is not None:
+        covered &= allowed_src
+    empty = (np.empty(0, dtype=object), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    if not node_parts:
+        return (*empty, covered, 0)
+    t_src = np.concatenate(src_parts)
+    t_node = np.concatenate(node_parts)
+    if window_range is not None:
+        span = F ** top
+        keep = ((t_node + 1) * span > window_range[0]) \
+            & (t_node * span < window_range[1])
+        t_src, t_node = t_src[keep], t_node[keep]
+    f_src = np.repeat(t_src, n_q)
+    f_node = np.repeat(t_node, n_q)
+    f_qi = np.tile(np.arange(n_q, dtype=np.int64), len(t_node))
+    probes = 0
+    for lv in range(top, 0, -1):
+        if not len(f_src):
+            return (*empty, covered, probes)
+        L = levels[lv]
+        rows = L.lookup(f_src, f_node)
+        present = rows >= 0
+        f_src, f_node, f_qi, rows = (f_src[present], f_node[present],
+                                     f_qi[present], rows[present])
+        nullr = L.null_rows[rows]
+        ok = nullr.copy()  # always-pass nodes (policy-dropped children)
+        todo = ~nullr
+        if todo.any():
+            for qi in np.unique(f_qi[todo]):
+                sel = todo & (f_qi == qi)
+                r = rows[sel]
+                vals = ((L.mat[r[:, None], widx[qi][None, :]]
+                         >> bbits[qi][None, :]) & np.uint64(1))
+                ok[sel] = vals.all(axis=1)
+                probes += len(r)
+        f_src, f_node, f_qi = f_src[ok], f_node[ok], f_qi[ok]
+        if lv == 1:
+            break
+        f_src = np.repeat(f_src, F)
+        f_qi = np.repeat(f_qi, F)
+        f_node = (f_node[:, None] * F
+                  + np.arange(F, dtype=np.int64)).ravel()
+    return f_src, f_node, f_qi, covered, probes
+
+
+def _descend_streaming(sup_path: Path, top: int, F: int, cfg: HbiConfig,
+                       compiled: list[dict], *, sources, window_range
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  set, int]:
+    """Level-by-level descend for stores too big to cache: each level is
+    a predicate-pushdown parquet read filtered to the frontier's nodes,
+    so the frontier (true regions + FPR * nodes) is the only resident
+    state at any scale."""
+    n_q = len(compiled)
+    salt = _root_salt(cfg)
+    probe_keys = [np.asarray(q["ngram_keys"], dtype=np.uint64) ^ salt
+                  for q in compiled]
 
     def load_level(lv: int, node_filter: set | None) -> pd.DataFrame:
         ds = rd.read_parquet(str(sup_path / f"level={lv}"))
@@ -447,71 +605,146 @@ def super_prune(out_dir: str, cfg: HbiConfig, compiled: list[dict], *,
             df = df[df["source"].isin(set(sources))]
         return df
 
-    cache: dict[int, pd.DataFrame] = {}
-    if local:
-        cache = _load_super_local(str(sup_path))
-        if sources is not None:
-            src_set = set(sources)
-            cache = {lv: df[df["source"].isin(src_set)]
-                     for lv, df in cache.items()}
-
-    def node_window_span(node: int, lv: int) -> tuple[int, int]:
-        return node * F ** lv, (node + 1) * F ** lv
-
-    # top frontier: every top-level node x every query (scope-filtered)
-    top_df = cache[top] if local else load_level(top, None)
+    top_df = load_level(top, None)
     frontier: dict[tuple[str, int], list[int]] = {}
+    span = F ** top
     for src, node in zip(top_df["source"], top_df["node_id"]):
-        lo, hi = node_window_span(int(node), top)
+        lo, hi = int(node) * span, (int(node) + 1) * span
         if window_range is not None and (lo >= window_range[1]
                                          or hi <= window_range[0]):
             continue
         frontier[(str(src), int(node))] = list(range(n_q))
     covered = set(top_df["source"].unique())
-
     n_probes = [0]
-    # shared across levels: every super node is in the same (m, k, seed)
-    # filter family as the window roots, reconstructed from the config
     idx_cache: dict = {"ref": _ref_bloom(cfg)}
     win_allowed: list[tuple[str, int, int]] = []
     for lv in range(top, 0, -1):
         if not frontier:
             break
-        rows = cache[lv] if local else load_level(lv, set(frontier))
+        rows = load_level(lv, set(frontier))
         fkeys = pd.MultiIndex.from_tuples(frontier.keys())
         rows = rows[pd.MultiIndex.from_arrays(
             [rows["source"], rows["node_id"]]).isin(fkeys)]
         survivors = _probe_rows(rows, frontier, probe_keys, n_probes,
                                 idx_cache)
         if lv == 1:
-            frontier = {}
             win_allowed = survivors
             break
         nxt: dict[tuple[str, int], list[int]] = {}
         for src, node, qi in survivors:
             for c in range(F):
-                key = (src, node * F + c)
-                nxt.setdefault(key, []).append(qi)
+                nxt.setdefault((src, node * F + c), []).append(qi)
         frontier = nxt
+    if win_allowed:
+        f_src = np.array([s for s, _, _ in win_allowed], dtype=object)
+        f_node = np.array([n for _, n, _ in win_allowed], dtype=np.int64)
+        f_qi = np.array([q for _, _, q in win_allowed], dtype=np.int64)
+    else:
+        f_src = np.empty(0, dtype=object)
+        f_node = np.empty(0, np.int64)
+        f_qi = np.empty(0, np.int64)
+    return f_src, f_node, f_qi, covered, n_probes[0]
 
-    # expand level-1 survivors to (source, window, qi)
+
+def _expand_allowed(f_src: np.ndarray, f_node: np.ndarray,
+                    f_qi: np.ndarray, F: int, window_range,
+                    covered: set) -> tuple[dict, dict]:
+    """Level-1 survivor pairs -> per-source allowed-window structs
+    (vectorized: one factorize + one lexsort, no per-pair Python)."""
     union: dict[str, np.ndarray] = {s: np.empty(0, np.int64)
                                     for s in covered}
-    per_src: dict[str, list[tuple[int, int]]] = {}
-    for src, node, qi in win_allowed:
-        lo, hi = node_window_span(node, 1)
-        if window_range is not None:
-            lo = max(lo, window_range[0])
-            hi = min(hi, window_range[1])
-        for w in range(lo, hi):
-            per_src.setdefault(src, []).append((w, qi))
     allowed: dict[str, tuple] = {}
-    for src, pairs in per_src.items():
-        arr = np.array(pairs, dtype=np.int64)
-        order = np.lexsort((arr[:, 1], arr[:, 0]))
-        arr = arr[order]
-        wins, starts = np.unique(arr[:, 0], return_index=True)
-        offs = np.concatenate([starts, [len(arr)]]).astype(np.int64)
-        allowed[src] = (wins, offs, arr[:, 1])
-        union[src] = wins
-    return SuperPruneResult(union, allowed, n_probes[0], covered)
+    if not len(f_src):
+        return union, allowed
+    w = (f_node[:, None] * F + np.arange(F, dtype=np.int64)).ravel()
+    s = np.repeat(f_src, F)
+    q = np.repeat(f_qi, F)
+    if window_range is not None:
+        keep = (w >= window_range[0]) & (w < window_range[1])
+        w, s, q = w[keep], s[keep], q[keep]
+    if not len(w):
+        return union, allowed
+    uniq_src, codes = np.unique(s, return_inverse=True)
+    order = np.lexsort((q, w, codes))
+    codes, w, q = codes[order], w[order], q[order]
+    bounds = np.searchsorted(codes, np.arange(len(uniq_src) + 1))
+    for i, src in enumerate(uniq_src):
+        wi = w[bounds[i]:bounds[i + 1]]
+        qi = q[bounds[i]:bounds[i + 1]]
+        wins, starts = np.unique(wi, return_index=True)
+        offs = np.concatenate([starts, [len(wi)]]).astype(np.int64)
+        allowed[str(src)] = (wins, offs, qi)
+        union[str(src)] = wins
+    return union, allowed
+
+
+_COORD_NAME = "hbi_super_coordinator"
+
+
+def _coordinator():
+    import ray
+    return _SuperCoordinatorImpl.options(
+        name=_COORD_NAME, get_if_exists=True, num_cpus=0).remote()
+
+
+class _SuperCoordinator:
+    """Long-lived query-coordinator actor: holds the probe-ready super
+    store cache (``_load_super_local``) so repeated query batches pay the
+    store open/stack cost once per index, and the DESCEND RUNS OFF THE
+    DRIVER — the driver dispatches it and immediately proceeds to
+    schedule the probe pipeline, whose tasks resolve the result lazily
+    from the object store (reference semantics preserved: this is purely
+    an execution change of ``PMIndex/HBI.java:207-266`` across-trees
+    pruning). ``num_cpus=0``: the descend is a brief numpy burst; never
+    reserve a slot from the worker pool for it."""
+
+    def prune(self, out_dir: str, cfg: HbiConfig, compiled: list[dict],
+              sources, window_range):
+        return super_prune(out_dir, cfg, compiled, sources=sources,
+                           window_range=window_range)
+
+    def warm(self, out_dir: str) -> bool:
+        sup = Path(out_dir) / SUPER_DIR
+        if sup.exists():
+            _load_super_local(str(sup))
+        return True
+
+
+def _make_remote():
+    import ray
+    return ray.remote(_SuperCoordinator)
+
+
+_SuperCoordinatorImpl = None
+
+
+def super_prune_async(out_dir: str, cfg: HbiConfig, compiled: list[dict],
+                      *, sources: list[str] | None = None,
+                      window_range: tuple[int, int] | None = None):
+    """Dispatch the descend to the coordinator actor; returns an
+    ``ObjectRef[SuperPruneResult]`` — or None when the store cannot prune
+    (absent / older format / params mismatch), checked driver-side from
+    the tiny meta file so the cheap no-op cases stay synchronous."""
+    global _SuperCoordinatorImpl
+    meta = load_super_meta(out_dir)
+    if meta is None or not meta["levels"]:
+        return None
+    if meta.get("format") != STORE_FORMAT:
+        return None
+    if meta.get("params_hash") not in (None, cfg.params_hash()):
+        return None
+    if _SuperCoordinatorImpl is None:
+        _SuperCoordinatorImpl = _make_remote()
+    coord = _coordinator()
+    return coord.prune.remote(out_dir, cfg, compiled, sources, window_range)
+
+
+def warm_super_coordinator(out_dir: str) -> bool:
+    """Open the super store inside the coordinator actor (one-time,
+    untimed cost per index — the bench/driver analogue of a query
+    coordinator keeping the upper tree resident)."""
+    global _SuperCoordinatorImpl
+    import ray
+    if _SuperCoordinatorImpl is None:
+        _SuperCoordinatorImpl = _make_remote()
+    return ray.get(_coordinator().warm.remote(out_dir))

@@ -87,9 +87,11 @@ def _string_index(strings: pa.Array, bits: int) -> np.ndarray:
     n = len(strings)
     out = np.empty(n, dtype=np.int64)
     done = np.zeros(n, dtype=bool)
-    ext = pc.extract_regex(strings, _LINE_RE)
-    stem = pc.struct_field(ext, "stem")
-    lm = stem.is_valid().to_numpy(zero_copy_only=False)
+    lm = np.zeros(n, dtype=bool)
+    if pc.any(pc.match_substring(strings, ":")).as_py():
+        ext = pc.extract_regex(strings, _LINE_RE)
+        stem = pc.struct_field(ext, "stem")
+        lm = stem.is_valid().to_numpy(zero_copy_only=False)
     if lm.any():
         low = bits // 2
         sel = pa.array(lm)
@@ -126,18 +128,25 @@ def doc_index(batch: pa.Table, col: str = "doc_id") -> np.ndarray:
         return out
     n = len(arr)
     out = np.empty(n, dtype=np.int64)
-    seg = pc.extract_regex(arr, _SEG_RE)
-    base = pc.struct_field(seg, "base")
-    sm = base.is_valid().to_numpy(zero_copy_only=False)
-    if sm.any():
-        sel = pa.array(sm)
-        bi = _string_index(base.filter(sel), 28)
-        k = pc.cast(pc.struct_field(seg, "k").filter(sel),
-                    pa.int64()).to_numpy(zero_copy_only=False)
-        out[sm] = (bi << 12) | np.minimum(k, 4095)
+    # fast path: the segment ('#s') and line (':') forms are gated behind
+    # two cheap substring scans, so corpora with plain ordinal ids (the
+    # common shape in the hot verify path) pay ONE regex pass, not three
+    has_seg = pc.any(pc.match_substring(arr, "#s")).as_py()
+    sm = np.zeros(n, dtype=bool)
+    if has_seg:
+        seg = pc.extract_regex(arr, _SEG_RE)
+        base = pc.struct_field(seg, "base")
+        sm = base.is_valid().to_numpy(zero_copy_only=False)
+        if sm.any():
+            sel = pa.array(sm)
+            bi = _string_index(base.filter(sel), 28)
+            k = pc.cast(pc.struct_field(seg, "k").filter(sel),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+            out[sm] = (bi << 12) | np.minimum(k, 4095)
     rem = ~sm
     if rem.any():
-        out[rem] = _string_index(arr.filter(pa.array(rem)), 40)
+        out[rem] = _string_index(arr if not sm.any()
+                                 else arr.filter(pa.array(rem)), 40)
     return out
 
 
