@@ -276,11 +276,21 @@ def _q_heavy_hitters_per_source(sf_dir: str):
              .groupby(["source", "word"])
              .aggregate(Sum("cnt", alias_name="cnt")))
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cnt", "word"],
-                             ascending=[False, True]).head(K_HH_PER_SOURCE)
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["cnt", "word"], ascending=[False, True])
+                .groupby("source", sort=False).head(K_HH_PER_SOURCE))
 
-    return freqs.groupby("source").map_groups(topk, batch_format="pandas")
+    # EXACT distributed top-k: counts are final after the groupby, so any
+    # global per-source top-K row is a per-batch top-K row in whichever
+    # batch holds it (only higher-ranked rows of the same source can
+    # displace it, and there are < K of those). Per-batch partials are
+    # <= K x sources x blocks rows — a bounded driver merge, never a
+    # pandas group holding a source's full vocabulary.
+    partials = (freqs.map_batches(local_topk, batch_format="pandas")
+                .to_pandas())
+    return (partials.sort_values(["cnt", "word"], ascending=[False, True])
+            .groupby("source", sort=False).head(K_HH_PER_SOURCE)
+            .reset_index(drop=True))
 
 
 def _q_events_hourly(sf_dir: str):

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..config import HbiConfig
@@ -456,10 +457,23 @@ def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
 
     rows = ds.map_batches(gram_rows, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
-    sizes_df = (rows.groupby("doc_id")
-                .aggregate(Count(alias_name="ngrams")).to_pandas())
-    size_of = dict(zip(sizes_df["doc_id"].to_numpy(),
-                       sizes_df["ngrams"].to_numpy()))
+    # per-doc distinct-gram counts: aggregated distributed, packed into
+    # two compact sorted int64 arrays by a Ray task (never a driver dict),
+    # and broadcast once through the object store — every score task
+    # reads them zero-copy from plasma
+    sizes_mat = (rows.groupby("doc_id")
+                 .aggregate(Count(alias_name="ngrams")).materialize())
+
+    @ray.remote(num_cpus=1)
+    def _pack_sizes(*blocks: pa.Table):
+        ids = np.concatenate(
+            [b["doc_id"].to_numpy(zero_copy_only=False) for b in blocks])
+        cnt = np.concatenate(
+            [b["ngrams"].to_numpy(zero_copy_only=False) for b in blocks])
+        order = np.argsort(ids)
+        return ids[order].astype(np.int64), cnt[order].astype(np.int64)
+
+    sizes_ref = _pack_sizes.remote(*sizes_mat.to_arrow_refs())
 
     def _all_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Every intra-group pair (a < b), once per group occurrence —
@@ -510,20 +524,37 @@ def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
         bnd_pairs = _all_pairs(bnd)
         if len(bnd_pairs):
             pairs_ds = pairs_ds.union(rd.from_pandas(bnd_pairs))
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if not t.num_rows:
+            return empty
+        ids, cnts = ray.get(sizes_ref)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = cnts[np.searchsorted(ids, a)]
+        nb = cnts[np.searchsorted(ids, b)]
+        jac = i / (na + nb - i)
+        keep = jac >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
+
+    # jaccard + threshold filter run DISTRIBUTED on the groupby output;
+    # only the >= threshold survivors ever reach the driver
     inter = (pairs_ds.groupby(["a", "b"])
-             .aggregate(Count(alias_name="i")).to_pandas())
+             .aggregate(Count(alias_name="i"))
+             .map_batches(score, batch_format="pyarrow")
+             .to_pandas())
     if not len(inter):
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64),
                              "jaccard": pd.Series([], dtype=np.float64)})
-    na = inter["a"].map(size_of).to_numpy(dtype=np.int64)
-    nb = inter["b"].map(size_of).to_numpy(dtype=np.int64)
-    i = inter["i"].to_numpy(dtype=np.int64)
-    jac = i / (na + nb - i)
-    out = inter.assign(jaccard=jac)[jac >= threshold]
-    out["a"] = out["a"].astype(np.int64)
-    out["b"] = out["b"].astype(np.int64)
-    return (out[["a", "b", "jaccard"]]
+    return (inter[["a", "b", "jaccard"]]
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
