@@ -298,9 +298,125 @@ def scaling() -> None:
     print(json.dumps(out))
 
 
+def sweep() -> None:
+    """Multi-configuration sweep, the Ray analogue of the reference's
+    ``utilities/BenchmarkOrchestrator.java:22-66`` grid (FPR x ngram x
+    query type, full index rebuild per cell): for each cell it rebuilds
+    the index at that (fp, ngram), runs the mixed present/rare/missing
+    query set, and reports build seconds, query QPS, candidate counts
+    and super-descend probe counts — demonstrating the planner's
+    probe-count advantage at low fp exactly as the reference's bench
+    does. Prints ONE JSON line with the whole grid."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+
+    from hierarchical_bloom_filter_index_ray import HbiConfig
+    from hierarchical_bloom_filter_index_ray.pipelines import (
+        build_index, load_index, membership_query)
+    from hierarchical_bloom_filter_index_ray.pipelines.super_index import \
+        warm_super_coordinator
+    from hierarchical_bloom_filter_index_ray.sources import synth_sequences
+
+    n_rows = int(os.environ.get("GRAFT_SWEEP_ROWS",
+                                min(synth_rows(), 262_144)))
+    n_rows = max(16_384, (n_rows // 16_384) * 16_384)
+    synth_path = f"{SCRATCH}/sweep_synth_{SEED}_{n_rows}"
+    if not Path(synth_path).exists():
+        tmp = synth_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        synth_sequences(n_rows, seed=SEED, n_sources=8, vocab=131072,
+                        override_num_blocks=max(1, n_rows // 16384),
+                        ).write_parquet(tmp, min_rows_per_file=16384,
+                                        max_rows_per_file=16384)
+        os.rename(tmp, synth_path)
+
+    rng = np.random.default_rng(7)
+    first = sorted(Path(synth_path).glob("*.parquet"))[0]
+    head = pq_.read_table(first).slice(0, 48).to_pylist()
+    query_sets: dict[str, list] = {"present": [], "rare": [],
+                                   "missing": []}
+    for i, row in enumerate(head[:16]):
+        toks = row["tokens"]
+        start = int(rng.integers(0, max(1, len(toks) - 3)))
+        query_sets["present"].append(
+            (f"present{i}", [int(t) for t in toks[start:start + 3]]))
+    for i, row in enumerate(head[16:40]):
+        toks = row["tokens"]
+        if len(toks) < 8:
+            continue
+        start = int(rng.integers(0, len(toks) - 8))
+        query_sets["rare"].append(
+            (f"rare{i}", [int(t) for t in toks[start:start + 8]]))
+    for i in range(24):
+        query_sets["missing"].append(
+            (f"missing{i}", [int(2**30 + 4 * i + j) for j in range(4)]))
+
+    fps = [float(x) for x in os.environ.get(
+        "GRAFT_SWEEP_FP", "0.25,0.01,0.001").split(",")]
+    ngrams = [int(x) for x in os.environ.get(
+        "GRAFT_SWEEP_NGRAM", "1,3").split(",")]
+    cells = []
+    for fp in fps:
+        for ng in ngrams:
+            cfg = HbiConfig(seed=SEED, docs_per_window=256, fp=fp,
+                            ngram=ng, hll_p=12, cms_eps=0.02,
+                            cms_delta=0.05, expected_tokens_per_doc=128,
+                            expected_distinct_per_doc=96)
+            idx_dir = f"{SCRATCH}/sweep_index"
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            man = build_index(
+                rd.read_parquet(synth_path,
+                                override_num_blocks=n_rows // 2048),
+                cfg, idx_dir, batch_size=2048)
+            build_sec = time.perf_counter() - t0
+            idx = load_index(idx_dir)
+            seqs = rd.read_parquet(synth_path)
+            warm_super_coordinator(idx_dir)
+            cell = {"fp": fp, "ngram": ng,
+                    "build_sec": round(build_sec, 3),
+                    "index_bytes": int(man.get("total_index_bytes", 0)),
+                    "query_types": {}}
+            for qtype, queries in query_sets.items():
+                st: dict = {}
+                t0 = time.perf_counter()
+                hits = membership_query(idx, seqs, queries, cfg,
+                                        super_dir=idx_dir, stats=st)
+                dt = time.perf_counter() - t0
+                cell["query_types"][qtype] = {
+                    "qps": round(len(queries) / dt, 3),
+                    "sec": round(dt, 3),
+                    "hits": hits.num_rows,
+                    "candidates": st.get("candidates", 0),
+                    "super_probes": st.get("super_probes", 0),
+                    "mode": st.get("mode"),
+                }
+            cells.append(cell)
+    print(json.dumps({
+        "metric": "hbi_ray_config_sweep",
+        "rows": n_rows,
+        "num_cpus": NUM_CPUS,
+        "cells": cells,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--sweep" in sys.argv:
+        sweep()
     elif "--gen-only" in sys.argv:
         main(gen_only=True)
     else:

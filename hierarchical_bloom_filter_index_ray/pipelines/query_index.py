@@ -658,7 +658,8 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      markov_model=None,
                      with_counts: bool = False,
                      probe_distinct: bool = False,
-                     sequences_meta: list[dict] | None = None) -> pa.Table:
+                     sequences_meta: list[dict] | None = None,
+                     stats: dict | None = None) -> pa.Table:
     """Exact pattern-membership results for a batch of queries.
 
     Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
@@ -681,6 +682,11 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     the probe, and each surviving window only probes the queries that
     reached it — probe work drops from O(windows) to O(log windows) for
     absent tokens.
+
+    ``stats``: optional dict filled with probe telemetry
+    (candidates, n_queries, super_probes, mode) for benchmarking —
+    the Ray analogue of the reference's perf counters
+    (``utilities/BenchmarkOrchestrator.java`` CSV columns).
 
     ``sequences_meta``: optional window-aligned file layout of the
     sequences corpus — ``[{"path": ..., "window_lo": L, "window_hi": H}]``
@@ -769,9 +775,17 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     # (and the driver) corpus-sized
     cand_mat = cand_ds.materialize()
     n_cand = cand_mat.count()
+    if stats is not None:
+        stats["candidates"] = n_cand
+        stats["n_queries"] = len(compiled)
+        if sprune_ref is not None:
+            res = ray.get(sprune_ref)
+            stats["super_probes"] = 0 if res is None else res.probes
     mode = candidate_mode
     if mode == "auto":
         mode = "broadcast" if n_cand <= broadcast_limit else "distributed"
+    if stats is not None:
+        stats["mode"] = mode
     q_ref = ray.put(compiled)
     if mode == "distributed":
         hits = _verify_distributed(cand_mat, sequences_ds, compiled, cfg,

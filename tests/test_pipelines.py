@@ -394,6 +394,103 @@ class TestTextAndEvents:
         assert (got["lag_us"] >= 0).all()
 
 
+class TestSkewBoundedGroups:
+    """VERDICT r2 #5: the (hash bucket, time slab) group key keeps
+    per-group memory bounded even for a MAXIMALLY skewed corpus (one
+    single user owning every row), and the slabbed results are exactly
+    the single-slab results."""
+
+    def _single_user_events(self, tmp_path, n=20_000, seed=7):
+        rng = np.random.default_rng(seed)
+        # one user, events every ~2 min over ~27 days, with occasional
+        # >30 min gaps so sessions exist; ties included
+        steps = rng.choice([30, 90, 150, 2400], n,
+                           p=[0.3, 0.4, 0.25, 0.05]).astype(np.int64)
+        ts_s = np.cumsum(steps) + 1_700_000_000
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": (ts_s * 1_000_000).astype("datetime64[us]"),
+            "user_id": np.full(n, 13, dtype=np.int64),
+            "event_type": rng.choice(["click", "purchase"], n,
+                                     p=[0.8, 0.2]),
+            "value": rng.random(n),
+            "props": [""] * n,
+        })
+        p = tmp_path / "skew"
+        p.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(p / "events.parquet"))
+        return str(p), df
+
+    def test_sessionize_slabbed_equals_unslabbed_and_bounded(
+            self, ray_session, tmp_path):
+        from hierarchical_bloom_filter_index_ray.pipelines.events import \
+            sessionize
+        path, df = self._single_user_events(tmp_path)
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        slab = sessionize(path, gap_minutes=30, num_buckets=4,
+                          slab_minutes=360).to_pandas()
+        flat = sessionize(path, gap_minutes=30, num_buckets=4,
+                          slab_minutes=None).to_pandas()
+        a = slab.sort_values(cols).reset_index(drop=True)
+        b = flat.sort_values(cols).reset_index(drop=True)
+        assert a[cols].equals(b[cols])
+        assert np.allclose(a["sum_value"], b["sum_value"])
+        assert a["n_events"].sum() == len(df)
+        # the bound: one user -> one hash bucket, but slabs split its
+        # history; no (bucket, slab) group holds more than one slab's rows
+        slab_us = 360 * 60 * 1_000_000
+        per_slab = np.bincount(
+            (df["ts"].astype("int64") // slab_us).to_numpy()
+            - int(df["ts"].astype("int64").min() // slab_us))
+        assert per_slab.max() < len(df) / 10
+
+    def test_asof_slabbed_equals_unslabbed_single_user(
+            self, ray_session, tmp_path):
+        from hierarchical_bloom_filter_index_ray.pipelines.events import \
+            asof_join
+        path, df = self._single_user_events(tmp_path, n=8_000, seed=11)
+        ev = rd.read_parquet(f"{path}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        import pyarrow.compute as _pc
+
+        def pick(kind):
+            def f(batch: pa.Table) -> pa.Table:
+                m = _pc.equal(batch["event_type"], kind)
+                return batch.filter(m).select(
+                    ["event_id", "ts", "user_id"])
+            return f
+
+        schema = pa.schema([("event_id", pa.int64()),
+                            ("ts", pa.timestamp("us")),
+                            ("user_id", pa.int64())])
+        outs = {}
+        for tag, slab_us in (("slab", 3 * 3600 * 1_000_000),
+                             ("flat", None)):
+            clicks = ev.map_batches(pick("click"), batch_format="pyarrow")
+            purch = ev.map_batches(pick("purchase"),
+                                   batch_format="pyarrow")
+            got = asof_join(
+                clicks, purch, by="user_id", on="ts",
+                right_select={"event_id": "purchase_event_id"},
+                num_buckets=4, slab_us=slab_us,
+                left_schema=schema, right_schema=schema).to_pandas()
+            outs[tag] = got.sort_values("event_id").reset_index(drop=True)
+        assert outs["slab"].equals(outs["flat"])
+        # differential vs pandas merge_asof
+        clicks = df[df["event_type"] == "click"].sort_values("ts")
+        purch = df[df["event_type"] == "purchase"].sort_values("ts")
+        want = pd.merge_asof(clicks, purch, on="ts", by="user_id",
+                             direction="backward", suffixes=("", "_p")
+                             ).dropna(subset=["event_id_p"])
+        want = want.sort_values("event_id").reset_index(drop=True)
+        assert outs["slab"]["event_id"].tolist() == \
+            want["event_id"].tolist()
+        assert outs["slab"]["purchase_event_id"].tolist() == \
+            want["event_id_p"].astype(np.int64).tolist()
+
+
 class TestMultimodal:
     def test_real_decoder_raises(self):
         with pytest.raises(NotImplementedError):
