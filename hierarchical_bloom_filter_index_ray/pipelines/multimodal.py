@@ -10,9 +10,12 @@ Three decoder modes:
   (concatenated P5 frames) and uniformly samples real frames.
 - ``decoder="fake"`` — deterministic stand-in features that exercise the
   Ray-side plumbing (schema, batch sizing, actor signature, layout).
-- ``decoder="real"`` — the seam where PNG/JPEG/audio codecs would load;
-  those libs are not in this container, so it raises
-  ``NotImplementedError`` at pool start (declared stub).
+- ``decoder="real"`` — REAL baseline codecs from ``functions/codecs.py``
+  (pure numpy + stdlib zlib/struct): PNG (8-bit grey/RGB/RGBA/palette,
+  all five scanline filters) and RIFF/WAVE PCM audio, dispatched by
+  payload magic bytes; P5 payloads fall through to the PGM path. Only
+  JPEG/mp4 remain a declared ``NotImplementedError`` seam (entropy-coded
+  formats; see README media matrix).
 """
 
 from __future__ import annotations
@@ -124,16 +127,28 @@ class MediaFeatureExtractor:
         self.decoder = decoder
         self.feature_dim = feature_dim
         self.seed = seed
-        if decoder == "real":
-            # A real build would do:  import PIL / torchaudio / cv2 ...
-            # The libs are not in this container; fail at construction so
-            # the error surfaces at pool start, not mid-stream.
-            raise NotImplementedError(
-                "media codecs are not available in this environment; "
-                "use decoder='pgm' (real pure-numpy PGM decode) or "
-                "decoder='fake' for the deterministic stub")
-        if decoder not in ("fake", "pgm"):
+        if decoder not in ("fake", "pgm", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _real_features(self, payload: bytes) -> np.ndarray:
+        """Dispatch on payload magic bytes: PNG and WAV decode through
+        the baseline pure-numpy codecs; P5 through the PGM path. Other
+        formats (JPEG/mp4) are the declared codec seam."""
+        from ..functions.codecs import decode_png, decode_wav, \
+            wav_features
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(payload)
+            if img.ndim == 3:          # luma approximation for features
+                img = img.mean(axis=2).astype(np.uint8)
+            return pgm_features(img, self.feature_dim)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            samples, rate = decode_wav(payload)
+            return wav_features(samples, rate, self.feature_dim)
+        if payload[:2] == b"P5":
+            return pgm_features(decode_pgm(payload), self.feature_dim)
+        raise NotImplementedError(
+            "payload is not PNG/WAV/PGM — JPEG/mp4 decoding is the "
+            "declared codec seam (README media matrix)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:
         """Deterministic stand-in: features = seeded hash-mix of payload
@@ -157,6 +172,11 @@ class MediaFeatureExtractor:
                 pgm_features(decode_pgm(p), self.feature_dim)
                 for p in payloads]) if payloads else np.empty(
                     (0, self.feature_dim), np.float32)
+        elif self.decoder == "real":
+            feats = np.stack([
+                self._real_features(p) for p in payloads]) \
+                if payloads else np.empty((0, self.feature_dim),
+                                          np.float32)
         else:
             feats = self._fake_decode(payloads)
         offsets = np.arange(0, (len(payloads) + 1) * self.feature_dim,
@@ -186,21 +206,36 @@ def extract_features(ds: "rd.Dataset", *, decoder: str = "fake",
 class ImageResizer:
     """Actor-pool resize stage. ``decoder="pgm"`` REALLY decodes, resizes
     (nearest-neighbor, pure numpy) and re-encodes each payload;
-    ``decoder="fake"`` rewrites only the typed metadata (plumbing drill);
-    ``decoder="real"`` is the PNG/JPEG seam (stub — codecs absent)."""
+    ``decoder="real"`` does the same through the baseline PNG codec
+    (per-channel nearest gather, filter-0 re-encode); ``decoder="fake"``
+    rewrites only the typed metadata (plumbing drill). JPEG stays the
+    declared seam inside the PNG decoder's magic-byte check."""
 
     def __init__(self, *, width: int, height: int, decoder: str = "real"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "image codecs unavailable; use decoder='pgm' or 'fake'")
-        if decoder not in ("fake", "pgm"):
+        if decoder not in ("fake", "pgm", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.width, self.height = width, height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        if self.decoder == "pgm":
+        if self.decoder == "real":
+            from ..functions.codecs import decode_png, encode_png
+            payloads = []
+            for p in batch["payload"].to_pylist():
+                img = decode_png(p)
+                if img.ndim == 2:
+                    img = resize_nearest(img, self.width, self.height)
+                else:
+                    img = np.stack([
+                        resize_nearest(img[:, :, c], self.width,
+                                       self.height)
+                        for c in range(img.shape[2])], axis=2)
+                payloads.append(encode_png(img))
+            batch = batch.set_column(
+                batch.schema.get_field_index("payload"), "payload",
+                pa.array(payloads, pa.binary()))
+        elif self.decoder == "pgm":
             payloads = [
                 encode_pgm(resize_nearest(decode_pgm(p), self.width,
                                           self.height))
@@ -223,13 +258,16 @@ class FrameSampler:
     of them, emitting each frame's own PGM payload (+ ``frame_no`` = the
     source frame index, mirroring keyframe-seek behavior).
     ``decoder="fake"`` replicates the opaque payload per frame (plumbing
-    drill); ``decoder="real"`` is the mp4/webm seam (stub — codecs
-    absent)."""
+    drill); ``decoder="real"`` is the ONE remaining declared seam —
+    mp4/webm are entropy-coded container formats out of scope for the
+    from-scratch codecs (README media matrix)."""
 
     def __init__(self, *, n_frames: int, decoder: str = "real"):
         if decoder == "real":
             raise NotImplementedError(
-                "video codecs unavailable; use decoder='pgmv' or 'fake'")
+                "mp4/webm codecs are the declared seam (README media "
+                "matrix); use decoder='pgmv' (real frame split) or "
+                "'fake'")
         if decoder not in ("fake", "pgmv"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
@@ -283,14 +321,26 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
     """Deterministic media table for tests. ``kind="fake"`` -> opaque
     seeded bytes; ``kind="pgm"`` -> REAL binary PGM images that the pgm
     decoder round-trips; ``kind="pgmv"`` -> REAL pgmv "videos"
-    (``frames`` concatenated PGM frames per item)."""
+    (``frames`` concatenated PGM frames per item); ``kind="png"`` /
+    ``kind="wav"`` -> REAL baseline-codec payloads
+    (``functions/codecs.py``)."""
     def gen(batch: dict) -> pa.Table:
+        from ..functions.codecs import encode_png, encode_wav
         ids = np.asarray(batch["id"], dtype=np.int64)
         payloads = []
         for i in ids:
             if kind == "pgm":
                 payloads.append(encode_pgm(synth_frame(
                     i, 0, seed=seed, width=width, height=height)))
+            elif kind == "png":
+                payloads.append(encode_png(synth_frame(
+                    i, 0, seed=seed, width=width, height=height)))
+            elif kind == "wav":
+                t = np.arange(width * height, dtype=np.float64)
+                tone = np.sin(2 * np.pi * (220 + 11 * (int(i) % 8))
+                              * t / 8000.0)
+                payloads.append(encode_wav(
+                    (tone * 20000).astype(np.int16), 8000))
             elif kind == "pgmv":
                 payloads.append(b"".join(
                     encode_pgm(synth_frame(i, f, seed=seed, width=width,
@@ -302,7 +352,8 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                              + np.uint64(i), seed) & np.uint64(255)
                 ).astype(np.uint8).tolist()))
         mt = {"pgm": "image/x-portable-graymap",
-              "pgmv": "video/x-pgm-frames"}.get(kind, "image/fake")
+              "pgmv": "video/x-pgm-frames", "png": "image/png",
+              "wav": "audio/wav"}.get(kind, "image/fake")
         return pa.table({
             "media_id": pa.array(ids),
             "payload": pa.array(payloads, pa.binary()),

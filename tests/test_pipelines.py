@@ -492,15 +492,120 @@ class TestSkewBoundedGroups:
 
 
 class TestMultimodal:
-    def test_real_decoder_raises(self):
+    def test_png_codec_round_trip_and_filters(self):
+        """Baseline PNG codec: encode->decode is pixel-exact for
+        grey/RGB/RGBA, and the decoder reverses all five scanline
+        filters against an INDEPENDENT filter implementation."""
+        import struct
+        import zlib
+
+        from hierarchical_bloom_filter_index_ray.functions.codecs import (
+            _PNG_SIG, _chunk, decode_png, encode_png)
+        rng = np.random.default_rng(0)
+        for shape in [(13, 17), (9, 7, 3), (5, 6, 4)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(img)), img)
+
+        img = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+        h, w, ch = img.shape
+        rows = img.reshape(h, w * ch).astype(np.int16)
+
+        def paeth(a, b, c):
+            q = a + b - c
+            qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+            if qa <= qb and qa <= qc:
+                return a
+            return b if qb <= qc else c
+
+        raster = b""
+        prev = np.zeros(w * ch, dtype=np.int16)
+        for y, f in enumerate([0, 1, 2, 3, 4, 2]):
+            cur = rows[y]
+            filt = np.zeros(w * ch, dtype=np.int16)
+            for x in range(w * ch):
+                left = cur[x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                up = prev[x]
+                filt[x] = cur[x] - {
+                    0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: paeth(int(left), int(up), int(ul))}[f]
+            raster += bytes([f]) + (filt & 0xFF).astype(
+                np.uint8).tobytes()
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+                   + _chunk(b"IDAT", zlib.compress(raster))
+                   + _chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(payload), img)
+        # palette color type
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        pidx = rng.integers(0, 4, (5, 5), dtype=np.uint8)
+        raster = b"".join(b"\x00" + pidx[y].tobytes() for y in range(5))
+        ihdr = struct.pack(">IIBBBBB", 5, 5, 8, 3, 0, 0, 0)
+        payload = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+                   + _chunk(b"PLTE", pal.tobytes())
+                   + _chunk(b"IDAT", zlib.compress(raster))
+                   + _chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(payload), pal[pidx])
+
+    def test_wav_codec_round_trip(self):
+        from hierarchical_bloom_filter_index_ray.functions.codecs import (
+            decode_wav, encode_wav, wav_features)
+        rng = np.random.default_rng(1)
+        for dt, chn in [(np.int16, 1), (np.int16, 2), (np.int32, 1),
+                        (np.uint8, 1)]:
+            lo = 0 if dt == np.uint8 else np.iinfo(dt).min
+            x = rng.integers(lo, np.iinfo(dt).max, (101, chn)).astype(dt)
+            got, rate = decode_wav(encode_wav(x, 8000))
+            assert rate == 8000 and np.array_equal(got, x)
+        f = wav_features(x, 8000, 16)
+        assert f.shape == (16,) and np.isfinite(f).all()
+
+    def test_real_decoder_png_wav_through_pools(self, ray_session):
+        """decoder='real' actually decodes: PNG features equal the PGM
+        features of the same pixels, WAV features are finite and
+        payload-dependent, and the real ImageResizer round-trips PNG
+        pixels through a nearest-neighbor resize."""
+        from hierarchical_bloom_filter_index_ray.functions.codecs import \
+            decode_png
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+            ImageResizer, extract_features, resize_nearest, synth_frame,
+            synth_media)
+        png = extract_features(synth_media(12, seed=3, kind="png"),
+                               decoder="real", feature_dim=8,
+                               concurrency=1).to_pandas()
+        pgm = extract_features(synth_media(12, seed=3, kind="pgm"),
+                               decoder="pgm", feature_dim=8,
+                               concurrency=1).to_pandas()
+        a = png.sort_values("media_id")["features"].tolist()
+        b = pgm.sort_values("media_id")["features"].tolist()
+        assert np.allclose(np.stack(a), np.stack(b))
+        wav = extract_features(synth_media(6, seed=4, kind="wav"),
+                               decoder="real", feature_dim=8,
+                               concurrency=1).to_pandas()
+        fw = np.stack(wav["features"].tolist())
+        assert np.isfinite(fw).all() and len(np.unique(fw[:, 2])) > 1
+        resized = (synth_media(6, seed=5, kind="png")
+                   .map_batches(ImageResizer, batch_format="pyarrow",
+                                concurrency=1, batch_size=4,
+                                fn_constructor_kwargs={
+                                    "width": 5, "height": 7,
+                                    "decoder": "real"})
+                   .to_pandas().sort_values("media_id"))
+        for mid, payload in zip(resized["media_id"], resized["payload"]):
+            want = resize_nearest(
+                synth_frame(mid, 0, seed=5, width=16, height=16), 5, 7)
+            assert np.array_equal(decode_png(payload), want)
+
+    def test_frame_sampler_real_is_declared_seam(self):
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import \
+            FrameSampler
         with pytest.raises(NotImplementedError):
-            MediaFeatureExtractor(decoder="real")
+            FrameSampler(n_frames=3, decoder="real")
 
     def test_resize_and_frame_sample_stubs(self, ray_session):
         from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
             FrameSampler, ImageResizer)
-        with pytest.raises(NotImplementedError):
-            ImageResizer(width=4, height=4)
         ds = synth_media(8, seed=1)
         resized = ds.map_batches(ImageResizer, batch_format="pyarrow",
                                  concurrency=2, batch_size=4,
