@@ -296,6 +296,72 @@ class TestResume:
         assert r_plain.num_rows > 0
         assert r_plain.equals(r_shard)
 
+    def test_rolling_append_then_expire(self, ray_session, tmp_path):
+        """Incremental append story (the batch analogue of the
+        reference's rolling stream, ``PMIndex/HBI.java:263-266``):
+        build windows [0,8), APPEND [8,12) via sharded resume, EXPIRE
+        [0,4) — membership results equal a fresh build of the surviving
+        range [4,12), and a later resumed build does NOT resurrect the
+        expired windows."""
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            expire_windows
+        from hierarchical_bloom_filter_index_ray.stages.window import \
+            doc_index as di_fn
+
+        cfg = HbiConfig(seed=7, docs_per_window=32, hll_p=12,
+                        cms_eps=0.05, cms_delta=0.1)
+        ds_full = synth_sequences(768, seed=9, n_sources=2, vocab=512)
+
+        def win_range(lo, hi):
+            def f(t):
+                w = di_fn(t) >> 5
+                return t.filter(pa.array((w >= lo) & (w < hi)))
+            return f
+
+        roll = tmp_path / "roll"
+        build_index(ds_full.map_batches(win_range(0, 8),
+                                        batch_format="pyarrow"),
+                    cfg, str(roll), batch_size=64, shard_windows=4)
+        # append the newer range: resume skips the completed shards
+        build_index(ds_full, cfg, str(roll), batch_size=64,
+                    shard_windows=4)
+        man = expire_windows(str(roll), cfg, before_window=4)
+        assert man["expired_before_window"] == 4
+        fresh = tmp_path / "fresh"
+        build_index(ds_full.map_batches(win_range(4, 10**9),
+                                        batch_format="pyarrow"),
+                    cfg, str(fresh), batch_size=64, shard_windows=4)
+        a = load_index(str(roll)).to_pandas()
+        b = load_index(str(fresh)).to_pandas()
+        for df in (a, b):
+            df["source"] = df["source"].astype(str)
+            df.sort_values(["source", "window_id"], inplace=True)
+            df.reset_index(drop=True, inplace=True)
+        assert len(a) == len(b) and int(a["window_id"].min()) == 4
+        for col in ("source", "window_id", "n_docs", "bloom_tree"):
+            assert (a[col] == b[col]).all(), col
+        # patterns anchored in SURVIVING windows (plus a missing one)
+        rows = ds_full.take_all()
+        tbl = pa.Table.from_pylist(rows)
+        wins = di_fn(tbl) >> 5
+        picks = [i for i in range(len(rows)) if wins[i] >= 4][:3]
+        pats = [(f"p{j}", [int(t) for t in rows[i]["tokens"][2:6]])
+                for j, i in enumerate(picks)]
+        pats.append(("missing", [2**30 + 3, 2**30 + 4]))
+        r_roll = membership_query(load_index(str(roll)), ds_full, pats,
+                                  cfg, super_dir=str(roll)).to_pandas()
+        r_fresh = membership_query(load_index(str(fresh)), ds_full, pats,
+                                   cfg, super_dir=str(fresh)).to_pandas()
+        assert len(r_roll) > 0
+        assert r_roll.reset_index(drop=True).equals(
+            r_fresh.reset_index(drop=True))
+        # resume over the same input must not re-ingest expired ranges
+        build_index(ds_full, cfg, str(roll), batch_size=64,
+                    shard_windows=4, super_levels=False)
+        idx = load_index(str(roll)).to_pandas()
+        assert int(idx["window_id"].min()) >= 4
+        assert len(idx) == len(a)
+
     def test_cli_build_and_query(self, ray_session, tmp_path):
         """`python -m hierarchical_bloom_filter_index_ray build|query`
         round-trip (the ray-job-submit entrypoint), sharded + counts."""
