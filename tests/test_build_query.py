@@ -362,6 +362,54 @@ class TestResume:
         assert int(idx["window_id"].min()) >= 4
         assert len(idx) == len(a)
 
+    def test_interleaved_ingest_and_query(self, ray_session, tmp_path):
+        """Interleaved ingest/query (the reference queries every
+        windowLength tokens mid-stream, ``ProcessStream.java:70-75``):
+        append one shard at a time and query BETWEEN appends — each
+        round's results equal a fresh build over the data ingested so
+        far, and hits accumulate monotonically."""
+        from hierarchical_bloom_filter_index_ray.stages.window import \
+            doc_index as di_fn
+
+        cfg = HbiConfig(seed=7, docs_per_window=32, hll_p=12,
+                        cms_eps=0.05, cms_delta=0.1)
+        ds_full = synth_sequences(768, seed=9, n_sources=2, vocab=512)
+        rows = ds_full.take_all()
+        tbl = pa.Table.from_pylist(rows)
+        wins = di_fn(tbl) >> 5
+        # one pattern per window tier + a missing one
+        picks = [next(i for i in range(len(rows)) if wins[i] == w)
+                 for w in (0, 4, 8)]
+        pats = [(f"p{j}", [int(t) for t in rows[i]["tokens"][2:6]])
+                for j, i in enumerate(picks)]
+        pats.append(("missing", [2**30 + 3, 2**30 + 4]))
+
+        def win_lt(hi):
+            def f(t):
+                return t.filter(pa.array((di_fn(t) >> 5) < hi))
+            return f
+
+        live = tmp_path / "live"
+        n_hits = []
+        for hi in (4, 8, 12):
+            build_index(ds_full.map_batches(win_lt(hi),
+                                            batch_format="pyarrow"),
+                        cfg, str(live), batch_size=64, shard_windows=4)
+            got = membership_query(load_index(str(live)), ds_full, pats,
+                                   cfg, super_dir=str(live)).to_pandas()
+            fresh = tmp_path / f"fresh{hi}"
+            build_index(ds_full.map_batches(win_lt(hi),
+                                            batch_format="pyarrow"),
+                        cfg, str(fresh), batch_size=64, shard_windows=4)
+            want = membership_query(load_index(str(fresh)), ds_full,
+                                    pats, cfg,
+                                    super_dir=str(fresh)).to_pandas()
+            assert got.reset_index(drop=True).equals(
+                want.reset_index(drop=True))
+            n_hits.append(len(got))
+        assert n_hits[0] < n_hits[-1]  # later appends add hits
+        assert n_hits == sorted(n_hits)
+
     def test_cli_build_and_query(self, ray_session, tmp_path):
         """`python -m hierarchical_bloom_filter_index_ray build|query`
         round-trip (the ray-job-submit entrypoint), sharded + counts."""
