@@ -191,6 +191,11 @@ def _q_distinct_words_per_source(sf_dir: str):
 
 
 def _q_exact_dedup_docs(sf_dir: str):
+    """Oracle-parity twin of SQL GROUP BY text: the FULL TEXT rides the
+    shuffle as the groupby key, which is deliberate here (byte-exact
+    parity with the DuckDB oracle) but not the scale shape — the
+    production path is ``exact_dedup_rows`` (pipelines/dedup.py), which
+    shuffles only (hash, doc_id) and resolves collisions exactly."""
     import ray.data as rd
     from ray.data.aggregate import Min
     return (rd.read_parquet(f"{sf_dir}/documents.parquet",

@@ -200,10 +200,17 @@ class BloomProbe:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         if not self._allowed_ready:
-            obj = ray.get(self._allowed_src)
-            self.allowed = (obj.allowed if obj is not None
-                            and hasattr(obj, "allowed") else obj)
-            self._allowed_ready = True
+            # NON-blocking: apply the cross-window gate only once the
+            # async descend has finished — earlier batches probe with
+            # the full query list (same exact results, downstream
+            # verify is exact either way), so the probe pipeline never
+            # stalls behind the coordinator
+            ready, _ = ray.wait([self._allowed_src], timeout=0)
+            if ready:
+                obj = ray.get(self._allowed_src)
+                self.allowed = (obj.allowed if obj is not None
+                                and hasattr(obj, "allowed") else obj)
+                self._allowed_ready = True
         out: list[tuple[str, int, np.ndarray, np.ndarray]] = []
         n_q = len(self.queries)
         if n_q:
@@ -517,6 +524,12 @@ class _SuperGate:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if not self._ready:
+            # non-blocking (see BloomProbe): gate once the descend is
+            # done, pass rows through before that — pruning is an
+            # optimization, never a correctness requirement
+            done, _ = ray.wait([self._ref], timeout=0)
+            if not done:
+                return t
             res = ray.get(self._ref)
             self._union = res.window_union
             self._covered = res.covered_sources
@@ -624,6 +637,18 @@ def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
         BloomGateVerifier(cfg, bloom_ref, q_ref, key_seed,
                           with_counts=with_counts),
         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if not len(hits.columns):
+        # zero verified hits across every block: Ray loses the schema on
+        # an all-empty to_pandas — rebuild the typed empty frame so the
+        # column selections below stay valid (a scoped query with no
+        # matches is a legitimate result, not an error)
+        hits = pd.DataFrame(
+            {"query_idx": pd.Series([], dtype="int32"),
+             "doc_id": pd.Series([], dtype=object),
+             "source": pd.Series([], dtype=object),
+             "window_id": pd.Series([], dtype="int64")}
+            | ({"n_matches": pd.Series([], dtype="int64")}
+               if with_counts else {}))
     if len(hits):
         keep = np.ones(len(hits), dtype=bool)
         src = hits["source"].to_numpy()
@@ -773,9 +798,12 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     # probe ONLY the candidate (row, query) pairs); switch to the
     # fixed-size bloom gate when a frequent token would make the broadcast
     # (and the driver) corpus-sized
+    import time as _time
+    _t0 = _time.perf_counter()
     cand_mat = cand_ds.materialize()
     n_cand = cand_mat.count()
     if stats is not None:
+        stats["t_probe"] = round(_time.perf_counter() - _t0, 3)
         stats["candidates"] = n_cand
         stats["n_queries"] = len(compiled)
         if sprune_ref is not None:
@@ -787,6 +815,7 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     if stats is not None:
         stats["mode"] = mode
     q_ref = ray.put(compiled)
+    _t1 = _time.perf_counter()
     if mode == "distributed":
         hits = _verify_distributed(cand_mat, sequences_ds, compiled, cfg,
                                    q_ref, n_cand, sources=sources,
@@ -794,17 +823,31 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                                    per_query_scope=per_query_scope,
                                    with_counts=with_counts)
     else:
-        cand = cand_mat.to_pandas()
+        # ARROW-native struct build: candidate blocks stay arrow end to
+        # end (the pandas conversion materialized 1M+ Python string
+        # objects for `source` — the dominant driver-serial cost of the
+        # exchange). One dictionary-encode + ONE global lexsort, then
+        # per-source slicing by code boundary.
+        blocks = [b for b in ray.get(cand_mat.to_arrow_refs())
+                  if b.num_rows]
         cand_structs: dict[str, tuple] = {}
-        if len(cand):
-            # one factorize + ONE global lexsort, then per-source slicing
-            # by code boundary — no per-source object-string masks (was
-            # the dominant driver-serial cost between probe and verify)
-            import pandas as pd
-            di_all = ((cand["window_id"].to_numpy() << cfg.window_bits)
-                      | cand["slot"].to_numpy())
-            qi_all = cand["query_idx"].to_numpy().astype(np.int64)
-            src_codes, src_uniq = pd.factorize(cand["source"], sort=True)
+        if blocks:
+            cand_t = pa.concat_tables(blocks)
+            di_all = ((cand_t["window_id"].to_numpy(zero_copy_only=False)
+                       << cfg.window_bits)
+                      | cand_t["slot"].to_numpy(zero_copy_only=False))
+            qi_all = cand_t["query_idx"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            de = cand_t.column("source").combine_chunks()
+            if not pa.types.is_dictionary(de.type):
+                de = de.dictionary_encode()
+            raw_codes = de.indices.to_numpy(zero_copy_only=False)
+            vocab = np.asarray(de.dictionary.to_pylist(), dtype=object)
+            vorder = np.argsort(vocab)           # code -> sorted rank
+            rank_of = np.empty(len(vocab), dtype=np.int64)
+            rank_of[vorder] = np.arange(len(vocab))
+            src_codes = rank_of[raw_codes]
+            src_uniq = vocab[vorder]
             order = np.lexsort((qi_all, di_all, src_codes))
             sc = src_codes[order]
             di_s, qi_s = di_all[order], qi_all[order]
@@ -816,6 +859,8 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                 offs = np.concatenate([starts, [len(di)]]).astype(np.int64)
                 cand_structs[str(src)] = (uniq, offs, qi)
         c_ref = ray.put(cand_structs)
+        if stats is not None:
+            stats["t_exchange"] = round(_time.perf_counter() - _t1, 3)
         verify_ds = sequences_ds
         if sequences_meta is not None:
             paths = prune_sequence_files(sequences_meta, cand_structs, cfg)
@@ -836,9 +881,15 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                 | ({"n_matches": pd.Series([], dtype="int64")}
                    if with_counts else {}))
         else:
-            hits = verify_ds.map_batches(
+            hits_ds = verify_ds.map_batches(
                 ExactVerifier(cfg, c_ref, q_ref, with_counts=with_counts),
-                batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+                batch_format="pyarrow", zero_copy_batch=True)
+            hits = hits_ds.to_pandas()
+            if stats is not None and stats.get("debug"):
+                stats["verify_stats"] = hits_ds.stats()
+    if stats is not None:
+        stats["t_verify"] = round(_time.perf_counter() - _t1
+                                  - stats.get("t_exchange", 0.0), 3)
     qid_arr = np.array([q["query_id"] for q in compiled], dtype=object)
     cols = {
         "query_id": pa.array(

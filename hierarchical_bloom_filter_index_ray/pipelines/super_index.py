@@ -707,6 +707,20 @@ class _SuperCoordinator:
         sup = Path(out_dir) / SUPER_DIR
         if sup.exists():
             _load_super_local(str(sup))
+            # run one throwaway descend: the FIRST prune in a fresh
+            # actor pays ~1-2 s of import/setup (measured) that would
+            # otherwise land inside the first query's timed path
+            meta = load_super_meta(out_dir)
+            if meta is not None and meta["levels"] \
+                    and meta.get("format") == STORE_FORMAT:
+                from .build_index import load_manifest
+                from .query_index import compile_queries
+                man = load_manifest(out_dir)
+                if man is not None and man.get("config"):
+                    cfg = HbiConfig.from_json(man["config"])
+                    dummy = compile_queries(
+                        [("__warm", [1] * max(1, cfg.ngram))], cfg)
+                    super_prune(out_dir, cfg, dummy)
         return True
 
 

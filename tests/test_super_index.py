@@ -45,7 +45,12 @@ def index_dir(ray_session, corpus, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def sample_tokens(ray_session, corpus):
-    rows = rd.read_parquet(corpus).take(4)
+    # deterministic: Dataset.take() returns whichever block lands first
+    # (scheduling-dependent), which made scoped-query hit sets vary
+    import pyarrow.parquet as pq
+    from pathlib import Path
+    first = sorted(Path(corpus).glob("*.parquet"))[0]
+    rows = pq.read_table(first).slice(0, 4).to_pylist()
     return [[int(t) for t in r["tokens"][:3]] for r in rows]
 
 
