@@ -155,23 +155,31 @@ def main(gen_only: bool = False) -> None:
         rng = np.random.default_rng(7)
         # deterministic query selection: Dataset.take() returns whichever
         # block lands first (scheduling-dependent); read the first file
-        # directly so every run probes the same patterns
+        # directly so every run probes the same patterns. Batch size
+        # follows the reference's workload files (500 queries PER TYPE,
+        # queries/wzipf_21_e13_128/3/*.txt) — per_type below keeps the
+        # same uniform/rare/missing mix at a size the sandbox sustains.
+        per_type = int(os.environ.get("GRAFT_QUERY_PER_TYPE", "96"))
         first = sorted(Path(synth_path).glob("*.parquet"))[0]
-        head = pq_.read_table(first).slice(0, 48).to_pylist()
+        head = pq_.read_table(first).slice(0, 3 * per_type + 64).to_pylist()
         queries = []
-        for i, row in enumerate(head[:16]):  # short frequent patterns
+        for i, row in enumerate(head[:per_type]):  # short frequent
             toks = row["tokens"]
             start = int(rng.integers(0, max(1, len(toks) - 3)))
             queries.append((f"present{i}", [int(t) for t in
                                             toks[start:start + 3]]))
-        for i, row in enumerate(head[16:40]):  # longer, selective patterns
+        n_rare = 0
+        for i, row in enumerate(head[per_type:]):  # longer, selective
+            if n_rare >= per_type:
+                break
             toks = row["tokens"]
             if len(toks) < 8:
                 continue
             start = int(rng.integers(0, len(toks) - 8))
             queries.append((f"rare{i}", [int(t) for t in
                                          toks[start:start + 8]]))
-        for i in range(24):
+            n_rare += 1
+        for i in range(per_type):
             queries.append((f"missing{i}",
                             [int(2**30 + i), int(2**30 + i + 1)]))
         idx = load_index(f"{SCRATCH}/index")
