@@ -378,8 +378,16 @@ class ExactVerifier:
     def __init__(self, cfg: HbiConfig, cand_ref, queries_ref,
                  with_counts: bool = False):
         self.cfg = cfg
-        self.cands = ray.get(cand_ref) if not isinstance(cand_ref, dict) \
-            else cand_ref
+        if isinstance(cand_ref, dict):
+            self.cands = cand_ref
+        elif isinstance(cand_ref, list):
+            # hash-sliced struct refs from the parallel exchange: merge
+            # worker-side (plasma zero-copy for the numpy arrays)
+            self.cands = {}
+            for part in ray.get(cand_ref):
+                self.cands.update(part)
+        else:
+            self.cands = ray.get(cand_ref)
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.q_tokens = [np.asarray(q["tokens"], dtype=np.int32) for q in qs]
@@ -553,6 +561,52 @@ class _SuperGate:
         return t.filter(pa.array(keep))
 
 
+@ray.remote
+def _build_struct_slice(k: int, K: int, window_bits: int,
+                        *blocks: pa.Table):
+    """One hash-slice of the PARALLEL candidate exchange: compact verify
+    structs for the sources with crc32(source) % K == k, built straight
+    from the shared candidate blocks in plasma (zero-copy reads). Two
+    returns: ({source: (sorted_doc_idx, offsets, query_idx)}, window
+    union) — the driver fetches only the tiny window union; the structs
+    go worker-to-worker through the object store."""
+    import zlib as _z
+    parts: dict[str, list[tuple]] = {}
+    for b in blocks:
+        if not b.num_rows:
+            continue
+        col = b.column("source").combine_chunks()
+        de = (col if pa.types.is_dictionary(col.type)
+              else col.dictionary_encode())
+        vocab = de.dictionary.to_pylist()
+        idx = de.indices.to_numpy(zero_copy_only=False)
+        di = ((b["window_id"].to_numpy(zero_copy_only=False)
+               << window_bits)
+              | b["slot"].to_numpy(zero_copy_only=False))
+        qi = b["query_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for code, src in enumerate(vocab):
+            if _z.crc32(str(src).encode()) % K != k:
+                continue
+            m = idx == code
+            if not m.any():
+                continue
+            parts.setdefault(str(src), []).append((di[m], qi[m]))
+    structs: dict[str, tuple] = {}
+    wins_all: list[np.ndarray] = []
+    for src, chunks in parts.items():
+        di = np.concatenate([c[0] for c in chunks])
+        qi = np.concatenate([c[1] for c in chunks])
+        order = np.lexsort((qi, di))
+        di, qi = di[order], qi[order]
+        uniq, starts = np.unique(di, return_index=True)
+        offs = np.concatenate([starts, [len(di)]]).astype(np.int64)
+        structs[src] = (uniq, offs, qi)
+        wins_all.append(np.unique(uniq >> np.int64(window_bits)))
+    wins = (np.unique(np.concatenate(wins_all)) if wins_all
+            else np.empty(0, np.int64))
+    return structs, wins
+
+
 def prune_sequence_files(sequences_meta: list[dict], cand_structs: dict,
                          cfg: HbiConfig) -> list[str]:
     """Files of a window-aligned corpus layout that can contain ANY
@@ -563,9 +617,14 @@ def prune_sequence_files(sequences_meta: list[dict], cand_structs: dict,
         wins.update(np.unique(
             np.asarray(uniq_di, dtype=np.int64)
             >> cfg.window_bits).tolist())
-    if not wins:
+    return _prune_files_by_windows(
+        sequences_meta, np.array(sorted(wins), dtype=np.int64))
+
+
+def _prune_files_by_windows(sequences_meta: list[dict],
+                            w: np.ndarray) -> list[str]:
+    if not len(w):
         return []
-    w = np.array(sorted(wins), dtype=np.int64)
     los = np.array([m["window_lo"] for m in sequences_meta],
                    dtype=np.int64)
     his = np.array([m["window_hi"] for m in sequences_meta],
@@ -679,7 +738,7 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      per_query_scope: list[tuple] | None = None,
                      super_dir: str | None = None,
                      candidate_mode: str = "auto",
-                     broadcast_limit: int = 4_000_000,
+                     broadcast_limit: int = 16_000_000,
                      markov_model=None,
                      with_counts: bool = False,
                      probe_distinct: bool = False,
@@ -793,11 +852,12 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
         cand_ds = cand_ds.map_batches(scope_filter, batch_format="pyarrow")
 
     # candidate exchange: broadcast the exact per-source structs while the
-    # candidate count is sane (4M pairs ~ 100 MB of compact arrays — cheap
-    # against 100+ GB worker heaps, and the exact structs let the verify
+    # candidate count is sane (16M pairs ~ 400 MB of compact arrays built
+    # by PARALLEL hash-sliced tasks and shared via plasma — one copy per
+    # node, zero-copy numpy reads, and the exact structs let the verify
     # probe ONLY the candidate (row, query) pairs); switch to the
     # fixed-size bloom gate when a frequent token would make the broadcast
-    # (and the driver) corpus-sized
+    # corpus-sized
     import time as _time
     _t0 = _time.perf_counter()
     cand_mat = cand_ds.materialize()
@@ -823,47 +883,30 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                                    per_query_scope=per_query_scope,
                                    with_counts=with_counts)
     else:
-        # ARROW-native struct build: candidate blocks stay arrow end to
-        # end (the pandas conversion materialized 1M+ Python string
-        # objects for `source` — the dominant driver-serial cost of the
-        # exchange). One dictionary-encode + ONE global lexsort, then
-        # per-source slicing by code boundary.
-        blocks = [b for b in ray.get(cand_mat.to_arrow_refs())
-                  if b.num_rows]
-        cand_structs: dict[str, tuple] = {}
-        if blocks:
-            cand_t = pa.concat_tables(blocks)
-            di_all = ((cand_t["window_id"].to_numpy(zero_copy_only=False)
-                       << cfg.window_bits)
-                      | cand_t["slot"].to_numpy(zero_copy_only=False))
-            qi_all = cand_t["query_idx"].to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            de = cand_t.column("source").combine_chunks()
-            if not pa.types.is_dictionary(de.type):
-                de = de.dictionary_encode()
-            raw_codes = de.indices.to_numpy(zero_copy_only=False)
-            vocab = np.asarray(de.dictionary.to_pylist(), dtype=object)
-            vorder = np.argsort(vocab)           # code -> sorted rank
-            rank_of = np.empty(len(vocab), dtype=np.int64)
-            rank_of[vorder] = np.arange(len(vocab))
-            src_codes = rank_of[raw_codes]
-            src_uniq = vocab[vorder]
-            order = np.lexsort((qi_all, di_all, src_codes))
-            sc = src_codes[order]
-            di_s, qi_s = di_all[order], qi_all[order]
-            bounds = np.searchsorted(sc, np.arange(len(src_uniq) + 1))
-            for i, src in enumerate(src_uniq):
-                di = di_s[bounds[i]:bounds[i + 1]]
-                qi = qi_s[bounds[i]:bounds[i + 1]]
-                uniq, starts = np.unique(di, return_index=True)
-                offs = np.concatenate([starts, [len(di)]]).astype(np.int64)
-                cand_structs[str(src)] = (uniq, offs, qi)
-        c_ref = ray.put(cand_structs)
+        # PARALLEL candidate exchange: K hash-sliced Ray tasks each build
+        # the compact verify structs for their sources straight from the
+        # shared candidate blocks in plasma (zero-copy) — the exchange
+        # cost drops from O(candidates) driver-serial to O(candidates/K)
+        # in tasks, and the structs travel worker-to-worker through the
+        # object store; the driver only ever fetches the tiny per-slice
+        # candidate-window unions (for file pruning).
+        refs = cand_mat.to_arrow_refs()
+        c_ref: list = []
+        cand_wins = np.empty(0, np.int64)
+        if n_cand and refs:
+            K = min(16, max(1, len(refs)))
+            pairs = [_build_struct_slice.options(num_returns=2).remote(
+                i, K, cfg.window_bits, *refs) for i in range(K)]
+            c_ref = [p[0] for p in pairs]
+            win_parts = [w for w in ray.get([p[1] for p in pairs])
+                         if len(w)]
+            if win_parts:
+                cand_wins = np.unique(np.concatenate(win_parts))
         if stats is not None:
             stats["t_exchange"] = round(_time.perf_counter() - _t1, 3)
         verify_ds = sequences_ds
         if sequences_meta is not None:
-            paths = prune_sequence_files(sequences_meta, cand_structs, cfg)
+            paths = _prune_files_by_windows(sequences_meta, cand_wins)
             if not paths:
                 verify_ds = None
             else:
