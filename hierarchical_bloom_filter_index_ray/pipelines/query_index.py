@@ -917,34 +917,43 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                 verify_ds = rd_.read_parquet(
                     paths, override_num_blocks=len(paths))
         if verify_ds is None:
-            import pandas as pd
-            hits = pd.DataFrame(
-                {"query_idx": pd.Series([], dtype="int32"),
-                 "doc_id": pd.Series([], dtype=object)}
-                | ({"n_matches": pd.Series([], dtype="int64")}
-                   if with_counts else {}))
+            hits_t = None
         else:
             hits_ds = verify_ds.map_batches(
                 ExactVerifier(cfg, c_ref, q_ref, with_counts=with_counts),
                 batch_format="pyarrow", zero_copy_batch=True)
-            hits = hits_ds.to_pandas()
+            # stay arrow: concat block refs zero-copy — no pandas
+            # round-trip of the (possibly millions of) hit rows
+            blocks = [b for b in ray.get(hits_ds.to_arrow_refs())
+                      if b.num_rows]
+            hits_t = pa.concat_tables(blocks) if blocks else None
             if stats is not None and stats.get("debug"):
                 stats["verify_stats"] = hits_ds.stats()
+        hits = hits_t
     if stats is not None:
         stats["t_verify"] = round(_time.perf_counter() - _t1
                                   - stats.get("t_exchange", 0.0), 3)
-    qid_arr = np.array([q["query_id"] for q in compiled], dtype=object)
+    if hits is not None and not isinstance(hits, pa.Table):
+        hits = (pa.Table.from_pandas(hits, preserve_index=False)
+                if len(hits) else None)
+    qids = pa.array([q["query_id"] for q in compiled], pa.string())
+    if hits is None or not hits.num_rows:
+        cols = {"query_id": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.string())}
+        if with_counts:
+            cols["n_matches"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    qi_idx = hits["query_idx"].combine_chunks().cast(pa.int32())
     cols = {
-        "query_id": pa.array(
-            qid_arr[hits["query_idx"].to_numpy()].tolist() if len(hits)
-            else [], pa.string()),
-        "doc_id": pa.Array.from_pandas(hits["doc_id"]) if len(hits)
-        else pa.array([], pa.string()),
+        # dictionary expansion in C instead of a Python .tolist() over
+        # every hit row
+        "query_id": pa.DictionaryArray.from_arrays(
+            qi_idx, qids).cast(pa.string()),
+        "doc_id": hits["doc_id"].combine_chunks(),
     }
     if with_counts:
-        cols["n_matches"] = (pa.array(
-            hits["n_matches"].to_numpy().astype(np.int64)) if len(hits)
-            else pa.array([], pa.int64()))
+        cols["n_matches"] = hits["n_matches"].combine_chunks().cast(
+            pa.int64())
     tbl = pa.table(cols)
     return tbl.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
 
