@@ -380,14 +380,16 @@ class ExactVerifier:
         self.cfg = cfg
         if isinstance(cand_ref, dict):
             self.cands = cand_ref
-        elif isinstance(cand_ref, list):
-            # hash-sliced struct refs from the parallel exchange: merge
-            # worker-side (plasma zero-copy for the numpy arrays)
-            self.cands = {}
-            for part in ray.get(cand_ref):
-                self.cands.update(part)
+            self._cand_src = None
         else:
-            self.cands = ray.get(cand_ref)
+            # ObjectRef or list of hash-sliced struct refs from the
+            # parallel exchange: resolve LAZILY at first batch — this
+            # __init__ runs on the DRIVER when the instance is passed to
+            # map_batches, and an eager ray.get here would pull every
+            # struct into the task closure (shipped per task) instead of
+            # letting workers read them zero-copy from plasma
+            self.cands = None
+            self._cand_src = cand_ref
         qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
             else queries_ref
         self.q_tokens = [np.asarray(q["tokens"], dtype=np.int32) for q in qs]
@@ -395,6 +397,14 @@ class ExactVerifier:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.window import doc_index
+        if self.cands is None:
+            src = self._cand_src
+            if isinstance(src, list):
+                self.cands = {}
+                for part in ray.get(src):
+                    self.cands.update(part)
+            else:
+                self.cands = ray.get(src)
         di = doc_index(batch)
         srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
         # 1) collect all candidate (row, query) pairs of this batch
@@ -579,18 +589,27 @@ def _build_struct_slice(k: int, K: int, window_bits: int,
         de = (col if pa.types.is_dictionary(col.type)
               else col.dictionary_encode())
         vocab = de.dictionary.to_pylist()
+        mine = [code for code, src in enumerate(vocab)
+                if _z.crc32(str(src).encode()) % K == k]
+        if not mine:
+            continue
         idx = de.indices.to_numpy(zero_copy_only=False)
-        di = ((b["window_id"].to_numpy(zero_copy_only=False)
+        sel = np.isin(idx, np.asarray(mine))
+        if not sel.any():
+            continue
+        # decode the numeric columns only on THIS slice's rows — the K
+        # tasks together decode each block once, not K times
+        t = b.filter(pa.array(sel))
+        idx_s = idx[sel]
+        di = ((t["window_id"].to_numpy(zero_copy_only=False)
                << window_bits)
-              | b["slot"].to_numpy(zero_copy_only=False))
-        qi = b["query_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        for code, src in enumerate(vocab):
-            if _z.crc32(str(src).encode()) % K != k:
-                continue
-            m = idx == code
+              | t["slot"].to_numpy(zero_copy_only=False))
+        qi = t["query_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for code in mine:
+            m = idx_s == code
             if not m.any():
                 continue
-            parts.setdefault(str(src), []).append((di[m], qi[m]))
+            parts.setdefault(str(vocab[code]), []).append((di[m], qi[m]))
     structs: dict[str, tuple] = {}
     wins_all: list[np.ndarray] = []
     for src, chunks in parts.items():
