@@ -318,6 +318,62 @@ class TestSuperCombinedModes:
         assert plain.num_rows > 0
         assert plain.equals(pruned)
 
+    def test_parallel_exchange_slices_match_serial_build(self,
+                                                          ray_session):
+        """The K hash-sliced struct-build tasks reproduce exactly the
+        single-pass serial construction: same sources, same sorted
+        (doc_idx, offsets, query_idx) arrays, same window unions —
+        including empty slices and multi-block sources."""
+        import ray
+        import pyarrow as pa
+        from hierarchical_bloom_filter_index_ray.pipelines.query_index \
+            import _build_struct_slice
+
+        rng = np.random.default_rng(3)
+        window_bits = 5
+        blocks = []
+        for _ in range(4):
+            n = 500
+            blocks.append(pa.table({
+                "source": pa.array(rng.choice(
+                    ["s0", "s1", "s2"], n).tolist()),
+                "window_id": pa.array(
+                    rng.integers(0, 16, n), pa.int64()),
+                "slot": pa.array(rng.integers(0, 32, n), pa.int64()),
+                "query_idx": pa.array(rng.integers(0, 7, n), pa.int64()),
+            }))
+        blocks.append(blocks[0].slice(0, 0))  # empty block
+        K = 4
+        outs = [_build_struct_slice.options(num_returns=2).remote(
+            k, K, window_bits, *blocks) for k in range(K)]
+        structs: dict = {}
+        wins_parts = []
+        for sref, wref in outs:
+            structs.update(ray.get(sref))
+            w = ray.get(wref)
+            if len(w):
+                wins_parts.append(w)
+        got_wins = np.unique(np.concatenate(wins_parts))
+        # serial reference construction
+        import pandas as pd
+        df = pd.concat([b.to_pandas() for b in blocks])
+        df["di"] = (df["window_id"].to_numpy() << window_bits) \
+            | df["slot"].to_numpy()
+        want_wins = np.unique(df["window_id"].to_numpy())
+        assert np.array_equal(got_wins, want_wins)
+        assert set(structs) == set(df["source"].unique())
+        for src, g in df.groupby("source"):
+            di = g["di"].to_numpy()
+            qi = g["query_idx"].to_numpy().astype(np.int64)
+            order = np.lexsort((qi, di))
+            di, qi = di[order], qi[order]
+            uniq, starts = np.unique(di, return_index=True)
+            offs = np.concatenate([starts, [len(di)]]).astype(np.int64)
+            gu, go, gq = structs[src]
+            assert np.array_equal(gu, uniq)
+            assert np.array_equal(go, offs)
+            assert np.array_equal(gq, qi)
+
     def test_per_query_scope_distributed_mode(self, index_dir, corpus,
                                               sample_tokens):
         """Per-query (source, window) scoping must survive the lossy bloom
