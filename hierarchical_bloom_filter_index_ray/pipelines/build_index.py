@@ -42,12 +42,36 @@ from ..stages.window import add_window_columns
 MANIFEST = "manifest.json"
 PARTITIONS = "partitions"
 
+# On-disk index format version. Bump whenever the (window, slot) <-
+# doc_id derivation or the partition schema changes in a way that makes
+# indexes persisted by older code silently incompatible (ADVICE r3: the
+# doc_index derivation gained 12-digit/2^40 ordinal caps, '#s'/':n' id
+# forms and OOB-int hashing while format_version stayed 1 — a resumed or
+# loaded v1 index would mix old/new slot assignments and return false
+# negatives). params_hash covers CONFIG drift; FORMAT_VERSION covers
+# CODE drift at identical config.
+FORMAT_VERSION = 2
+
 
 def load_manifest(out_dir: str) -> dict | None:
+    """Read + validate the index manifest; None if absent.
+
+    Raises on a format_version mismatch: every consumer (resume, query,
+    expiry, stats) would silently mis-derive doc slots against an index
+    persisted by an older code generation, so loading one is an error,
+    not a degraded mode."""
     p = Path(out_dir) / MANIFEST
     if not p.exists():
         return None
-    return json.loads(p.read_text())
+    man = json.loads(p.read_text())
+    ver = man.get("format_version")
+    if ver != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {out_dir} has format_version={ver}, this code "
+            f"writes {FORMAT_VERSION}; rebuild it (build_index with "
+            "resume=False) — resuming or querying across format "
+            "versions can silently mix (window, slot) assignments")
+    return man
 
 
 def build_index(ds: "rd.Dataset", cfg: HbiConfig, out_dir: str, *,
@@ -247,7 +271,7 @@ def _write_manifest(out: Path, cfg: HbiConfig, completed: set,
             "index_bytes": int(g["index_bytes"].sum()),
         }
     manifest = {
-        "format_version": 1,
+        "format_version": FORMAT_VERSION,
         "params_hash": cfg.params_hash(),
         "config": cfg.to_json(),
         "completed_sources": sorted(set(per_source) | completed),

@@ -447,6 +447,13 @@ def _asof_carry_rows(lt: "rd.Dataset", rt: "rd.Dataset", *, by: str,
         # earlier right overall
         _, codes = np.unique(g[by].to_numpy(), return_inverse=True)
         slab = g["__slab"].to_numpy().astype(np.int64)
+        # normalize to non-negative before packing: pre-1970 timestamps
+        # floor-divide to NEGATIVE slabs, and codes*S+slab with a
+        # negative remainder would overlap adjacent key codes' ranges
+        # (ADVICE r3 — the searchsorted carry could pick another key's
+        # right row)
+        off = int(slab.min())
+        slab = slab - off
         S = int(slab.max()) + 2
         packed = codes.astype(np.int64) * S + slab
         rmask = g["__cside"].to_numpy() == 1
@@ -460,7 +467,7 @@ def _asof_carry_rows(lt: "rd.Dataset", rt: "rd.Dataset", *, by: str,
             ok &= (rp[np.maximum(pos, 0)] // S) == (lp // S)
         n = int(ok.sum())
         sel = g.iloc[ridx[pos[ok]]] if n else g.iloc[:0]
-        tgt_slab = lp[ok] % S if n else np.empty(0, np.int64)
+        tgt_slab = lp[ok] % S + off if n else np.empty(0, np.int64)
         cols: dict[str, pa.Array] = {}
         for i, c in enumerate(left_names):
             if c == by or c == on:

@@ -549,10 +549,15 @@ class _SuperGate:
             if not done:
                 return t
             res = ray.get(self._ref)
-            self._union = res.window_union
-            self._covered = res.covered_sources
+            # super_prune can return None (store absent / format or
+            # params mismatch re-checked in the actor, e.g. a concurrent
+            # expire_windows deleted out/super) — mirror BloomProbe and
+            # degrade to a pass-through gate instead of AttributeError
+            if res is not None:
+                self._union = res.window_union
+                self._covered = res.covered_sources
             self._ready = True
-        if not t.num_rows:
+        if self._union is None or not t.num_rows:
             return t
         srcs = np.asarray(t["source"].to_pylist(), dtype=object)
         wins = t["window_id"].to_numpy(zero_copy_only=False)
@@ -572,47 +577,53 @@ class _SuperGate:
 
 
 @ray.remote
-def _build_struct_slice(k: int, K: int, window_bits: int,
-                        *blocks: pa.Table):
-    """One hash-slice of the PARALLEL candidate exchange: compact verify
-    structs for the sources with crc32(source) % K == k, built straight
-    from the shared candidate blocks in plasma (zero-copy reads). Two
-    returns: ({source: (sorted_doc_idx, offsets, query_idx)}, window
-    union) — the driver fetches only the tiny window union; the structs
-    go worker-to-worker through the object store."""
+def _split_block_parts(K: int, window_bits: int, block: pa.Table):
+    """Stage 1 of the candidate exchange shuffle: split ONE candidate
+    block into K per-slice parts (source hash-partitioned, numpy
+    payloads). Called with ``num_returns=K`` so each slice's share is an
+    independent object — the block itself is decoded exactly once, on a
+    task Ray can schedule next to the block (ADVICE r3: the old
+    single-stage design expanded every block ref into every slice task,
+    a K-fold fetch on a cluster)."""
     import zlib as _z
-    parts: dict[str, list[tuple]] = {}
-    for b in blocks:
-        if not b.num_rows:
-            continue
+    out: list[dict[str, tuple]] = [dict() for _ in range(K)]
+    b = block
+    if b.num_rows:
         col = b.column("source").combine_chunks()
         de = (col if pa.types.is_dictionary(col.type)
               else col.dictionary_encode())
         vocab = de.dictionary.to_pylist()
-        mine = [code for code, src in enumerate(vocab)
-                if _z.crc32(str(src).encode()) % K == k]
-        if not mine:
-            continue
         idx = de.indices.to_numpy(zero_copy_only=False)
-        sel = np.isin(idx, np.asarray(mine))
-        if not sel.any():
-            continue
-        # decode the numeric columns only on THIS slice's rows — the K
-        # tasks together decode each block once, not K times
-        t = b.filter(pa.array(sel))
-        idx_s = idx[sel]
-        di = ((t["window_id"].to_numpy(zero_copy_only=False)
-               << window_bits)
-              | t["slot"].to_numpy(zero_copy_only=False))
-        qi = t["query_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        for code in mine:
-            m = idx_s == code
+        di_all = ((b["window_id"].to_numpy(zero_copy_only=False)
+                   << window_bits)
+                  | b["slot"].to_numpy(zero_copy_only=False))
+        qi_all = (b["query_idx"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+        for code, src in enumerate(vocab):
+            m = idx == code
             if not m.any():
                 continue
-            parts.setdefault(str(vocab[code]), []).append((di[m], qi[m]))
+            k = _z.crc32(str(src).encode()) % K
+            out[k][str(src)] = (di_all[m], qi_all[m])
+    return tuple(out)
+
+
+@ray.remote
+def _merge_slice(window_bits: int, parts: list):
+    """Stage 2: merge one slice's per-block parts into compact verify
+    structs. ``parts`` is a list of NESTED ObjectRefs (not expanded as
+    args) resolved here, so the fetch is exactly this slice's own share
+    of each block — cross-node traffic equals the data the slice needs,
+    once. Two returns: ({source: (sorted_doc_idx, offsets, query_idx)},
+    window union) — the driver fetches only the tiny window union; the
+    structs go worker-to-worker through the object store."""
+    agg: dict[str, list[tuple]] = {}
+    for p in ray.get(list(parts)):
+        for src, pair in p.items():
+            agg.setdefault(src, []).append(pair)
     structs: dict[str, tuple] = {}
     wins_all: list[np.ndarray] = []
-    for src, chunks in parts.items():
+    for src, chunks in agg.items():
         di = np.concatenate([c[0] for c in chunks])
         qi = np.concatenate([c[1] for c in chunks])
         order = np.lexsort((qi, di))
@@ -913,9 +924,16 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
         c_ref: list = []
         cand_wins = np.empty(0, np.int64)
         if n_cand and refs:
-            K = min(16, max(1, len(refs)))
-            pairs = [_build_struct_slice.options(num_returns=2).remote(
-                i, K, cfg.window_bits, *refs) for i in range(K)]
+            # two-stage shuffle: per-block split (num_returns=K, block
+            # decoded once, near its data) -> per-slice merge over
+            # nested refs (each merge fetches only its own share)
+            K = min(16, max(2, len(refs)))
+            part_refs = [
+                _split_block_parts.options(num_returns=K).remote(
+                    K, cfg.window_bits, r) for r in refs]
+            pairs = [_merge_slice.options(num_returns=2).remote(
+                cfg.window_bits, [pr[k] for pr in part_refs])
+                for k in range(K)]
             c_ref = [p[0] for p in pairs]
             win_parts = [w for w in ray.get([p[1] for p in pairs])
                          if len(w)]

@@ -65,6 +65,26 @@ class TestBuild:
         assert man["params_hash"] == CFG.params_hash()
         assert man["completed_sources"]
 
+    def test_stale_format_version_rejected(self, index_dir, tmp_path):
+        """ADVICE r3: an index persisted by an older code generation
+        (doc_index derivation changed, format_version didn't) must be
+        rejected on load/resume, not silently mixed with new (window,
+        slot) assignments."""
+        import json
+        import shutil
+
+        from hierarchical_bloom_filter_index_ray.pipelines.build_index \
+            import FORMAT_VERSION, MANIFEST
+        assert load_manifest(index_dir)["format_version"] == FORMAT_VERSION
+        stale = tmp_path / "stale_idx"
+        shutil.copytree(index_dir, stale)
+        man_p = stale / MANIFEST
+        man = json.loads(man_p.read_text())
+        man["format_version"] = FORMAT_VERSION - 1
+        man_p.write_text(json.dumps(man))
+        with pytest.raises(ValueError, match="format_version"):
+            load_manifest(str(stale))
+
     def test_window_partition_stats(self, index_dir, seq_table, ray_session):
         idx = load_index(index_dir, columns=["source", "window_id", "n_docs",
                                              "n_tokens"]).to_pandas()

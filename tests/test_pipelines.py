@@ -490,6 +490,66 @@ class TestSkewBoundedGroups:
         assert outs["slab"]["purchase_event_id"].tolist() == \
             want["event_id_p"].astype(np.int64).tolist()
 
+    def test_asof_pre_epoch_timestamps_negative_slabs(
+            self, ray_session, tmp_path):
+        """ADVICE r3: pre-1970 timestamps floor-divide to NEGATIVE time
+        slabs; the carry pass packs (key-code, slab) and an unnormalized
+        negative remainder made adjacent key codes' packed ranges
+        overlap, so the searchsorted could return ANOTHER user's right
+        row. Multi-user pre-epoch corpus, differential vs merge_asof."""
+        from hierarchical_bloom_filter_index_ray.pipelines.events import \
+            asof_join
+        rng = np.random.default_rng(23)
+        n = 4_000
+        # 1965-ish: ts_us strictly negative -> every slab negative
+        ts_us = (np.sort(rng.integers(-150_000_000, -20_000_000, n))
+                 * 1_000_000).astype(np.int64)
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts_us.astype("datetime64[us]"),
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "event_type": rng.choice(["click", "purchase"], n,
+                                     p=[0.7, 0.3]),
+        })
+        p = tmp_path / "preepoch"
+        p.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(p / "events.parquet"))
+        ev = rd.read_parquet(f"{p}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        import pyarrow.compute as _pc
+
+        def pick(kind):
+            def f(batch: pa.Table) -> pa.Table:
+                m = _pc.equal(batch["event_type"], kind)
+                return batch.filter(m).select(
+                    ["event_id", "ts", "user_id"])
+            return f
+
+        schema = pa.schema([("event_id", pa.int64()),
+                            ("ts", pa.timestamp("us")),
+                            ("user_id", pa.int64())])
+        got = asof_join(
+            ev.map_batches(pick("click"), batch_format="pyarrow"),
+            ev.map_batches(pick("purchase"), batch_format="pyarrow"),
+            by="user_id", on="ts",
+            right_select={"event_id": "purchase_event_id"},
+            num_buckets=4, slab_us=6 * 3600 * 1_000_000,
+            left_schema=schema, right_schema=schema).to_pandas()
+        got = got.sort_values("event_id").reset_index(drop=True)
+        clicks = df[df["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="stable")
+        purch = df[df["event_type"] == "purchase"].sort_values(
+            ["ts", "event_id"], kind="stable")
+        want = pd.merge_asof(clicks, purch, on="ts", by="user_id",
+                             direction="backward", suffixes=("", "_p")
+                             ).dropna(subset=["event_id_p"])
+        want = want.sort_values("event_id").reset_index(drop=True)
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        assert got["purchase_event_id"].tolist() == \
+            want["event_id_p"].astype(np.int64).tolist()
+
 
 class TestMultimodal:
     def test_png_codec_round_trip_and_filters(self):

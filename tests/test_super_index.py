@@ -327,7 +327,7 @@ class TestSuperCombinedModes:
         import ray
         import pyarrow as pa
         from hierarchical_bloom_filter_index_ray.pipelines.query_index \
-            import _build_struct_slice
+            import _merge_slice, _split_block_parts
 
         rng = np.random.default_rng(3)
         window_bits = 5
@@ -344,8 +344,11 @@ class TestSuperCombinedModes:
             }))
         blocks.append(blocks[0].slice(0, 0))  # empty block
         K = 4
-        outs = [_build_struct_slice.options(num_returns=2).remote(
-            k, K, window_bits, *blocks) for k in range(K)]
+        block_refs = [ray.put(b) for b in blocks]
+        part_refs = [_split_block_parts.options(num_returns=K).remote(
+            K, window_bits, r) for r in block_refs]
+        outs = [_merge_slice.options(num_returns=2).remote(
+            window_bits, [pr[k] for pr in part_refs]) for k in range(K)]
         structs: dict = {}
         wins_parts = []
         for sref, wref in outs:
