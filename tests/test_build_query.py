@@ -208,6 +208,42 @@ class TestQuery:
         assert got.get("q_tri", []) == self._oracle_hits(seq_table, tri)
         assert got.get("q_missing", []) == []
 
+    def test_membership_query_ds_matches_table_path(self, index_dir,
+                                                    seq_table, ray_session):
+        """The Dataset-returning scale path (hits never collected on the
+        driver) must agree row-for-row with the collected pa.Table path,
+        for every sort mode, in both exchange modes, with and without
+        per-position counts."""
+        from hierarchical_bloom_filter_index_ray.pipelines import (
+            membership_query_ds)
+
+        flat, offsets = flat_tokens_and_offsets(seq_table["tokens"])
+        t0 = int(flat[0])
+        tri = [int(x) for x in flat[offsets[3]:offsets[3] + 3]]
+        queries = [("q_uni", [t0]), ("q_tri", tri), ("q_missing", [991])]
+        idx = load_index(index_dir)
+        seqs = documents_as_sequences("/root/testdata/sf0.001",
+                                      seed=CFG.seed)
+        for with_counts in (False, True):
+            want = membership_query(idx, seqs, queries, CFG,
+                                    with_counts=with_counts).to_pandas()
+            for mode, sort in (("broadcast", "block"), ("broadcast", None),
+                               ("broadcast", "global"),
+                               ("distributed", "block")):
+                ds = membership_query_ds(idx, seqs, queries, CFG,
+                                         with_counts=with_counts,
+                                         candidate_mode=mode, sort=sort)
+                got = (ds.to_pandas()
+                       .sort_values(["query_id", "doc_id"])
+                       .reset_index(drop=True))
+                assert got.equals(want.reset_index(drop=True)), (
+                    mode, sort, with_counts)
+                if sort == "global":
+                    # the distributed sort itself must deliver total order
+                    ordered = ds.to_pandas()
+                    assert list(ordered.itertuples(index=False)) == sorted(
+                        ordered.itertuples(index=False))
+
 
 class TestResume:
     def test_resume_equals_full_build(self, ray_session, tmp_path):
