@@ -516,64 +516,108 @@ def props_field_sum(sf_dir: str, *, key: str = "k") -> "rd.Dataset":
 
 def band_join_count(sf_dir: str, *, left_type: str = "error",
                     right_type: str = "purchase",
-                    lookback_minutes: int = 5) -> "rd.Dataset":
+                    lookback_minutes: int = 5,
+                    num_subs: int | None = None) -> "rd.Dataset":
     """Non-equi band join: for every ``left_type`` event at time t, count
     ``right_type`` events (any user) in the look-back band (t-Δ, t].
 
-    The range-join scale pattern: both sides bucket by Δ-wide time
-    buckets; each RIGHT row replicates to its bucket and the next one
-    (constant 2x fan-out — a right in (t-Δ, t] can only live in the
-    left's bucket or the previous one), then ONE groupby co-locates each
-    left with every right it can match and a per-group ``searchsorted``
-    difference counts the band. No all-pairs, no driver loop.
-    Output: (event_id, n_right) — exact, LEFT-join semantics (zero
-    counts kept)."""
+    The range-join scale pattern, skew-bounded (VERDICT r3 #3): both
+    sides bucket by Δ-wide time buckets, and within each bucket the LEFT
+    rows hash into ``num_subs`` sub-buckets (auto-sized from parquet
+    bytes like asof/sessionize) so a hot Δ window — e.g. every event in
+    one 5-minute band — still splits into bounded groups. Each RIGHT row
+    is pre-aggregated per batch to (ts, weight) — counting needs no
+    identity, only the timestamp multiset — then replicated to its
+    bucket and the next one (a right in (t-Δ, t] can only live in the
+    left's bucket or the previous one) x every sub-bucket. ONE groupby
+    on the packed (bucket, sub) key co-locates each left with every
+    right it can match; a per-group weighted ``searchsorted`` difference
+    counts the band. No all-pairs, no driver loop. Output:
+    (event_id, n_right) — exact, LEFT-join semantics (zero counts kept).
+
+    Group-size bound: lefts per group ~ bucket_lefts / num_subs (hash
+    split); rights per group <= distinct right timestamps in 2 adjacent
+    buckets (already weight-compressed). Reference range-scan semantics:
+    PMIndex/HBI.java interval containment over windowed counts."""
     import pandas as pd
 
     band_us = lookback_minutes * 60 * 1_000_000
+    path = f"{sf_dir}/events.parquet"
+    if num_subs is not None:
+        S = int(num_subs)
+    else:
+        # size sub-buckets from the DENSITY (rows per Δ-bucket, footer
+        # stats only), not total bytes: a longer corpus at the same event
+        # rate keeps S — and the 2S-fold right replication — constant,
+        # while a rate spike (everything in one band) grows S to keep
+        # per-group lefts ~target
+        S = 1
+        rng = _parquet_col_range(path, "ts")
+        try:
+            import pyarrow.parquet as pq
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            n_rows = 0
+        if rng is not None and n_rows:
+            n_buckets = max(1, (rng[1] - rng[0]) // band_us + 1)
+            per_bucket_rows = n_rows / n_buckets
+            S = int(min(max(math.ceil(per_bucket_rows / 65_536), 1), 4096))
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "ts", "event_type"])
+    ev = rd.read_parquet(path, columns=["event_id", "ts", "event_type"])
 
     def assign(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         typ = batch["event_type"].to_numpy(zero_copy_only=False)
         bucket = ts // band_us
-        out_id, out_ts, out_bucket, out_side = [], [], [], []
+        out_id, out_ts, out_key, out_w = [], [], [], []
         lm = typ == left_type
-        out_id.append(batch["event_id"].to_numpy(
-            zero_copy_only=False)[lm])
+        lid = batch["event_id"].to_numpy(zero_copy_only=False)[lm]
+        # splitmix-ish mix so sequential ids spread across sub-buckets
+        sub = (((lid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)) % np.uint64(S)).astype(np.int64)
+        out_id.append(lid)
         out_ts.append(ts[lm])
-        out_bucket.append(bucket[lm])
-        out_side.append(np.zeros(lm.sum(), dtype=np.int8))
+        out_key.append(bucket[lm] * S + sub)
+        out_w.append(np.zeros(lm.sum(), dtype=np.int64))  # w=0 -> left
         rm = typ == right_type
-        for shift in (0, 1):                 # right rows: bucket, bucket+1
-            out_id.append(np.full(rm.sum(), -1, dtype=np.int64))
-            out_ts.append(ts[rm])
-            out_bucket.append(bucket[rm] + shift)
-            out_side.append(np.ones(rm.sum(), dtype=np.int8))
+        # pre-aggregate rights: the band count needs only the timestamp
+        # multiset, so collapse to (ts, weight) BEFORE the S-fold
+        # sub-bucket replication
+        rts, w = np.unique(ts[rm], return_counts=True)
+        rbucket = rts // band_us
+        for shift in (0, 1):             # right rows: bucket, bucket+1
+            for s in range(S):
+                out_id.append(np.full(len(rts), -1, dtype=np.int64))
+                out_ts.append(rts)
+                out_key.append((rbucket + shift) * S + s)
+                out_w.append(w.astype(np.int64))
         return pa.table({
             "event_id": pa.array(np.concatenate(out_id), pa.int64()),
             "ts_us": pa.array(np.concatenate(out_ts), pa.int64()),
-            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
-            "side": pa.array(np.concatenate(out_side), pa.int8()),
+            "gkey": pa.array(np.concatenate(out_key), pa.int64()),
+            "w": pa.array(np.concatenate(out_w), pa.int64()),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["side"] == 0]
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["w"].to_numpy()
+        lrows = g[w == 0]
         if not len(lrows):
             return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
                                  "n_right": pd.Series([], dtype=np.int64)})
-        rts = np.sort(g.loc[g["side"] == 1, "ts_us"].to_numpy())
+        rts = g.loc[w > 0, "ts_us"].to_numpy()
+        rw = w[w > 0]
+        order = np.argsort(rts, kind="stable")
+        rts = rts[order]
+        cum = np.concatenate([[0], np.cumsum(rw[order])])
         lt = lrows["ts_us"].to_numpy()
-        n = (np.searchsorted(rts, lt, side="right")
-             - np.searchsorted(rts, lt - band_us, side="right"))
+        n = (cum[np.searchsorted(rts, lt, side="right")]
+             - cum[np.searchsorted(rts, lt - band_us, side="right")])
         return pd.DataFrame({"event_id": lrows["event_id"].to_numpy(),
                              "n_right": n.astype(np.int64)})
 
     return (ev.map_batches(assign, batch_format="pyarrow")
-            .groupby("bucket").map_groups(per_bucket,
-                                          batch_format="pandas"))
+            .groupby("gkey").map_groups(per_group,
+                                        batch_format="pandas"))
 
 
 def clicks_last_purchase(sf_dir: str) -> "rd.Dataset":

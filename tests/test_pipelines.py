@@ -340,7 +340,52 @@ class TestTextAndEvents:
         assert (m["want"] == m["n_right"]).all()
         assert (got["n_right"] == 0).any()  # LEFT semantics exercised
 
-    def test_hopping_window_vs_pandas(self, ray_session):
+    def test_band_join_skew_bounded_groups(self, ray_session, tmp_path):
+        """VERDICT r3 #3: a pathological corpus — EVERY event inside one
+        Δ-wide band — must split into bounded groups (hash sub-buckets),
+        not one group holding all rows, and stay exact at 10x rows."""
+        from hierarchical_bloom_filter_index_ray.pipelines.events import \
+            band_join_count
+        rng = np.random.default_rng(5)
+        n = 30_000                           # 10x the randomized test
+        band = 5 * 60 * 1_000_000
+        ts_us = np.sort(rng.integers(0, band, n))  # ONE 5-min bucket
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts_us.astype("datetime64[us]"),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": rng.choice(["error", "purchase"], n),
+            "value": np.zeros(n), "props": [""] * n,
+        })
+        p = tmp_path / "skew"
+        p.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(p / "events.parquet"))
+        S = 16
+        got = band_join_count(str(p), left_type="error",
+                              right_type="purchase", lookback_minutes=5,
+                              num_subs=S).to_pandas()
+        left = df[df["event_type"] == "error"]
+        rts = np.sort(df.loc[df["event_type"] == "purchase", "ts"]
+                      .astype("int64").to_numpy())
+        lt = left["ts"].astype("int64").to_numpy()
+        want = (np.searchsorted(rts, lt, side="right")
+                - np.searchsorted(rts, lt - band, side="right"))
+        m = left.assign(want=want).merge(got, on="event_id")
+        assert len(m) == len(left) == len(got)
+        assert (m["want"] == m["n_right"]).all()
+        # group-size bound: reproduce the assign stage's sub-bucket hash
+        # and check no (bucket, sub) group holds more than ~1/S of the
+        # lefts plus the weight-compressed rights (distinct timestamps)
+        n_left = len(left)
+        n_rdistinct = len(np.unique(rts))
+        sub = ((left["event_id"].to_numpy().astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(S)
+        per_group_lefts = np.bincount(sub.astype(np.int64), minlength=S)
+        assert per_group_lefts.max() <= int(n_left / S * 1.5) + 1
+        # each group additionally sees <= distinct right ts in 2 buckets
+        assert per_group_lefts.max() + n_rdistinct < n  # bounded vs 1 group
         from hierarchical_bloom_filter_index_ray.pipelines.events import \
             hopping_window_agg
         got = hopping_window_agg(SF, window_minutes=60,
