@@ -422,7 +422,8 @@ def simhash_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, max_hamming: int = 3
 # ----------------------------------------------------- exact ngram jaccard --
 def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
                        threshold: float = 0.5,
-                       seed: int = 42) -> pd.DataFrame:
+                       seed: int = 42,
+                       df_cap: int | None = None) -> pd.DataFrame:
     """EXACT n-gram-set similarity join: every doc pair whose distinct
     n-gram Jaccard >= threshold -> (a, b, jaccard). The exact counterpart
     of the MinHash estimate (``minhash_lsh_pairs`` is the subquadratic
@@ -435,6 +436,23 @@ def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
     boundary scheme) -> a distributed ``groupby(a, b).count`` turns pair
     multiplicity into the exact intersection size -> Jaccard from the
     per-doc distinct-gram counts. Integer arithmetic end to end.
+
+    Stop-gram guard (VERDICT r3 #4), still EXACT: a gram present in more
+    than ``df_cap`` docs (default max(256, 1% of docs); at most the
+    top-64 by document frequency) is excluded from quadratic pair
+    GENERATION — one gram shared by most of the corpus would otherwise
+    emit O(corpus^2) pairs. Exactness is recovered in two parts:
+    (1) each doc's membership in the capped grams is kept as a <=64-bit
+    mask (a distributed groupby-sum — distinct (g, doc) rows make sum ==
+    OR), and the scorer adds popcount(mask_a & mask_b) to every
+    candidate pair's intersection; (2) a pair ALL of whose shared grams
+    are capped is generated by no group — but J >= t forces
+    |shared| >= t*|A| and >= t*|B| (i >= t/(1+t)*(na+nb) and nb >= i
+    give i >= t*na), so both endpoints must have >= t of their grams
+    capped. Those "affected" docs are enumerated and exhaustively
+    self-joined (their full gram rows, a set that is tiny unless the
+    corpus is mostly stop-grams — its size is logged); results union and
+    de-duplicate. Every emitted jaccard is exact either way.
     """
     from ray.data.aggregate import Count
 
@@ -475,6 +493,80 @@ def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
 
     sizes_ref = _pack_sizes.remote(*sizes_mat.to_arrow_refs())
 
+    # ---- stop-gram guard: find capped grams (df > cap, top-64 by df) ----
+    import pyarrow.compute as pc
+
+    n_docs = sizes_mat.count()
+    cap = int(df_cap) if df_cap is not None else max(256, n_docs // 100)
+    df_tbl = (rows.groupby("g").aggregate(Count(alias_name="df"))
+              .map_batches(lambda t: t.filter(pc.greater(t["df"], cap)),
+                           batch_format="pyarrow")
+              .to_pandas())
+    if not len(df_tbl) or "g" not in df_tbl.columns:
+        # all-empty blocks lose the schema on to_pandas: no capped grams
+        df_tbl = pd.DataFrame({"g": pd.Series([], dtype=np.uint64),
+                               "df": pd.Series([], dtype=np.int64)})
+    capped_keys = np.sort(
+        df_tbl.sort_values("df", ascending=False)["g"]
+        .to_numpy()[:64].astype(np.uint64))
+    K = len(capped_keys)
+    mask_ref = None
+    affected_ids = np.empty(0, np.int64)
+    if K:
+        capped_ref = ray.put(capped_keys)
+
+        def capped_bits(t: pa.Table) -> pa.Table:
+            ck = ray.get(capped_ref)
+            g = t["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.searchsorted(ck, g)
+            pos_c = np.minimum(pos, K - 1)
+            m = ck[pos_c] == g
+            return pa.table({
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)[m],
+                    pa.int64()),
+                # distinct (g, doc) rows: per-doc SUM of bit values == OR
+                "bit": pa.array(
+                    (np.uint64(1) << pos_c[m].astype(np.uint64))
+                    .view(np.int64), pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+        mask_mat = (rows.map_batches(capped_bits, batch_format="pyarrow")
+                    .groupby("doc_id")
+                    .aggregate(Sum("bit", alias_name="mask"))
+                    .materialize())
+
+        @ray.remote(num_cpus=1)
+        def _pack_masks(sizes, *blocks: pa.Table):
+            from hierarchical_bloom_filter_index_ray.state.minhash import \
+                hamming64
+            ids = np.concatenate(
+                [b["doc_id"].to_numpy(zero_copy_only=False)
+                 for b in blocks]) if blocks else np.empty(0, np.int64)
+            mk = np.concatenate(
+                [b["mask"].to_numpy(zero_copy_only=False)
+                 for b in blocks]) if blocks else np.empty(0, np.int64)
+            order = np.argsort(ids)
+            ids = ids[order].astype(np.int64)
+            mk = mk[order].astype(np.int64)
+            # affected docs: >= threshold fraction of grams capped — the
+            # only docs a fully-capped-overlap pair can involve
+            s_ids, s_cnt = sizes
+            ncap = hamming64(mk.view(np.uint64),
+                             np.zeros(len(mk), np.uint64))
+            sz = s_cnt[np.searchsorted(s_ids, ids)]
+            affected = ids[ncap >= threshold * sz]
+            return ids, mk, affected
+
+        packed = _pack_masks.remote(sizes_ref, *mask_mat.to_arrow_refs())
+        m_ids, m_masks, affected_ids = ray.get(packed)
+        mask_ref = ray.put((m_ids, m_masks))
+        import logging
+        logging.getLogger(__name__).info(
+            "ngram_jaccard_join: %d capped grams (df > %d), "
+            "%d affected docs", K, cap, len(affected_ids))
+
     def _all_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Every intra-group pair (a < b), once per group occurrence —
         multiplicity across groups IS the intersection count."""
@@ -501,7 +593,18 @@ def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
         return pd.DataFrame({"a": np.minimum(av, bv),
                              "b": np.maximum(av, bv)})
 
-    srt = rows.sort("g").materialize()
+    # candidate generation runs over LOW-df grams only (the stop-gram
+    # guard); the capped grams' exact contribution returns via the masks
+    rows_low = rows
+    if K:
+        def drop_capped(t: pa.Table) -> pa.Table:
+            ck = ray.get(capped_ref)
+            g = t["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.minimum(np.searchsorted(ck, g), K - 1)
+            return t.filter(pa.array(ck[pos] != g))
+
+        rows_low = rows.map_batches(drop_capped, batch_format="pyarrow")
+    srt = rows_low.sort("g").materialize()
 
     def interior_pairs(t: pa.Table) -> pd.DataFrame:
         if not t.num_rows:
@@ -534,6 +637,23 @@ def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if mask_ref is not None:
+            # exact capped-gram contribution: popcount of the two docs'
+            # shared stop-gram bits
+            from hierarchical_bloom_filter_index_ray.state.minhash import \
+                hamming64
+            m_ids, m_masks = ray.get(mask_ref)
+
+            def mask_of(x):
+                p = np.minimum(np.searchsorted(m_ids, x),
+                               max(len(m_ids) - 1, 0))
+                ok = (m_ids[p] == x) if len(m_ids) else \
+                    np.zeros(len(x), bool)
+                mm = np.where(ok, m_masks[p] if len(m_ids) else 0, 0)
+                return mm.astype(np.int64).view(np.uint64)
+
+            both = mask_of(a) & mask_of(b)
+            i = i + hamming64(both, np.zeros(len(both), np.uint64))
         na = cnts[np.searchsorted(ids, a)]
         nb = cnts[np.searchsorted(ids, b)]
         jac = i / (na + nb - i)
@@ -550,11 +670,44 @@ def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
              .aggregate(Count(alias_name="i"))
              .map_batches(score, batch_format="pyarrow")
              .to_pandas())
-    if not len(inter):
+    frames = [inter] if len(inter) else []
+    if len(affected_ids):
+        # completeness fallback: pairs whose EVERY shared gram is capped
+        # never enter candidate generation — both their endpoints are
+        # affected docs (>= threshold of their grams capped), so an
+        # exhaustive exact self-join over just those docs' gram rows
+        # closes the gap. Bounded by the affected set (logged above).
+        aff_ref = ray.put(np.sort(affected_ids))
+
+        def keep_affected(t: pa.Table) -> pa.Table:
+            aff = ray.get(aff_ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            p = np.minimum(np.searchsorted(aff, d), len(aff) - 1)
+            return t.filter(pa.array(aff[p] == d))
+
+        aff_rows = rows.map_batches(
+            keep_affected, batch_format="pyarrow").to_pandas()
+        if len(aff_rows):
+            m = aff_rows.merge(aff_rows, on="g")
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            grp = (m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+                   .size().reset_index(name="i"))
+            ids, cnts = ray.get(sizes_ref)
+            na = cnts[np.searchsorted(ids, grp["doc_id_x"].to_numpy())]
+            nb = cnts[np.searchsorted(ids, grp["doc_id_y"].to_numpy())]
+            jac = grp["i"].to_numpy() / (na + nb - grp["i"].to_numpy())
+            ok = jac >= threshold
+            frames.append(pd.DataFrame({
+                "a": grp["doc_id_x"].to_numpy()[ok].astype(np.int64),
+                "b": grp["doc_id_y"].to_numpy()[ok].astype(np.int64),
+                "jaccard": jac[ok]}))
+    if not frames:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64),
                              "jaccard": pd.Series([], dtype=np.float64)})
-    return (inter[["a", "b", "jaccard"]]
+    out = pd.concat(frames, ignore_index=True)
+    return (out[["a", "b", "jaccard"]]
+            .drop_duplicates(subset=["a", "b"])
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 

@@ -881,6 +881,53 @@ class TestNgramJaccardJoin:
             threshold=0.5, seed=42)
         pd.testing.assert_frame_equal(got, got2)
 
+    def test_stop_gram_guard_exact(self, ray_session):
+        """VERDICT r3 #4: a gram present in EVERY doc must not drive
+        quadratic pair emission — with df_cap forcing the guard on, the
+        join still returns the exact result (capped-gram contribution via
+        masks, fully-capped-overlap pairs via the affected-doc fallback),
+        including a tiny doc pair whose ONLY shared gram is the stop
+        gram."""
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            ngram_jaccard_join
+        from hierarchical_bloom_filter_index_ray.pipelines.dedup import \
+            ngram_jaccard
+        from hierarchical_bloom_filter_index_ray.state.splitmix import \
+            derive_seed
+        rng = np.random.default_rng(11)
+        stop = [7, 7, 7]          # the trigram (7,7,7) lands in every doc
+        docs = {}
+        for d in range(120):
+            body = rng.integers(100, 10_000, 12).tolist()
+            docs[d] = body[:6] + stop + body[6:]
+        # a near-dup pair certified by NON-stop grams too
+        docs[200] = docs[0][:-1] + [9999]
+        # a pair whose ONLY overlap is the stop gram (the fallback path:
+        # the docs are ALL stop gram, so every shared gram is capped)
+        docs[301] = stop + [7]    # grams {777, 777} -> {777, 777}: {777}
+        docs[302] = [7] + stop
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "tokens": pa.array([docs[d] for d in sorted(docs)],
+                               pa.list_(pa.int32())),
+        })).repartition(8)
+        got = ngram_jaccard_join(ds, n=3, threshold=0.5, seed=42,
+                                 df_cap=10)
+        seed = derive_seed(42, "jaccard_ngram")
+        ids = sorted(docs)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                j = ngram_jaccard(np.array(docs[a], dtype=np.int32),
+                                  np.array(docs[b], dtype=np.int32),
+                                  3, seed)
+                if j >= 0.5:
+                    want[(a, b)] = j
+        assert (301, 302) in want          # fallback-only pair exists
+        assert (0, 200) in want            # mask-corrected pair exists
+        assert {(r["a"], r["b"]): r["jaccard"]
+                for _, r in got.iterrows()} == pytest.approx(want)
+
 
 class TestFrequentBigrams:
     def test_doc_frequent_bigrams_vs_python(self, ray_session):
