@@ -295,6 +295,56 @@ def _pairs_from_buckets(rows: pd.DataFrame, key_cols,
     return pd.DataFrame(out)
 
 
+def _bucket_candidate_pairs_ds(band_rows: "rd.Dataset",
+                               key: str = "bucket",
+                               all_pairs_cap: int = 8) -> "rd.Dataset":
+    """Dataset-returning variant of ``_bucket_candidate_pairs`` (VERDICT
+    r3 #5): interior-bucket pairs are emitted per sorted block and STAY a
+    Dataset; only the per-block first/last-key rows — at most two buckets
+    per block — reach the driver, where they reassemble into whole
+    buckets, pair, and union back in. A distributed groupby de-duplicates
+    pairs that collide in several bands. Candidate pairs live in plasma,
+    never on the driver."""
+    from ray.data.aggregate import Count
+
+    srt = band_rows.sort(key).materialize()
+
+    def interior_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("a", pa.int64()),
+                           ("b", pa.int64())]).empty_table()
+        if not t.num_rows:
+            return empty
+        h = t[key].to_numpy(zero_copy_only=False)
+        interior = (h != h[0]) & (h != h[-1])
+        if not interior.any():
+            return empty
+        df = t.filter(pa.array(interior)).to_pandas()
+        pairs = _pairs_from_buckets(df, (key,),
+                                    all_pairs_cap=all_pairs_cap)
+        return pa.table({"a": pa.array(pairs["a"], pa.int64()),
+                         "b": pa.array(pairs["b"], pa.int64())})
+
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        h = t[key].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((h == h[0]) | (h == h[-1])))
+
+    pairs_ds = srt.map_batches(interior_pairs, batch_format="pyarrow")
+    brows = srt.map_batches(boundary_rows,
+                            batch_format="pyarrow").to_pandas()
+    if len(brows):
+        pairs_b = _pairs_from_buckets(brows, (key,),
+                                      all_pairs_cap=all_pairs_cap)
+        if len(pairs_b):
+            pairs_ds = pairs_ds.union(rd.from_arrow(pa.table({
+                "a": pa.array(pairs_b["a"], pa.int64()),
+                "b": pa.array(pairs_b["b"], pa.int64())})))
+    # distributed multi-band dedup; the count column is dropped
+    return (pairs_ds.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+
+
 def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
                       bands: int = 32, shingle: int = 3,
                       threshold: float = 0.7, concurrency=None
@@ -304,7 +354,15 @@ def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
     Returns pandas (a, b, est_jaccard) — the pair list is bounded by the
     true near-dup count (LSH false positives are filtered by the signature
     Jaccard estimate).
-    """
+
+    Scale shape (VERDICT r3 #5): candidate pairs stay a Dataset from
+    emission through verification — the driver never holds unverified
+    pairs. The narrow signature re-pass runs over candidate DOC IDS
+    (block-unique arrays -> one np.unique, far smaller than the pair
+    list), its signatures are packed into plasma by a Ray task, and the
+    signature-Jaccard verify is a map_batches over the pair Dataset with
+    that packed matrix broadcast. Only >= threshold survivors reach the
+    driver (the union-find input — the result itself)."""
     import ray
 
     from ..stages.resources import default_concurrency
@@ -315,31 +373,64 @@ def minhash_lsh_pairs(ds: "rd.Dataset", cfg: HbiConfig, *, num_perm: int = 128,
         batch_size=4096, concurrency=concurrency,
         fn_constructor_kwargs={"cfg": cfg, "num_perm": num_perm,
                                "bands": bands, "shingle": shingle})
-    cand = _bucket_candidate_pairs(band_rows, "bucket")
-    if not len(cand):
+    cand_ds = _bucket_candidate_pairs_ds(band_rows, "bucket").materialize()
+    if not cand_ds.count():
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+    # candidate doc ids: per-block unique in tasks, one unique on driver
+    id_blocks = cand_ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.array(np.unique(np.concatenate(
+            [t["a"].to_numpy(zero_copy_only=False),
+             t["b"].to_numpy(zero_copy_only=False)])), pa.int64())}),
+        batch_format="pyarrow")
+    hot_ids = np.unique(np.concatenate(
+        [b["doc_id"].to_numpy(zero_copy_only=False)
+         for b in ray.get(id_blocks.to_arrow_refs()) if b.num_rows]))
     # narrow second pass: signatures for candidate docs only (bounded by
     # near-dup candidates, not corpus — no signature ever rides the band
-    # shuffle)
-    hot_ids = np.unique(np.concatenate([cand["a"].to_numpy(),
-                                        cand["b"].to_numpy()]))
-    sigs = ds.map_batches(
+    # shuffle); packed into plasma by a task, broadcast to the verify
+    sigs_mat = ds.map_batches(
         MinHashSignatures, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=4096, concurrency=concurrency,
         fn_constructor_kwargs={"cfg": cfg, "num_perm": num_perm,
                                "shingle": shingle,
-                               "ids_ref": ray.put(hot_ids)}).to_pandas()
-    sig_mat = np.stack([np.frombuffer(s, dtype=np.uint64)
-                        for s in sigs["signature"]]) if len(sigs) else \
-        np.empty((0, num_perm), np.uint64)
-    pos = pd.Series(np.arange(len(sigs)),
-                    index=sigs["doc_id"].to_numpy())
-    sig_a = sig_mat[pos[cand["a"].to_numpy()].to_numpy()]
-    sig_b = sig_mat[pos[cand["b"].to_numpy()].to_numpy()]
-    est = (sig_a == sig_b).mean(axis=1)
-    out = pd.DataFrame({"a": cand["a"].values, "b": cand["b"].values,
-                        "est_jaccard": est})
-    out = out[out["est_jaccard"] >= threshold]
+                               "ids_ref": ray.put(hot_ids)}).materialize()
+
+    @ray.remote(num_cpus=1)
+    def _pack_sigs(*blocks: pa.Table):
+        ids = np.concatenate(
+            [b["doc_id"].to_numpy(zero_copy_only=False)
+             for b in blocks]) if blocks else np.empty(0, np.int64)
+        mats = [np.stack([np.frombuffer(s, dtype=np.uint64)
+                          for s in b["signature"].to_pylist()])
+                for b in blocks if b.num_rows]
+        mat = (np.concatenate(mats, axis=0) if mats
+               else np.empty((0, num_perm), np.uint64))
+        order = np.argsort(ids)
+        return ids[order].astype(np.int64), mat[order]
+
+    sig_ref = _pack_sigs.remote(*sigs_mat.to_arrow_refs())
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64())})
+        if not t.num_rows:
+            return empty
+        s_ids, s_mat = ray.get(sig_ref)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        est = (s_mat[np.searchsorted(s_ids, a)]
+               == s_mat[np.searchsorted(s_ids, b)]).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "est_jaccard": pa.array(est[keep], pa.float64())})
+
+    out = cand_ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if not len(out) or "a" not in out.columns:
+        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
