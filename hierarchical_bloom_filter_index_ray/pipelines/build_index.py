@@ -370,9 +370,63 @@ def expire_windows(out_dir: str, cfg: HbiConfig, *, before_window: int,
     return manifest
 
 
-def load_index(out_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
+def _snapshot_paths(out_dir: str, manifest: dict) -> list[str] | None:
+    """Parquet files belonging to the manifest's COMPLETED state, listed
+    NOW: completed (source, shard) dirs for sharded indexes, completed
+    source dirs otherwise. Files inside those dirs are immutable once the
+    manifest records them (appends create new shard dirs; unsharded
+    resume only writes into dirs of sources absent from
+    ``completed_sources``), so the returned list is a consistent
+    snapshot. None when nothing is completed yet."""
+    from urllib.parse import unquote
+
+    root = Path(out_dir) / PARTITIONS
+    shards = manifest.get("completed_shards")
+    paths: list[str] = []
+    if shards:
+        for s, ks in shards.items():
+            for k in ks:
+                d = root / f"source={s}" / f"shard={k}"
+                if d.is_dir():
+                    paths.extend(sorted(str(p)
+                                        for p in d.glob("*.parquet")))
+        return paths or None
+    done = set(manifest.get("completed_sources") or [])
+    if not done:
+        return None
+    for d in sorted(root.glob("source=*")):
+        if unquote(d.name.split("=", 1)[1]) in done:
+            paths.extend(sorted(str(p) for p in d.rglob("*.parquet")))
+    return paths or None
+
+
+def load_index(out_dir: str, columns: list[str] | None = None, *,
+               snapshot: bool = True) -> "rd.Dataset":
     """The persisted index as a Dataset (hive partition col `source`
-    restored as a string column)."""
+    restored as a string column).
+
+    ``snapshot=True`` (default) pins the read to the manifest's completed
+    partition list resolved at CALL time — the reference's
+    query-during-ingest contract (``ProcessStream.java:70-75``) for the
+    batch world: a query planned against this Dataset sees exactly the
+    windows the manifest recorded, even if a concurrent ``build_index``
+    append lands new shards (new files) before the lazy read executes,
+    and it can never observe a half-written in-flight file (those live
+    only in dirs the manifest does not list yet). Concurrent
+    ``expire_windows`` is NOT isolated: it unlinks shard dirs, so a
+    pinned query started before the expiry fails loudly (missing file)
+    rather than returning partial data. ``snapshot=False`` reads
+    whatever is on disk at execution time."""
+    if snapshot:
+        man = load_manifest(out_dir)
+        if man is not None:
+            paths = _snapshot_paths(out_dir, man)
+            if paths:
+                from ray.data.datasource.partitioning import Partitioning
+                return rd.read_parquet(
+                    paths, columns=columns,
+                    partitioning=Partitioning(
+                        "hive", base_dir=str(Path(out_dir) / PARTITIONS)))
     return rd.read_parquet(str(Path(out_dir) / PARTITIONS), columns=columns)
 
 

@@ -466,6 +466,69 @@ class TestResume:
         assert n_hits[0] < n_hits[-1]  # later appends add hits
         assert n_hits == sorted(n_hits)
 
+    def test_snapshot_isolated_query_during_append(self, ray_session,
+                                                   tmp_path):
+        """VERDICT r3 #6: a query pinned by load_index's manifest
+        snapshot must see exactly the pre-append index, even though its
+        LAZY read resolves files AFTER a concurrent sharded append has
+        landed new shard files and an in-flight (torn) file exists on
+        disk; snapshot=False sees the appended windows."""
+        from hierarchical_bloom_filter_index_ray.stages.window import \
+            doc_index as di_fn
+
+        cfg = HbiConfig(seed=7, docs_per_window=32, hll_p=12,
+                        cms_eps=0.05, cms_delta=0.1)
+        ds_full = synth_sequences(768, seed=9, n_sources=2, vocab=512)
+
+        def win_lt(hi):
+            def f(t):
+                return t.filter(pa.array((di_fn(t) >> 5) < hi))
+            return f
+
+        live = tmp_path / "live"
+        build_index(ds_full.map_batches(win_lt(6),
+                                        batch_format="pyarrow"),
+                    cfg, str(live), batch_size=64, shard_windows=2)
+        rows = ds_full.take_all()
+        tbl = pa.Table.from_pylist(rows)
+        wins = di_fn(tbl) >> 5
+        # one pattern in the pinned range, one only in the appended range
+        lo = next(i for i in range(len(rows)) if wins[i] == 1)
+        hi = next(i for i in range(len(rows)) if wins[i] == 9)
+        pats = [("old", [int(t) for t in rows[lo]["tokens"][2:6]]),
+                ("new", [int(t) for t in rows[hi]["tokens"][2:6]])]
+        want = membership_query(load_index(str(live)), ds_full, pats,
+                                cfg).to_pandas()
+        # pin a snapshot BEFORE the append; nothing executes yet
+        pinned = load_index(str(live))
+        # concurrent writer lands the append of windows [6, 12) ...
+        build_index(ds_full, cfg, str(live), batch_size=64,
+                    shard_windows=2, super_levels=False)
+        # ... and has a torn in-flight file on disk (unrecorded shard)
+        torn = live / "partitions" / "source=src00" / "shard=99"
+        torn.mkdir(parents=True)
+        (torn / "part.parquet").write_bytes(b"PAR1\x00garbage")
+        # the pinned query executes NOW — post-append, torn file present
+        # — yet must equal the pre-append result
+        got = membership_query(pinned, ds_full, pats, cfg).to_pandas()
+        assert got.reset_index(drop=True).equals(
+            want.reset_index(drop=True))
+        assert set(got["query_id"]) == {"old"}
+        # a NEW snapshot load sees the appended windows but still skips
+        # the torn unrecorded file
+        snap2 = membership_query(load_index(str(live)), ds_full, pats,
+                                 cfg).to_pandas()
+        assert set(snap2["query_id"]) == {"old", "new"}
+        assert len(snap2) > len(got)
+        # snapshot=False reads raw disk state (works once the torn
+        # leftover is gone) and matches the new snapshot
+        import shutil as sh
+        sh.rmtree(torn)
+        fresh = membership_query(load_index(str(live), snapshot=False),
+                                 ds_full, pats, cfg).to_pandas()
+        assert fresh.reset_index(drop=True).equals(
+            snap2.reset_index(drop=True))
+
     def test_cli_build_and_query(self, ray_session, tmp_path):
         """`python -m hierarchical_bloom_filter_index_ray build|query`
         round-trip (the ray-job-submit entrypoint), sharded + counts."""
