@@ -443,15 +443,31 @@ def sweep() -> None:
             idx = load_index(idx_dir)
             seqs = rd.read_parquet(synth_path)
             warm_super_coordinator(idx_dir)
+            # realized bloom FPR at this (fp, ngram) — the reference
+            # sweep's empirical-FPR column (BloomFilter.java:52-59)
+            from hierarchical_bloom_filter_index_ray.pipelines import (
+                index_fpr_stats, window_aligned_layout)
+            fdf = index_fpr_stats(idx_dir).to_pandas()
+            realized_fpr = float(np.average(
+                fdf["mean_fpr"], weights=fdf["n_windows"])) \
+                if len(fdf) else None
+            meta = window_aligned_layout(synth_path, 16384, 16384 // 8,
+                                         cfg)
+            if (len(meta) != max(1, n_rows // 16384)
+                    or any(pq_.ParquetFile(m["path"]).metadata.num_rows
+                           != 16384 for m in meta)):
+                meta = None
             cell = {"fp": fp, "ngram": ng,
                     "build_sec": round(build_sec, 3),
                     "index_bytes": int(man.get("total_index_bytes", 0)),
+                    "realized_fpr": realized_fpr,
                     "query_types": {}}
             for qtype, queries in query_sets.items():
                 st: dict = {}
                 t0 = time.perf_counter()
                 hits = membership_query(idx, seqs, queries, cfg,
-                                        super_dir=idx_dir, stats=st)
+                                        super_dir=idx_dir, stats=st,
+                                        sequences_meta=meta)
                 dt = time.perf_counter() - t0
                 cell["query_types"][qtype] = {
                     "qps": round(len(queries) / dt, 3),
@@ -460,6 +476,12 @@ def sweep() -> None:
                     "candidates": st.get("candidates", 0),
                     "super_probes": st.get("super_probes", 0),
                     "mode": st.get("mode"),
+                    # verify-stage read telemetry: candidate-file
+                    # pruning hit rate in files and bytes
+                    "verify_files": st.get("verify_files"),
+                    "verify_files_total": st.get("verify_files_total"),
+                    "verify_bytes": st.get("verify_bytes"),
+                    "verify_bytes_total": st.get("verify_bytes_total"),
                 }
             cells.append(cell)
     print(json.dumps({

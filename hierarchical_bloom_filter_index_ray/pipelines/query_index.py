@@ -951,6 +951,20 @@ def _membership_hits(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     verify_ds = sequences_ds
     if sequences_meta is not None:
         paths = _prune_files_by_windows(sequences_meta, cand_wins)
+        if stats is not None:
+            # verify-stage read telemetry (the reference's
+            # BenchmarkOrchestrator bytes-scanned counters): how much of
+            # the corpus the candidate-file pruning let the verify skip
+            import os as _os
+            stats["verify_files"] = len(paths)
+            stats["verify_files_total"] = len(sequences_meta)
+            try:
+                stats["verify_bytes"] = sum(
+                    _os.path.getsize(p) for p in paths)
+                stats["verify_bytes_total"] = sum(
+                    _os.path.getsize(m["path"]) for m in sequences_meta)
+            except OSError:
+                pass
         if not paths:
             verify_ds = None
         else:
