@@ -818,8 +818,9 @@ def _q_doc_fingerprints(sf_dir: str):
 def _q_media_features(sf_dir: str):
     """REAL decode paths: synthetic PGM + PNG + WAV corpora featurized
     through the actor-pool stage — PGM through its dedicated decoder,
-    PNG/WAV through the magic-byte ``decoder="real"`` dispatch over the
-    baseline pure-numpy/stdlib codecs (``functions/codecs.py``).
+    PNG/WAV/greyscale-JPEG through the magic-byte ``decoder="real"``
+    dispatch over the baseline pure-numpy/stdlib codecs
+    (``functions/codecs.py``, ``functions/jpeg.py``).
     concurrency=1 keeps the pools + read tasks schedulable at the
     driver's small num_cpus."""
     import pyarrow as pa
@@ -844,7 +845,11 @@ def _q_media_features(sf_dir: str):
         synth_media(32, seed=SEED, kind="wav"), decoder="real",
         feature_dim=8, concurrency=1).map_batches(
             shift(2000), batch_format="pyarrow")
-    return pgm.union(png).union(wav)
+    jpg = extract_features(
+        synth_media(32, seed=SEED, kind="jpeg"), decoder="real",
+        feature_dim=8, concurrency=1).map_batches(
+            shift(3000), batch_format="pyarrow")
+    return pgm.union(png).union(wav).union(jpg)
 
 
 def _q_index_manifest(sf_dir: str):

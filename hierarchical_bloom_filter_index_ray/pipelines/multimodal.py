@@ -131,9 +131,9 @@ class MediaFeatureExtractor:
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _real_features(self, payload: bytes) -> np.ndarray:
-        """Dispatch on payload magic bytes: PNG and WAV decode through
-        the baseline pure-numpy codecs; P5 through the PGM path. Other
-        formats (JPEG/mp4) are the declared codec seam."""
+        """Dispatch on payload magic bytes: PNG, WAV, greyscale JPEG and
+        P5 decode through the baseline pure-numpy codecs. What remains
+        of the codec seam: colour/progressive JPEG and mp4."""
         from ..functions.codecs import decode_png, decode_wav, \
             wav_features
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -144,11 +144,16 @@ class MediaFeatureExtractor:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, rate = decode_wav(payload)
             return wav_features(samples, rate, self.feature_dim)
+        if payload[:2] == b"\xff\xd8":
+            from ..functions.jpeg import decode_jpeg_gray
+            return pgm_features(decode_jpeg_gray(payload),
+                                self.feature_dim)
         if payload[:2] == b"P5":
             return pgm_features(decode_pgm(payload), self.feature_dim)
         raise NotImplementedError(
-            "payload is not PNG/WAV/PGM — JPEG/mp4 decoding is the "
-            "declared codec seam (README media matrix)")
+            "payload is not PNG/WAV/PGM/greyscale-JPEG — colour or "
+            "progressive JPEG and mp4 decoding is the declared codec "
+            "seam (README media matrix)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:
         """Deterministic stand-in: features = seeded hash-mix of payload
@@ -326,6 +331,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
     (``functions/codecs.py``)."""
     def gen(batch: dict) -> pa.Table:
         from ..functions.codecs import encode_png, encode_wav
+        from ..functions.jpeg import encode_jpeg_gray
         ids = np.asarray(batch["id"], dtype=np.int64)
         payloads = []
         for i in ids:
@@ -335,6 +341,10 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
             elif kind == "png":
                 payloads.append(encode_png(synth_frame(
                     i, 0, seed=seed, width=width, height=height)))
+            elif kind == "jpeg":
+                payloads.append(encode_jpeg_gray(synth_frame(
+                    i, 0, seed=seed, width=width, height=height),
+                    quality=92))
             elif kind == "wav":
                 t = np.arange(width * height, dtype=np.float64)
                 tone = np.sin(2 * np.pi * (220 + 11 * (int(i) % 8))
@@ -351,7 +361,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                     hash_u64(np.arange(64, dtype=np.uint64)
                              + np.uint64(i), seed) & np.uint64(255)
                 ).astype(np.uint8).tolist()))
-        mt = {"pgm": "image/x-portable-graymap",
+        mt = {"pgm": "image/x-portable-graymap", "jpeg": "image/jpeg",
               "pgmv": "video/x-pgm-frames", "png": "image/png",
               "wav": "audio/wav"}.get(kind, "image/fake")
         return pa.table({

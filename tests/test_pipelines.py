@@ -708,6 +708,186 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             FrameSampler(n_frames=3, decoder="real")
 
+
+def _hand_codes(bits, vals):
+    """Independent (test-side) canonical Huffman assignment, T.81 Annex
+    C — deliberately NOT the module's implementation."""
+    table = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code *= 2
+    return table
+
+
+class _HandBits:
+    def __init__(self):
+        self.s = ""
+
+    def put(self, code, ln):
+        self.s += format(code, f"0{ln}b")
+
+    def bytes_(self):
+        s = self.s + "1" * (-len(self.s) % 8)
+        raw = bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+        return raw.replace(b"\xff", b"\xff\x00")
+
+
+class TestJpegCodec:
+    """Baseline greyscale JPEG (functions/jpeg.py): hand-assembled
+    bitstream fixtures pin the DECODER independently of the encoder;
+    round trips pin the pair; the actor-pool feature stage runs it."""
+
+    def _headers(self, h, w, q_zigzag):
+        import struct as st
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import (
+            _AC_LUMA_BITS, _AC_LUMA_VALS, _DC_LUMA_BITS, _DC_LUMA_VALS)
+
+        def seg(m, body):
+            return bytes([0xFF, m]) + st.pack(">H", len(body) + 2) + body
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + bytes(q_zigzag))
+        out += seg(0xC0, st.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS)
+                   + bytes(_DC_LUMA_VALS))
+        out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS)
+                   + bytes(_AC_LUMA_VALS))
+        return out
+
+    def test_hand_built_dc_only_block(self):
+        """One 8x8 block, flat quant=16, DC diff=+3, EOB: every pixel
+        must be 3*16/8 + 128 = 134 (DC-only IDCT is constant)."""
+        import struct as st
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import (
+            _AC_LUMA_BITS, _AC_LUMA_VALS, _DC_LUMA_BITS, _DC_LUMA_VALS,
+            decode_jpeg_gray)
+        dc = _hand_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        ac = _hand_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+        bits = _HandBits()
+        bits.put(*dc[2])        # DC category 2
+        bits.put(3, 2)          # magnitude bits: +3
+        bits.put(*ac[0x00])     # EOB
+        jpg = self._headers(8, 8, [16] * 64)
+        jpg += bytes([0xFF, 0xDA]) + st.pack(">H", 8) \
+            + bytes([1, 1, 0x00, 0, 63, 0])
+        jpg += bits.bytes_() + b"\xff\xd9"
+        img = decode_jpeg_gray(bytes(jpg))
+        assert img.shape == (8, 8)
+        assert (img == 134).all()
+
+    def test_hand_built_single_ac_coefficient(self):
+        """DC=0 plus AC coefficient (0,1)=+2 at quant 16: pixels must
+        equal the DCT basis column computed from the raw cosine formula
+        (independent of the module's IDCT matrix)."""
+        import struct as st
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import (
+            _AC_LUMA_BITS, _AC_LUMA_VALS, _DC_LUMA_BITS, _DC_LUMA_VALS,
+            decode_jpeg_gray)
+        dc = _hand_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        ac = _hand_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+        bits = _HandBits()
+        bits.put(*dc[0])        # DC category 0 (diff 0)
+        bits.put(*ac[0x02])     # run 0, size 2 -> zigzag k=1 = natural
+        bits.put(2, 2)          # (0,1); value +2
+        bits.put(*ac[0x00])     # EOB
+        jpg = self._headers(8, 8, [16] * 64)
+        jpg += bytes([0xFF, 0xDA]) + st.pack(">H", 8) \
+            + bytes([1, 1, 0x00, 0, 63, 0])
+        jpg += bits.bytes_() + b"\xff\xd9"
+        img = decode_jpeg_gray(bytes(jpg))
+        # IDCT of the single coefficient C[0,1] = 2*16: pixel(y, x) =
+        # a0 * a1(x) * 32 + 128 with a0 = 1/sqrt(8),
+        # a1(x) = sqrt(2/8) cos((2x+1)pi/16) — raw cosine formula,
+        # independent of the module's DCT matrix
+        x = np.arange(8)
+        basis = np.sqrt(2.0 / 8.0) * np.cos((2 * x + 1) * np.pi / 16)
+        want = np.clip(np.round(
+            32 * np.outer(np.full(8, np.sqrt(1.0 / 8.0)), basis) + 128),
+            0, 255).astype(np.uint8)
+        assert np.array_equal(img, want)
+
+    def test_hand_built_restart_interval(self):
+        """Two blocks with DRI=1 and an RST0 between: the DC predictor
+        must reset, so block 2's diff decodes against 0, not block 1."""
+        import struct as st
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import (
+            _AC_LUMA_BITS, _AC_LUMA_VALS, _DC_LUMA_BITS, _DC_LUMA_VALS,
+            decode_jpeg_gray)
+        dc = _hand_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        ac = _hand_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+
+        def block(diff):
+            b = _HandBits()
+            if diff == 0:
+                b.put(*dc[0])
+            else:
+                t = abs(diff).bit_length()
+                b.put(*dc[t])
+                b.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            b.put(*ac[0x00])
+            return b.bytes_()
+
+        jpg = bytearray(self._headers(8, 16, [16] * 64))
+        jpg += bytes([0xFF, 0xDD]) + st.pack(">H", 4) + st.pack(">H", 1)
+        jpg += bytes([0xFF, 0xDA]) + st.pack(">H", 8) \
+            + bytes([1, 1, 0x00, 0, 63, 0])
+        jpg += block(3) + b"\xff\xd0" + block(3) + b"\xff\xd9"
+        img = decode_jpeg_gray(bytes(jpg))
+        # both blocks decode DC=3 (predictor reset): 134 everywhere
+        assert (img == 134).all() and img.shape == (8, 16)
+
+    def test_round_trip_quality_and_shapes(self):
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import (
+            decode_jpeg_gray, encode_jpeg_gray)
+        rng = np.random.default_rng(3)
+        for h, w in ((8, 8), (24, 33), (7, 5), (64, 48)):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 5 + yy * 3) % 200 + 20).astype(np.uint8)
+            dec = decode_jpeg_gray(encode_jpeg_gray(img, quality=95))
+            assert dec.shape == (h, w)
+            err = np.abs(dec.astype(int) - img.astype(int)).max()
+            assert err <= 8, (h, w, err)
+        noisy = rng.integers(0, 256, (17, 19)).astype(np.uint8)
+        d = decode_jpeg_gray(encode_jpeg_gray(noisy, quality=100))
+        assert np.abs(d.astype(int) - noisy.astype(int)).max() <= 1
+
+    def test_unsupported_forms_raise(self):
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import (
+            decode_jpeg_gray, encode_jpeg_gray)
+        img = np.zeros((8, 8), np.uint8)
+        enc = bytearray(encode_jpeg_gray(img))
+        i = enc.find(bytes([0xFF, 0xC0]))
+        enc[i + 1] = 0xC2                      # masquerade as progressive
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_gray(bytes(enc))
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(b"\x00\x01not a jpeg")
+
+    def test_feature_stage_decodes_jpeg(self, ray_session):
+        """decoder='real' magic-byte dispatch: the actor-pool stage
+        extracts features from REAL JPEG payloads, equal to features of
+        the decoded pixels."""
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import \
+            decode_jpeg_gray
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+            extract_features, pgm_features, synth_media)
+        out = extract_features(
+            synth_media(12, seed=5, kind="jpeg"), decoder="real",
+            feature_dim=8, concurrency=2).take_all()
+        assert len(out) == 12
+        rows = {r["media_id"]: r for r in out}
+        payloads = {r["media_id"]: r
+                    for r in synth_media(12, seed=5,
+                                         kind="jpeg").take_all()}
+        for mid, row in rows.items():
+            img = decode_jpeg_gray(payloads[mid]["payload"])
+            want = pgm_features(img, 8)
+            np.testing.assert_allclose(row["features"], want, rtol=1e-6)
+
     def test_resize_and_frame_sample_stubs(self, ray_session):
         from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
             FrameSampler, ImageResizer)
