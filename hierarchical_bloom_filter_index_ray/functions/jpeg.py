@@ -1,23 +1,28 @@
-"""Pure-numpy baseline-sequential GREYSCALE JPEG codec (round-3 VERDICT
-stretch #9: close the last codec seam for single-component images).
+"""Pure-numpy baseline-sequential JPEG codec (round-3 VERDICT stretch
+#9: close the codec seam; round 4 extends greyscale to interleaved
+YCbCr colour).
 
 Scope (deliberately restricted — the correctness baseline a production
-build swaps for a SIMD library behind the same two functions):
+build swaps for a SIMD library behind the same functions):
 
-- decode: baseline DCT (SOF0), 8-bit precision, ONE component, no
-  subsampling, optional restart intervals (DRI/RSTn). Progressive
-  (SOF2), arithmetic coding, 12-bit and multi-component scans raise
-  ``NotImplementedError`` with the format named.
-- encode: baseline greyscale with the Annex K luminance quantization
-  table (libjpeg-style quality scaling) and the Annex K standard
-  luminance Huffman tables.
+- decode: baseline DCT (SOF0), 8-bit precision, single-component
+  (greyscale) or 3-component interleaved YCbCr with sampling factors
+  whose ratio to the max is integral (covers 4:4:4, 4:2:2, 4:4:0 and
+  4:2:0), optional restart intervals (DRI/RSTn). Progressive (SOF2),
+  arithmetic coding, 12-bit, 16-bit quant tables and non-interleaved
+  multi-scan streams raise ``NotImplementedError`` with the form named.
+- encode: baseline greyscale or colour with the Annex K quantization
+  tables (libjpeg-style quality scaling) and the Annex K standard
+  Huffman tables; colour at 4:4:4 or 4:2:0 (JFIF YCbCr, box-filter
+  chroma downsample).
 
 Spec: ITU-T T.81 / ISO 10918-1. The entropy decoder follows the spec's
 canonical-code algorithm (F.2.2) accelerated by a 16-bit prefix lookup
 table; the bitstream itself is inherently serial, so per-symbol decode
 is a Python loop — acceptable here because media decode runs inside an
 actor-pool ``map_batches`` stage (one image per task-row, parallel
-across the dataset), not on the driver.
+across the dataset), not on the driver. Dequantization and the IDCT are
+vectorized over all blocks of a component (one einsum per component).
 """
 
 from __future__ import annotations
@@ -38,9 +43,7 @@ ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46,
     53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
 
-# Annex K Table K.1 luminance quantization (natural order via ZIGZAG no:
-# the table below is already in zigzag order as printed in the spec's
-# example; we store it in NATURAL order for direct use)
+# Annex K Table K.1 luminance quantization, stored in NATURAL order
 _QUANT_LUMA = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
@@ -51,7 +54,18 @@ _QUANT_LUMA = np.array([
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
 
-# Annex K standard luminance Huffman tables: (BITS[1..16], HUFFVAL)
+# Annex K Table K.2 chrominance quantization, NATURAL order
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K standard Huffman tables: (BITS[1..16], HUFFVAL)
 _DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_LUMA_VALS = list(range(12))
 _AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
@@ -76,6 +90,31 @@ _AC_LUMA_VALS = [
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA]
 
 
@@ -183,16 +222,52 @@ def _unstuff(scan: bytes) -> list[bytes]:
     return parts
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential single-component JPEG -> (h, w)
-    uint8. Raises ``NotImplementedError`` for progressive / arithmetic /
-    multi-component streams and ``ValueError`` for malformed data."""
+def _decode_block(br: _BitReader, dc_val, dc_len, ac_val, ac_len,
+                  out: np.ndarray, pred: int) -> int:
+    """Decode one 8x8 block's coefficients (T.81 F.2.2) into ``out``
+    (natural order); returns the updated DC predictor."""
+    w16 = br.peek16()
+    t = int(dc_val[w16])
+    ln = int(dc_len[w16])
+    if ln == 0:
+        raise ValueError("bad DC Huffman code")
+    br.skip(ln)
+    pred += _extend(br.read(t), t)
+    out[0] = pred
+    k = 1
+    while k < 64:
+        w16 = br.peek16()
+        rs = int(ac_val[w16])
+        ln = int(ac_len[w16])
+        if ln == 0:
+            raise ValueError("bad AC Huffman code")
+        br.skip(ln)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:                # ZRL: 16 zeros
+                k += 16
+                continue
+            break                       # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        out[ZIGZAG[k]] = _extend(br.read(s), s)
+        k += 1
+    return pred
+
+
+def _decode_planes(payload: bytes
+                   ) -> tuple[list[np.ndarray], int, int]:
+    """Parse + entropy-decode a baseline JPEG into full-resolution
+    float64 component planes (Y or Y/Cb/Cr, chroma upsampled by
+    sample replication). Returns (planes, height, width)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     width = height = 0
-    qsel = dcsel = acsel = 0
+    comps: list[dict] = []              # SOF order: id, h, v, tq
+    scan_sel: list[tuple[int, int, int]] = []   # (comp idx, dcsel, acsel)
     restart = 0
     i = 2
     n = len(payload)
@@ -233,13 +308,18 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 ">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component JPEG (colour) — greyscale baseline "
-                    "only")
-            hv, qsel = seg[7], seg[8]
-            if hv != 0x11:
-                raise NotImplementedError("subsampling")
+                    f"{ncomp}-component JPEG (CMYK/unknown)")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            if ncomp == 1:
+                # a single-component scan is non-interleaved: one data
+                # unit per MCU over the component's own block grid,
+                # sampling factors ignored (T.81 A.2.2)
+                comps[0]["h"] = comps[0]["v"] = 1
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -248,69 +328,121 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:                        # SOS
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            dcsel, acsel = seg[2] >> 4, seg[2] & 0xF
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG")
+            by_id = {c["id"]: k for k, c in enumerate(comps)}
+            for s in range(ns):
+                cid = seg[1 + 2 * s]
+                sel = seg[2 + 2 * s]
+                if cid not in by_id:
+                    raise ValueError("SOS names unknown component")
+                scan_sel.append((by_id[cid], sel >> 4, sel & 0xF))
             scan_data = payload[i + 2 + seg_len:]
             break
         i += 2 + seg_len
-    if scan_data is None or not width or not height:
+    if scan_data is None or not width or not height or not comps:
         raise ValueError("no scan data / frame header")
-    q = qt[qsel]
-    dc_val, dc_len = huff[(0, dcsel)]
-    ac_val, ac_len = huff[(1, acsel)]
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    total_blocks = bw * bh
-    coef = np.zeros((total_blocks, 64), dtype=np.int64)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if (not 1 <= c["h"] <= 4 or not 1 <= c["v"] <= 4
+                or hmax % c["h"] or vmax % c["v"]):
+            raise NotImplementedError(
+                f"sampling factors {c['h']}x{c['v']} vs max "
+                f"{hmax}x{vmax} (non-integral ratio)")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    geom = []
+    for c in comps:
+        nbx, nby = mcux * c["h"], mcuy * c["v"]
+        geom.append((nbx, nby))
+    coef = [np.zeros((nby * nbx, 64), dtype=np.int64)
+            for nbx, nby in geom]
+    tables = []
+    for ci, dcsel, acsel in scan_sel:
+        try:
+            dc_val, dc_len = huff[(0, dcsel)]
+            ac_val, ac_len = huff[(1, acsel)]
+        except KeyError:
+            raise ValueError("SOS references a missing Huffman table")
+        tables.append((ci, dc_val, dc_len, ac_val, ac_len))
+    mcu_count = mcux * mcuy
     intervals = _unstuff(scan_data)
-    blk = 0
-    per_int = restart if restart else total_blocks
+    per_int = restart if restart else mcu_count
+    mcu = 0
     for part in intervals:
-        if blk >= total_blocks:
+        if mcu >= mcu_count:
             break
         br = _BitReader(part)
-        pred = 0
-        for _ in range(min(per_int, total_blocks - blk)):
-            w16 = br.peek16()
-            t = int(dc_val[w16])
-            ln = int(dc_len[w16])
-            if ln == 0:
-                raise ValueError("bad DC Huffman code")
-            br.skip(ln)
-            diff = _extend(br.read(t), t)
-            pred += diff
-            coef[blk, 0] = pred
-            k = 1
-            while k < 64:
-                w16 = br.peek16()
-                rs = int(ac_val[w16])
-                ln = int(ac_len[w16])
-                if ln == 0:
-                    raise ValueError("bad AC Huffman code")
-                br.skip(ln)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:                # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    break                       # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                coef[blk, ZIGZAG[k]] = _extend(br.read(s), s)
-                k += 1
-            blk += 1
-    if blk != total_blocks:
+        preds = [0] * len(comps)
+        for _ in range(min(per_int, mcu_count - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, dc_val, dc_len, ac_val, ac_len in tables:
+                c = comps[ci]
+                nbx = geom[ci][0]
+                for by in range(c["v"]):
+                    row0 = (my * c["v"] + by) * nbx + mx * c["h"]
+                    for bx in range(c["h"]):
+                        preds[ci] = _decode_block(
+                            br, dc_val, dc_len, ac_val, ac_len,
+                            coef[ci][row0 + bx], preds[ci])
+            mcu += 1
+    if mcu != mcu_count:
         raise ValueError("scan ended early")
-    # dequantize + IDCT, all blocks at once (vectorized einsum)
-    blocks = (coef * q).reshape(total_blocks, 8, 8).astype(np.float64)
-    pix = np.einsum("ki,nkl,lj->nij", _A, blocks, _A) + 128.0
-    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-    np.clip(pix.round(), 0, 255, out=pix)
-    tiles = pix.astype(np.uint8).reshape(bh, bw, 8, 8)
-    out = tiles.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    return out[:height, :width]
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError("frame references a missing quant table")
+        nbx, nby = geom[ci]
+        blocks = (coef[ci] * qt[c["tq"]]).reshape(
+            nby * nbx, 8, 8).astype(np.float64)
+        # dequantize + IDCT, all blocks of the component at once
+        pix = np.einsum("ki,nkl,lj->nij", _A, blocks, _A) + 128.0
+        plane = pix.reshape(nby, nbx, 8, 8).transpose(
+            0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        # crop to the component's sampled size, then upsample to full
+        # resolution by sample replication (baseline-quality filter)
+        ch = (height * c["v"] + vmax - 1) // vmax
+        cw = (width * c["h"] + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:height, :width])
+    return planes, height, width
+
+
+def _to_u8(a: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(a), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline-sequential JPEG: (h, w) uint8 for greyscale,
+    (h, w, 3) uint8 RGB for 3-component YCbCr (JFIF colour transform).
+    Raises ``NotImplementedError`` for progressive / arithmetic /
+    12-bit / non-interleaved streams, ``ValueError`` for malformed
+    data."""
+    planes, _, _ = _decode_planes(payload)
+    if len(planes) == 1:
+        return _to_u8(planes[0])
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return _to_u8(rgb)
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to its (h, w) uint8 luma plane (the
+    decoded image for greyscale streams; the exact Y component, no
+    colour round-trip, for colour streams)."""
+    planes, _, _ = _decode_planes(payload)
+    return _to_u8(planes[0])
 
 
 class _BitWriter:
@@ -336,12 +468,79 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)       # 1-fill per spec
 
 
-def _quality_table(quality: int) -> np.ndarray:
-    """libjpeg-style quality scaling of the Annex K luminance table."""
+def _quality_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K table."""
     quality = min(max(int(quality), 1), 100)
     scale = 5000 // quality if quality < 50 else 200 - quality * 2
-    t = (_QUANT_LUMA * scale + 50) // 100
+    t = (base * scale + 50) // 100
     return np.clip(t, 1, 255)
+
+
+def _codes(bits: list[int], vals: list[int]) -> dict:
+    return {v: (c, ln) for c, ln, v in _canonical_codes(bits, vals)}
+
+
+def _tile_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) -> (n, 8, 8) row-major
+    block tiles."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    return plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(
+        -1, 8, 8)
+
+
+def _quantize(tiles: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Centered tiles -> zigzag-ordered quantized coefficient rows."""
+    coefs = np.einsum("ik,nkl,jl->nij", _A, tiles, _A)
+    qz = np.round(coefs / q.reshape(8, 8)).astype(np.int64).reshape(-1, 64)
+    return qz[:, ZIGZAG]
+
+
+def _encode_block(bwr: _BitWriter, row: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Emit one zigzag-ordered quantized block; returns the new DC
+    predictor."""
+    diff = int(row[0]) - pred
+    pred = int(row[0])
+    t = abs(diff).bit_length()
+    c, ln = dc_codes[t]
+    bwr.put(c, ln)
+    if t:
+        v = diff if diff >= 0 else diff + (1 << t) - 1
+        bwr.put(v, t)
+    run = 0
+    nz = np.nonzero(row[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(row[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]          # ZRL
+            bwr.put(c, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        c, ln = ac_codes[(run << 4) | s]
+        bwr.put(c, ln)
+        vv = v if v >= 0 else v + (1 << s) - 1
+        bwr.put(vv, s)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]              # EOB
+        bwr.put(c, ln)
+    return pred
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _pad_edge(img: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad a (h, w) float plane to multiples of
+    (mh, mw)."""
+    h, w = img.shape
+    ph, pw = -h % mh, -w % mw
+    return np.pad(img, ((0, ph), (0, pw)), mode="edge")
 
 
 def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
@@ -349,71 +548,115 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("expected (h, w) uint8")
     h, w = img.shape
-    q = _quality_table(quality)
-    dc_codes = {v: (c, ln) for c, ln, v in
-                _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)}
-    ac_codes = {v: (c, ln) for c, ln, v in
-                _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)}
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    padded = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
-    padded[:h, :w] = img
-    padded[h:, :w] = img[h - 1:h, :]            # edge replicate
-    padded[:, w:] = padded[:, w - 1:w]
-    tiles = (padded - 128.0).reshape(bh_, 8, bw_, 8).transpose(
-        0, 2, 1, 3).reshape(-1, 8, 8)
-    coefs = np.einsum("ik,nkl,jl->nij", _A, tiles, _A)
-    qz = np.round(coefs / q.reshape(8, 8)).astype(np.int64).reshape(-1, 64)
-    zz = qz[:, ZIGZAG]                          # natural -> zigzag scan
+    q = _quality_table(_QUANT_LUMA, quality)
+    dc_codes = _codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    padded = _pad_edge(img.astype(np.float64), 8, 8)
+    zz = _quantize(_tile_blocks(padded - 128.0), q)
     bwr = _BitWriter()
     pred = 0
     for row in zz:
-        diff = int(row[0]) - pred
-        pred = int(row[0])
-        mag = abs(diff)
-        t = int(mag).bit_length()
-        c, ln = dc_codes[t]
-        bwr.put(c, ln)
-        if t:
-            v = diff if diff >= 0 else diff + (1 << t) - 1
-            bwr.put(v, t)
-        run = 0
-        nz = np.nonzero(row[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(row[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = ac_codes[0xF0]          # ZRL
-                bwr.put(c, ln)
-                run -= 16
-            s = abs(v).bit_length()
-            c, ln = ac_codes[(run << 4) | s]
-            bwr.put(c, ln)
-            vv = v if v >= 0 else v + (1 << s) - 1
-            bwr.put(vv, s)
-            run = 0
-        if last < 63:
-            c, ln = ac_codes[0x00]              # EOB
-            bwr.put(c, ln)
+        pred = _encode_block(bwr, row, pred, dc_codes, ac_codes)
     bwr.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(
-            ">H", len(body) + 2) + body
-
     zz_q = np.empty(64, dtype=np.uint8)
     zz_q[:] = q[ZIGZAG]
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0x00]) + zz_q.tobytes())
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
-               + bytes([1, 0x11, 0]))
-    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS)
-               + bytes(_DC_LUMA_VALS))
-    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS)
-               + bytes(_AC_LUMA_VALS))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS)
+                + bytes(_DC_LUMA_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS)
+                + bytes(_AC_LUMA_VALS))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bwr.buf
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_color(img: np.ndarray, quality: int = 90,
+                      subsampling: str = "420") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as baseline interleaved
+    YCbCr JPEG at 4:4:4 (``subsampling="444"``) or 4:2:0 (default;
+    box-filter chroma downsample)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8 RGB")
+    if subsampling not in ("444", "420"):
+        raise NotImplementedError(f"subsampling {subsampling!r}")
+    h, w = img.shape[:2]
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    sub = subsampling == "420"
+    lh = lv = 2 if sub else 1
+    mcu_h, mcu_w = 8 * lv, 8 * lh
+    y = _pad_edge(y, mcu_h, mcu_w)
+    cb = _pad_edge(cb, mcu_h, mcu_w)
+    cr = _pad_edge(cr, mcu_h, mcu_w)
+    if sub:
+        # 2x2 box-filter downsample of the (already even-sized) chroma
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2
+                        ).mean(axis=(1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2
+                        ).mean(axis=(1, 3))
+    ql = _quality_table(_QUANT_LUMA, quality)
+    qc = _quality_table(_QUANT_CHROMA, quality)
+    zz_y = _quantize(_tile_blocks(y - 128.0), ql)
+    zz_cb = _quantize(_tile_blocks(cb - 128.0), qc)
+    zz_cr = _quantize(_tile_blocks(cr - 128.0), qc)
+    dc_l = _codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    y_nbx = y.shape[1] // 8
+    c_nbx = cb.shape[1] // 8
+    mcux = y.shape[1] // mcu_w
+    mcuy = y.shape[0] // mcu_h
+    bwr = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(lv):               # luma data units
+                row0 = (my * lv + by) * y_nbx + mx * lh
+                for bx in range(lh):
+                    preds[0] = _encode_block(bwr, zz_y[row0 + bx],
+                                             preds[0], dc_l, ac_l)
+            ci = my * c_nbx + mx
+            preds[1] = _encode_block(bwr, zz_cb[ci], preds[1], dc_c, ac_c)
+            preds[2] = _encode_block(bwr, zz_cr[ci], preds[2], dc_c, ac_c)
+    bwr.flush()
+    zq_l = np.empty(64, dtype=np.uint8)
+    zq_l[:] = ql[ZIGZAG]
+    zq_c = np.empty(64, dtype=np.uint8)
+    zq_c[:] = qc[ZIGZAG]
+    hv_l = (lh << 4) | lv
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + zq_l.tobytes())
+    out += _seg(0xDB, bytes([0x01]) + zq_c.tobytes())
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, hv_l, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS)
+                + bytes(_DC_LUMA_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS)
+                + bytes(_AC_LUMA_VALS))
+    out += _seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA_BITS)
+                + bytes(_DC_CHROMA_VALS))
+    out += _seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA_BITS)
+                + bytes(_AC_CHROMA_VALS))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bwr.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "420") -> bytes:
+    """Encode uint8 greyscale (h, w) or RGB (h, w, 3) as baseline
+    JPEG."""
+    if img.ndim == 2:
+        return encode_jpeg_gray(img, quality=quality)
+    return encode_jpeg_color(img, quality=quality,
+                             subsampling=subsampling)

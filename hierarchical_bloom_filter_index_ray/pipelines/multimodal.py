@@ -131,9 +131,10 @@ class MediaFeatureExtractor:
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _real_features(self, payload: bytes) -> np.ndarray:
-        """Dispatch on payload magic bytes: PNG, WAV, greyscale JPEG and
-        P5 decode through the baseline pure-numpy codecs. What remains
-        of the codec seam: colour/progressive JPEG and mp4."""
+        """Dispatch on payload magic bytes: PNG, WAV, baseline JPEG
+        (greyscale or interleaved YCbCr colour) and P5 decode through
+        the baseline pure-numpy codecs. What remains of the codec seam:
+        progressive JPEG and mp4."""
         from ..functions.codecs import decode_png, decode_wav, \
             wav_features
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -145,15 +146,17 @@ class MediaFeatureExtractor:
             samples, rate = decode_wav(payload)
             return wav_features(samples, rate, self.feature_dim)
         if payload[:2] == b"\xff\xd8":
-            from ..functions.jpeg import decode_jpeg_gray
-            return pgm_features(decode_jpeg_gray(payload),
-                                self.feature_dim)
+            from ..functions.jpeg import decode_jpeg
+            img = decode_jpeg(payload)
+            if img.ndim == 3:          # luma approximation for features
+                img = img.mean(axis=2).astype(np.uint8)
+            return pgm_features(img, self.feature_dim)
         if payload[:2] == b"P5":
             return pgm_features(decode_pgm(payload), self.feature_dim)
         raise NotImplementedError(
-            "payload is not PNG/WAV/PGM/greyscale-JPEG — colour or "
-            "progressive JPEG and mp4 decoding is the declared codec "
-            "seam (README media matrix)")
+            "payload is not PNG/WAV/PGM/baseline-JPEG — progressive "
+            "JPEG and mp4 decoding is the declared codec seam (README "
+            "media matrix)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:
         """Deterministic stand-in: features = seeded hash-mix of payload
@@ -331,7 +334,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
     (``functions/codecs.py``)."""
     def gen(batch: dict) -> pa.Table:
         from ..functions.codecs import encode_png, encode_wav
-        from ..functions.jpeg import encode_jpeg_gray
+        from ..functions.jpeg import encode_jpeg_color, encode_jpeg_gray
         ids = np.asarray(batch["id"], dtype=np.int64)
         payloads = []
         for i in ids:
@@ -345,6 +348,12 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                 payloads.append(encode_jpeg_gray(synth_frame(
                     i, 0, seed=seed, width=width, height=height),
                     quality=92))
+            elif kind == "jpeg_rgb":
+                frames = np.stack([synth_frame(
+                    i, f, seed=seed, width=width, height=height)
+                    for f in range(3)], axis=2)
+                payloads.append(encode_jpeg_color(frames, quality=92,
+                                                  subsampling="420"))
             elif kind == "wav":
                 t = np.arange(width * height, dtype=np.float64)
                 tone = np.sin(2 * np.pi * (220 + 11 * (int(i) % 8))
@@ -362,6 +371,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                              + np.uint64(i), seed) & np.uint64(255)
                 ).astype(np.uint8).tolist()))
         mt = {"pgm": "image/x-portable-graymap", "jpeg": "image/jpeg",
+              "jpeg_rgb": "image/jpeg",
               "pgmv": "video/x-pgm-frames", "png": "image/png",
               "wav": "audio/wav"}.get(kind, "image/fake")
         return pa.table({

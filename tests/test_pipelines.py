@@ -867,6 +867,117 @@ class TestJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg_gray(b"\x00\x01not a jpeg")
 
+    def test_hand_built_420_colour_mcu(self):
+        """One hand-assembled 4:2:0 MCU (16x16): four DC-only luma
+        blocks (chained predictor) + DC-only Cb/Cr. Expected RGB is
+        computed from the JFIF inverse transform on the hand-known
+        plane values — fully independent of the encoder."""
+        import struct as st
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import (
+            _AC_CHROMA_BITS, _AC_CHROMA_VALS, _AC_LUMA_BITS,
+            _AC_LUMA_VALS, _DC_CHROMA_BITS, _DC_CHROMA_VALS,
+            _DC_LUMA_BITS, _DC_LUMA_VALS, decode_jpeg, decode_jpeg_gray)
+        dc_l = _hand_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        ac_l = _hand_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+        dc_c = _hand_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        ac_c = _hand_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+        def put_dc(bits, diff, dc, ac):
+            if diff == 0:
+                bits.put(*dc[0])
+            else:
+                t = abs(diff).bit_length()
+                bits.put(*dc[t])
+                bits.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            bits.put(*ac[0x00])                 # EOB
+
+        bits = _HandBits()
+        for diff in (3, 1, -2, 1):              # Y blocks, chained DCs
+            put_dc(bits, diff, dc_l, ac_l)
+        put_dc(bits, 2, dc_c, ac_c)             # Cb DC = 2
+        put_dc(bits, -1, dc_c, ac_c)            # Cr DC = -1
+
+        def seg(m, body):
+            return bytes([0xFF, m]) + st.pack(">H", len(body) + 2) + body
+
+        jpg = bytearray(b"\xff\xd8")
+        jpg += seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+        jpg += seg(0xDB, bytes([0x01]) + bytes([16] * 64))
+        jpg += seg(0xC0, st.pack(">BHHB", 8, 16, 16, 3)
+                   + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        jpg += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS)
+                   + bytes(_DC_LUMA_VALS))
+        jpg += seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS)
+                   + bytes(_AC_LUMA_VALS))
+        jpg += seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA_BITS)
+                   + bytes(_DC_CHROMA_VALS))
+        jpg += seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA_BITS)
+                   + bytes(_AC_CHROMA_VALS))
+        jpg += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        jpg += bits.bytes_() + b"\xff\xd9"
+        img = decode_jpeg(bytes(jpg))
+        assert img.shape == (16, 16, 3)
+        # plane values: DC-only IDCT = dc*quant/8 + 128
+        y_plane = np.zeros((16, 16))
+        for (qy, qx), dcv in zip(((0, 0), (0, 1), (1, 0), (1, 1)),
+                                 (3, 4, 2, 3)):  # cumulative predictor
+            y_plane[qy * 8:(qy + 1) * 8, qx * 8:(qx + 1) * 8] = \
+                128 + dcv * 16 / 8
+        cb, cr = (128 + 2 * 16 / 8) - 128.0, (128 - 1 * 16 / 8) - 128.0
+        want = np.stack([y_plane + 1.402 * cr,
+                         y_plane - 0.344136 * cb - 0.714136 * cr,
+                         y_plane + 1.772 * cb], axis=2)
+        want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+        assert np.array_equal(img, want)
+        # luma accessor: the exact Y plane, no colour round trip
+        assert np.array_equal(decode_jpeg_gray(bytes(jpg)),
+                              y_plane.astype(np.uint8))
+
+    def test_colour_round_trips(self):
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_color)
+        h, w = 40, 56
+        yy, xx = np.mgrid[0:h, 0:w]
+        smooth = np.stack([np.clip(xx * 3 + 40, 0, 255),
+                           np.clip(yy * 2 + 60, 0, 255),
+                           np.clip(120 + xx + yy, 0, 255)],
+                          axis=2).astype(np.uint8)
+        for sub, tol in (("444", 6), ("420", 8)):
+            dec = decode_jpeg(encode_jpeg_color(smooth, quality=95,
+                                                subsampling=sub))
+            assert dec.shape == (h, w, 3)
+            err = np.abs(dec.astype(int) - smooth.astype(int)).max()
+            assert err <= tol, (sub, err)
+        # odd sizes keep exact output shape through MCU padding
+        rng = np.random.default_rng(11)
+        for hh, ww in ((7, 5), (17, 19), (16, 16), (8, 24)):
+            im = rng.integers(0, 255, (hh, ww, 3)).astype(np.uint8)
+            for sub in ("444", "420"):
+                d = decode_jpeg(encode_jpeg(im, quality=90,
+                                            subsampling=sub))
+                assert d.shape == (hh, ww, 3), (hh, ww, sub)
+
+    def test_feature_stage_decodes_colour_jpeg(self, ray_session):
+        """decoder='real' handles colour JPEG payloads end to end:
+        features equal pgm_features of the decoded image's channel
+        mean (same luma approximation as the PNG branch)."""
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import \
+            decode_jpeg
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+            extract_features, pgm_features, synth_media)
+        out = extract_features(
+            synth_media(8, seed=9, kind="jpeg_rgb"), decoder="real",
+            feature_dim=8, concurrency=2).take_all()
+        assert len(out) == 8
+        payloads = {r["media_id"]: r["payload"]
+                    for r in synth_media(8, seed=9,
+                                         kind="jpeg_rgb").take_all()}
+        for row in out:
+            img = decode_jpeg(payloads[row["media_id"]])
+            assert img.ndim == 3
+            want = pgm_features(img.mean(axis=2).astype(np.uint8), 8)
+            np.testing.assert_allclose(row["features"], want, rtol=1e-6)
+
     def test_feature_stage_decodes_jpeg(self, ray_session):
         """decoder='real' magic-byte dispatch: the actor-pool stage
         extracts features from REAL JPEG payloads, equal to features of
