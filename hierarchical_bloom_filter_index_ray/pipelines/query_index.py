@@ -72,12 +72,27 @@ def compile_queries(queries: list[tuple[str, list[int]]], cfg: HbiConfig,
 
 def _grouped_arange(starts: np.ndarray, lens: np.ndarray
                     ) -> tuple[np.ndarray, np.ndarray]:
-    """Flat gather indices for per-pair key segments + segment offsets."""
+    """Flat gather indices for per-pair key segments + segment offsets.
+
+    Built as a strided cumsum (ones + boundary scatter + one cumsum pass)
+    rather than arange minus two ``np.repeat``s — three memory passes
+    instead of five over what is the hot path's largest temporary."""
     offs = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     total = int(offs[-1])
-    idx = (np.arange(total, dtype=np.int64)
-           - np.repeat(offs[:-1], lens) + np.repeat(starts, lens))
+    if not total:
+        return np.empty(0, np.int64), offs
+    nz = lens > 0
+    starts_nz = starts[nz]
+    offs_nz = offs[:-1][nz]
+    idx = np.ones(total, dtype=np.int64)
+    # at each segment boundary, jump from the previous segment's last
+    # index (+1 already applied by the ones) to the next segment's start
+    idx[offs_nz[0]] = starts_nz[0]
+    if len(starts_nz) > 1:
+        prev_last = starts_nz[:-1] + np.diff(offs_nz) - 1
+        idx[offs_nz[1:]] = starts_nz[1:] - prev_last
+    np.cumsum(idx, out=idx)
     return idx, offs
 
 
@@ -330,43 +345,65 @@ def _match_pairs(flat: np.ndarray, offsets: np.ndarray,
                  q_tokens: list[np.ndarray]
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Exact sliding-window match for a set of (row, query) candidate
-    pairs: per query, ONE vectorized shifted-compare sweep over the
-    gathered candidate-doc token stream (no per-candidate Python). Returns
-    (matched row indices, matched query indices, per-pair occurrence
-    counts — overlapping starts each count, matching the reference's
-    per-position ``report``)."""
+    pairs. Pairs are sorted by query once, the candidate token segments
+    are gathered in ONE global fancy-index (round-4 perf: the old
+    per-query gather rebuilt arange/repeat index arrays 288x per batch —
+    ~70% of verify CPU was index construction, not matching), and each
+    query then runs its vectorized shifted-compare sweep over its own
+    contiguous slice. Per-row tail positions are killed by L-1 sparse
+    scatters instead of materializing a per-token local-position array.
+    Returns (matched row indices, matched query indices, per-pair
+    occurrence counts — overlapping starts each count, matching the
+    reference's per-position ``report``)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int32),
+             np.empty(0, np.int64))
+    if not len(pair_rows):
+        return empty
+    order = np.argsort(pair_qis, kind="stable")
+    pr, pq = pair_rows[order], pair_qis[order]
+    seg_lens = offsets[pr + 1] - offsets[pr]
+    qlens = np.array([len(q) for q in q_tokens], dtype=np.int64)
+    fits = seg_lens >= qlens[pq]
+    pr, pq, seg_lens = pr[fits], pq[fits], seg_lens[fits]
+    if not len(pr):
+        return empty
+    take, sub_offs = _grouped_arange(offsets[pr], seg_lens)
+    sub = flat[take]
+    uq = np.unique(pq)
+    qbounds = np.searchsorted(pq, uq)
+    qbounds = np.concatenate([qbounds, [len(pq)]])
     out_row_parts: list[np.ndarray] = []
     out_qi_parts: list[np.ndarray] = []
     out_cnt_parts: list[np.ndarray] = []
-    for qi in np.unique(pair_qis):
+    for t, qi in enumerate(uq):
+        a, b = int(qbounds[t]), int(qbounds[t + 1])
+        s0, s1 = int(sub_offs[a]), int(sub_offs[b])
+        subq = sub[s0:s1]
+        offsq = sub_offs[a:b + 1] - s0
         q = q_tokens[qi]
         L = len(q)
-        rows_q = pair_rows[pair_qis == qi]
-        seg_lens = offsets[rows_q + 1] - offsets[rows_q]
-        fits = seg_lens >= L
-        rows_q, seg_lens = rows_q[fits], seg_lens[fits]
-        if not len(rows_q):
-            continue
-        take, sub_offs = _grouped_arange(offsets[rows_q], seg_lens)
-        sub = flat[take]
-        m = sub == q[0]
+        n = len(subq)
+        m = subq == q[0]
         for j in range(1, L):
-            m[len(sub) - j:] = False
-            m[:len(sub) - j] &= sub[j:] == q[j]
-        # a match starting at local position t needs t + L <= row_len
-        row_of = np.repeat(np.arange(len(rows_q)), seg_lens)
-        local = (np.arange(len(sub), dtype=np.int64)
-                 - np.repeat(sub_offs[:-1], seg_lens))
-        m &= local <= np.repeat(seg_lens - L, seg_lens)
-        counts = np.bincount(row_of[m], minlength=len(rows_q))
+            m[n - j:] = False
+            m[:n - j] &= subq[j:] == q[j]
+        # a match starting at local position t needs t + L <= row_len:
+        # zero the last L-1 start positions of every row (each row fits,
+        # so these scatters never cross into the previous row)
+        for j in range(1, L):
+            m[offsq[1:] - j] = False
+        posm = np.nonzero(m)[0]
+        if not len(posm):
+            continue
+        rowm = np.searchsorted(offsq, posm, side="right") - 1
+        counts = np.bincount(rowm, minlength=b - a)
         hit = np.nonzero(counts)[0]
         if len(hit):
-            out_row_parts.append(rows_q[hit])
+            out_row_parts.append(pr[a:b][hit])
             out_qi_parts.append(np.full(len(hit), qi, dtype=np.int32))
             out_cnt_parts.append(counts[hit].astype(np.int64))
     if not out_row_parts:
-        return (np.empty(0, np.int64), np.empty(0, np.int32),
-                np.empty(0, np.int64))
+        return empty
     return (np.concatenate(out_row_parts), np.concatenate(out_qi_parts),
             np.concatenate(out_cnt_parts))
 
@@ -651,6 +688,29 @@ def prune_sequence_files(sequences_meta: list[dict], cand_structs: dict,
         sequences_meta, np.array(sorted(wins), dtype=np.int64))
 
 
+def _wins_from_prune(res, manifest_sources: list[str],
+                     sources: list[str] | None) -> np.ndarray | None:
+    """Candidate-window superset derived from the super descend result,
+    mirroring ``_SuperGate`` exactly: a covered source contributes its
+    window union (empty = every query died there); an uncovered source
+    passes the gate unfiltered, so no file can be pruned — return None
+    and let the caller fall back to the exact candidate unions."""
+    if res is None:
+        return None
+    relevant = (manifest_sources if sources is None
+                else [s for s in manifest_sources if s in set(sources)])
+    parts: list[np.ndarray] = []
+    for s in relevant:
+        if s not in res.covered_sources:
+            return None
+        w = res.window_union.get(str(s))
+        if w is None or not len(w):
+            continue
+        parts.append(np.asarray(w, dtype=np.int64))
+    return (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64))
+
+
 def _prune_files_by_windows(sequences_meta: list[dict],
                             w: np.ndarray) -> list[str]:
     if not len(w):
@@ -926,9 +986,25 @@ def _membership_hits(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
     # through the object store; the driver only ever fetches the tiny
     # per-slice candidate-window unions (for file pruning), and only when
     # file pruning is on.
+    # file-pruning windows: prefer the descend's window union — already
+    # a driver-resident superset of every candidate window (the gate
+    # filtered index rows to exactly those windows), so the exchange
+    # needs NO driver-side sync at all and the verify read schedules
+    # against lazy struct refs while the merge tasks are still running
+    # (round-4 scaling work: the exchange barrier was ~1 s of the
+    # per-batch serial floor)
+    cand_wins: np.ndarray | None = None
+    if not n_cand:
+        cand_wins = np.empty(0, np.int64)
+    elif sequences_meta is not None and sprune_ref is not None \
+            and super_dir is not None:
+        from .build_index import load_manifest
+        man = load_manifest(super_dir)
+        if man and man.get("sources"):
+            cand_wins = _wins_from_prune(ray.get(sprune_ref),
+                                         sorted(man["sources"]), sources)
     refs = cand_mat.to_arrow_refs()
     c_ref: list = []
-    cand_wins = np.empty(0, np.int64)
     if n_cand and refs:
         K = min(16, max(2, len(refs)))
         part_refs = [
@@ -938,14 +1014,17 @@ def _membership_hits(index_ds: "rd.Dataset", sequences_ds: "rd.Dataset",
             cfg.window_bits, [pr[k] for pr in part_refs])
             for k in range(K)]
         c_ref = [p[0] for p in pairs]
-        if sequences_meta is not None:
-            # window unions drive file pruning only: without
-            # sequences_meta, skip this driver sync entirely — the
+        if sequences_meta is not None and cand_wins is None:
+            # exact-union fallback (no super store / uncovered source):
+            # window unions drive file pruning only — without
+            # sequences_meta, skip this driver sync entirely; the
             # verify stage resolves the structs lazily on its workers
             win_parts = [w for w in ray.get([p[1] for p in pairs])
                          if len(w)]
-            if win_parts:
-                cand_wins = np.unique(np.concatenate(win_parts))
+            cand_wins = (np.unique(np.concatenate(win_parts))
+                         if win_parts else np.empty(0, np.int64))
+    if cand_wins is None:
+        cand_wins = np.empty(0, np.int64)
     if stats is not None:
         stats["t_exchange"] = round(_time.perf_counter() - _t1, 3)
     verify_ds = sequences_ds

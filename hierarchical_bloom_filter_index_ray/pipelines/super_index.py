@@ -679,12 +679,21 @@ def _expand_allowed(f_src: np.ndarray, f_node: np.ndarray,
 
 
 _COORD_NAME = "hbi_super_coordinator"
+# descend shard pool: a 288-query batch descends ~1.5 s on ONE actor
+# (measured round 4) — a serial per-batch floor that caps query scaling.
+# Sharding the query list across a small actor pool moves that time into
+# the parallel fraction; small batches (the common oracle case) keep a
+# single actor. Each pool member caches the same read-only store; on a
+# multi-node cluster Ray spreads the pool, so the cache cost is per-node.
+_COORD_POOL = 4
+_QUERIES_PER_SHARD = 64
 
 
-def _coordinator():
+def _coordinator(shard: int = 0):
     import ray
+    name = _COORD_NAME if shard == 0 else f"{_COORD_NAME}_{shard}"
     return _SuperCoordinatorImpl.options(
-        name=_COORD_NAME, get_if_exists=True, num_cpus=0).remote()
+        name=name, get_if_exists=True, num_cpus=0).remote()
 
 
 class _SuperCoordinator:
@@ -724,12 +733,55 @@ class _SuperCoordinator:
         return True
 
 
+def _merge_prune_results(offsets: list[int], parts: list
+                         ) -> SuperPruneResult | None:
+    """Merge per-shard descend results (shard s covers compiled queries
+    [offsets[s], offsets[s] + len(shard))) into one batch-wide
+    ``SuperPruneResult``: window unions union per source, per-window
+    allowed query lists concatenate with the shard's query indices
+    remapped to batch positions."""
+    import ray
+    parts = ray.get(list(parts))
+    if any(p is None for p in parts):
+        return None
+    union: dict = {}
+    per_src_w: dict[str, list] = {}
+    for p in parts:
+        for s, w in p.window_union.items():
+            per_src_w.setdefault(s, []).append(w)
+    for s, ws in per_src_w.items():
+        union[s] = (None if any(w is None for w in ws)
+                    else np.unique(np.concatenate(ws))
+                    if ws else np.empty(0, np.int64))
+    per_src_a: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    for off, p in zip(offsets, parts):
+        for s, (wins, offs, qi) in p.allowed.items():
+            seg = np.diff(offs)
+            per_src_a.setdefault(s, []).append(
+                (np.repeat(wins, seg), qi + off))
+    allowed: dict = {}
+    for s, chunks in per_src_a.items():
+        w = np.concatenate([c[0] for c in chunks])
+        q = np.concatenate([c[1] for c in chunks])
+        order = np.lexsort((q, w))
+        w, q = w[order], q[order]
+        uw, starts = np.unique(w, return_index=True)
+        offs = np.concatenate([starts, [len(w)]]).astype(np.int64)
+        allowed[s] = (uw, offs, q)
+    covered = set()
+    for p in parts:
+        covered |= p.covered_sources
+    return SuperPruneResult(union, allowed,
+                            sum(p.probes for p in parts), covered)
+
+
 def _make_remote():
     import ray
     return ray.remote(_SuperCoordinator)
 
 
 _SuperCoordinatorImpl = None
+_MergePruneImpl = None
 
 
 def super_prune_async(out_dir: str, cfg: HbiConfig, compiled: list[dict],
@@ -747,18 +799,39 @@ def super_prune_async(out_dir: str, cfg: HbiConfig, compiled: list[dict],
         return None
     if meta.get("params_hash") not in (None, cfg.params_hash()):
         return None
+    global _MergePruneImpl
+    import ray
     if _SuperCoordinatorImpl is None:
         _SuperCoordinatorImpl = _make_remote()
-    coord = _coordinator()
-    return coord.prune.remote(out_dir, cfg, compiled, sources, window_range)
+    n_shards = min(_COORD_POOL,
+                   max(1, len(compiled) // _QUERIES_PER_SHARD))
+    if n_shards <= 1:
+        return _coordinator().prune.remote(out_dir, cfg, compiled,
+                                           sources, window_range)
+    size = (len(compiled) + n_shards - 1) // n_shards
+    refs, offs = [], []
+    for s in range(n_shards):
+        part = compiled[s * size:(s + 1) * size]
+        if not part:
+            break
+        refs.append(_coordinator(s).prune.remote(
+            out_dir, cfg, part, sources, window_range))
+        offs.append(s * size)
+    if _MergePruneImpl is None:
+        _MergePruneImpl = ray.remote(num_cpus=0)(_merge_prune_results)
+    # refs nested in a list (not expanded): the merge task ray.gets the
+    # small per-shard results itself
+    return _MergePruneImpl.remote(offs, refs)
 
 
-def warm_super_coordinator(out_dir: str) -> bool:
-    """Open the super store inside the coordinator actor (one-time,
-    untimed cost per index — the bench/driver analogue of a query
-    coordinator keeping the upper tree resident)."""
+def warm_super_coordinator(out_dir: str, shards: int = _COORD_POOL
+                           ) -> bool:
+    """Open the super store inside the coordinator actor pool (one-time,
+    untimed cost per index — the bench/driver analogue of query
+    coordinators keeping the upper tree resident)."""
     global _SuperCoordinatorImpl
     import ray
     if _SuperCoordinatorImpl is None:
         _SuperCoordinatorImpl = _make_remote()
-    return ray.get(_coordinator().warm.remote(out_dir))
+    return all(ray.get([_coordinator(s).warm.remote(out_dir)
+                        for s in range(max(1, shards))]))
