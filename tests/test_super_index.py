@@ -411,3 +411,74 @@ class TestSuperCombinedModes:
                                  planner="multilevel", super_dir=index_dir)
         assert base.num_rows > 0
         assert base.equals(combo)
+
+
+class TestRound4FloorCuts:
+    """Round-4 query-path floor work: the sharded descend merge and the
+    descend-union file pruning (exchange sync removal)."""
+
+    def test_sharded_descend_equals_single(self, index_dir, corpus,
+                                           sample_tokens):
+        """A batch large enough to shard across the coordinator pool
+        returns bit-identical prune state to the serial descend."""
+        import ray
+
+        from hierarchical_bloom_filter_index_ray.pipelines.super_index \
+            import _QUERIES_PER_SHARD, super_prune, super_prune_async
+        queries = []
+        for i in range(3 * _QUERIES_PER_SHARD):
+            toks = sample_tokens[i % len(sample_tokens)]
+            queries.append((f"q{i}", [int(t) + (i // len(sample_tokens))
+                                      for t in toks]))
+        queries.append(("missing", [2**30 + 1, 2**30 + 2]))
+        compiled = compile_queries(queries, CFG)
+        serial = super_prune(index_dir, CFG, compiled)
+        sharded = ray.get(super_prune_async(index_dir, CFG, compiled))
+        assert serial is not None and sharded is not None
+        assert sharded.probes == serial.probes
+        assert sharded.covered_sources == serial.covered_sources
+        assert set(sharded.window_union) == set(serial.window_union)
+        for s, w in serial.window_union.items():
+            if w is None:
+                assert sharded.window_union[s] is None
+            else:
+                np.testing.assert_array_equal(sharded.window_union[s], w)
+        assert set(sharded.allowed) == set(serial.allowed)
+        for s, (wins, offs, qi) in serial.allowed.items():
+            w2, o2, q2 = sharded.allowed[s]
+            np.testing.assert_array_equal(w2, wins)
+            np.testing.assert_array_equal(o2, offs)
+            # per-window query lists are sets (merge may reorder)
+            for k in range(len(wins)):
+                assert (set(q2[o2[k]:o2[k + 1]].tolist())
+                        == set(qi[offs[k]:offs[k + 1]].tolist()))
+
+    def test_wins_from_prune_mirrors_gate(self, index_dir, sample_tokens):
+        """The descend-union pruning helper returns exactly the windows
+        the _SuperGate would pass — and refuses to prune (None) when a
+        relevant source is not covered by the store."""
+        import ray
+
+        from hierarchical_bloom_filter_index_ray.pipelines.query_index \
+            import _wins_from_prune
+        from hierarchical_bloom_filter_index_ray.pipelines.super_index \
+            import super_prune
+        compiled = compile_queries(
+            [("q0", sample_tokens[0]),
+             ("missing", [2**30 + 1, 2**30 + 2])], CFG)
+        res = super_prune(index_dir, CFG, compiled)
+        assert res is not None
+        srcs = sorted(res.covered_sources)
+        wins = _wins_from_prune(res, srcs, None)
+        assert wins is not None
+        expect = np.unique(np.concatenate(
+            [res.window_union[s] for s in srcs
+             if res.window_union.get(s) is not None
+             and len(res.window_union[s])]))
+        np.testing.assert_array_equal(wins, expect)
+        # an uncovered relevant source forbids pruning entirely
+        assert _wins_from_prune(res, srcs + ["not_in_store"], None) is None
+        # scoping to covered sources restores pruning
+        assert _wins_from_prune(res, srcs + ["not_in_store"],
+                                srcs) is not None
+        assert _wins_from_prune(None, srcs, None) is None
