@@ -120,6 +120,7 @@ def main(gen_only: bool = False) -> None:
         ray.shutdown()
         return
     warm = rd.read_parquet(synth_path).count()  # warm page cache (untimed)
+    probe_pre = _noise_probe()
 
     # -- headline: sketch-index build over the pre-tokenized synth corpus
     if "build" in STAGES:
@@ -290,7 +291,13 @@ def main(gen_only: bool = False) -> None:
         timings["emb_sim_join"] = time.perf_counter() - t0
 
     total = sum(timings.values())
-    extras["noise_probe_sec"] = _noise_probe()
+    # probe at BOTH ends: a round-4 run's 16-cpu leg collapsed 1.8x
+    # across all stages while a clean END-of-run probe said calm — a
+    # single probe can miss mid-run steal; the reported scalar is the
+    # worse of the two (pre kept separately for transparency)
+    probe_post = _noise_probe()
+    extras["noise_probe_pre_sec"] = probe_pre
+    extras["noise_probe_sec"] = max(probe_pre, probe_post)
     print(json.dumps({
         "metric": "hbi_ray_build_query_bench",
         "value": round(total, 3),
