@@ -587,3 +587,21 @@ class TestSynthSource:
         for row in t:
             assert row["n_tok"] == len(row["tokens"])
             assert row["source"].startswith("src")
+
+
+def test_default_concurrency_never_starves_the_read(ray_session,
+                                                    monkeypatch):
+    """Round-4 regression: at 2 cluster CPUs the pool must leave a slot
+    for the upstream read (max(2, cpus-2) handed BOTH cpus to the pool
+    and the build wedged at 0 blocks)."""
+    import ray as ray_mod
+
+    from hierarchical_bloom_filter_index_ray.stages import \
+        default_concurrency
+    for cpus, want_max in ((1, 1), (2, 1), (3, 2), (4, 2), (8, 6),
+                           (32, 30)):
+        monkeypatch.setattr(ray_mod, "cluster_resources",
+                            lambda c=cpus: {"CPU": c})
+        n = default_concurrency()
+        assert 1 <= n <= max(1, cpus - 1), (cpus, n)
+        assert n == want_max, (cpus, n)
