@@ -349,10 +349,12 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                     i, 0, seed=seed, width=width, height=height),
                     quality=92))
             elif kind == "jpeg_rgb":
-                frames = np.stack([synth_frame(
+                # NB: don't name this `frames` — it would shadow the
+                # enclosing parameter the pgmv branch reads
+                rgb = np.stack([synth_frame(
                     i, f, seed=seed, width=width, height=height)
                     for f in range(3)], axis=2)
-                payloads.append(encode_jpeg_color(frames, quality=92,
+                payloads.append(encode_jpeg_color(rgb, quality=92,
                                                   subsampling="420"))
             elif kind == "wav":
                 t = np.arange(width * height, dtype=np.float64)
