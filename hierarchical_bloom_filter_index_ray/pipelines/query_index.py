@@ -351,20 +351,38 @@ def _match_pairs(flat: np.ndarray, offsets: np.ndarray,
                  q_tokens: list[np.ndarray]
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Exact sliding-window match for a set of (row, query) candidate
-    pairs. Pairs are sorted by query once, the candidate token segments
-    are gathered in ONE global fancy-index (round-4 perf: the old
-    per-query gather rebuilt arange/repeat index arrays 288x per batch —
-    ~70% of verify CPU was index construction, not matching), and each
-    query then runs its vectorized shifted-compare sweep over its own
-    contiguous slice. Per-row tail positions are killed by L-1 sparse
-    scatters instead of materializing a per-token local-position array.
-    Returns (matched row indices, matched query indices, per-pair
-    occurrence counts — overlapping starts each count, matching the
-    reference's per-position ``report``)."""
+    pairs, adaptive per query:
+
+    - **full-scan** (high-cardinality queries): when a query's candidate
+      segments cover >= ``HBI_FULLSCAN_FRAC`` (default 0.5) of the
+      batch's flat token array, the shifted-compare sweep runs over the
+      WHOLE flat array sequentially and the matched rows are intersected
+      with the candidate row set afterwards. The per-pair segment gather
+      is skipped entirely — for frequent patterns it was re-reading each
+      row's tokens once per candidate query (~5 GB of random gathers per
+      288-query batch at sf0.1x4), which saturated the memory bus and
+      capped multi-worker scaling; the flat array is a few MB and
+      streams through cache. Intersecting afterwards keeps results
+      identical: candidates are a superset of true matches (bloom
+      no-false-negative) and the intersection re-applies any upstream
+      per-query scope filtering exactly.
+    - **gather** (selective queries): candidate segments are gathered in
+      ONE global fancy-index across all such queries (round-4 perf: the
+      old per-query gather rebuilt arange/repeat index arrays 288x per
+      batch — ~70% of verify CPU was index construction, not matching),
+      and each query runs its sweep over its own contiguous slice.
+
+    Per-row tail positions are killed by L-1 sparse scatters instead of
+    materializing a per-token local-position array. Returns (matched row
+    indices, matched query indices, per-pair occurrence counts —
+    overlapping starts each count, matching the reference's
+    per-position ``report``)."""
+    import os as _os
     empty = (np.empty(0, np.int64), np.empty(0, np.int32),
              np.empty(0, np.int64))
     if not len(pair_rows):
         return empty
+    offsets = np.asarray(offsets)
     order = np.argsort(pair_qis, kind="stable")
     pr, pq = pair_rows[order], pair_qis[order]
     seg_lens = offsets[pr + 1] - offsets[pr]
@@ -373,21 +391,72 @@ def _match_pairs(flat: np.ndarray, offsets: np.ndarray,
     pr, pq, seg_lens = pr[fits], pq[fits], seg_lens[fits]
     if not len(pr):
         return empty
-    take, sub_offs = _grouped_arange(offsets[pr], seg_lens)
-    sub = flat[take]
     uq = np.unique(pq)
     qbounds = np.searchsorted(pq, uq)
     qbounds = np.concatenate([qbounds, [len(pq)]])
+    qcounts = qbounds[1:] - qbounds[:-1]
+    n_flat = len(flat)
+    n_rows = len(offsets) - 1
+    frac = float(_os.environ.get("HBI_FULLSCAN_FRAC", "0.5"))
+    seg_cum = np.concatenate([[0], np.cumsum(seg_lens)])
+    scan_q = ((seg_cum[qbounds[1:]] - seg_cum[qbounds[:-1]])
+              >= frac * max(1, n_flat))
+    # one global gather over the pairs of gather-path queries only
+    pair_scan = np.repeat(scan_q, qcounts)
+    pr_g, seg_g = pr[~pair_scan], seg_lens[~pair_scan]
+    if len(pr_g):
+        take, sub_offs = _grouped_arange(offsets[pr_g], seg_g)
+        sub = flat[take]
+    else:
+        sub = flat[:0]
+        sub_offs = np.zeros(1, np.int64)
+    qb_g = np.concatenate(
+        [[0], np.cumsum(np.where(scan_q, 0, qcounts))])
+    # reused full-scan buffers (allocated once per batch, not per query)
+    m_buf = tmp_buf = None
     out_row_parts: list[np.ndarray] = []
     out_qi_parts: list[np.ndarray] = []
     out_cnt_parts: list[np.ndarray] = []
     for t, qi in enumerate(uq):
         a, b = int(qbounds[t]), int(qbounds[t + 1])
-        s0, s1 = int(sub_offs[a]), int(sub_offs[b])
-        subq = sub[s0:s1]
-        offsq = sub_offs[a:b + 1] - s0
         q = q_tokens[qi]
         L = len(q)
+        if scan_q[t]:
+            if m_buf is None:
+                m_buf = np.empty(n_flat, dtype=bool)
+                tmp_buf = np.empty(n_flat, dtype=bool)
+            m = m_buf
+            np.equal(flat, q[0], out=m)
+            for j in range(1, L):
+                m[n_flat - j:] = False
+                np.equal(flat[j:], q[j], out=tmp_buf[:n_flat - j])
+                m[:n_flat - j] &= tmp_buf[:n_flat - j]
+            # kill in-row tail starts (t + L <= row_len); the guard keeps
+            # a short row's scatter from reaching into the previous row
+            for j in range(1, L):
+                idx = offsets[1:] - j
+                ok = idx >= offsets[:-1]
+                m[idx[ok]] = False
+            posm = np.nonzero(m)[0]
+            if not len(posm):
+                continue
+            rowm = np.searchsorted(offsets, posm, side="right") - 1
+            counts = np.bincount(rowm, minlength=n_rows)
+            hit = np.nonzero(counts)[0]
+            cand = np.unique(pr[a:b])
+            pos = np.searchsorted(cand, hit)
+            okc = pos < len(cand)
+            okc[okc] = cand[pos[okc]] == hit[okc]
+            sel = hit[okc]
+            if len(sel):
+                out_row_parts.append(sel.astype(np.int64))
+                out_qi_parts.append(np.full(len(sel), qi, dtype=np.int32))
+                out_cnt_parts.append(counts[sel].astype(np.int64))
+            continue
+        ga, gb = int(qb_g[t]), int(qb_g[t + 1])
+        s0, s1 = int(sub_offs[ga]), int(sub_offs[gb])
+        subq = sub[s0:s1]
+        offsq = sub_offs[ga:gb + 1] - s0
         n = len(subq)
         m = subq == q[0]
         for j in range(1, L):
@@ -402,16 +471,28 @@ def _match_pairs(flat: np.ndarray, offsets: np.ndarray,
         if not len(posm):
             continue
         rowm = np.searchsorted(offsq, posm, side="right") - 1
-        counts = np.bincount(rowm, minlength=b - a)
+        counts = np.bincount(rowm, minlength=gb - ga)
         hit = np.nonzero(counts)[0]
         if len(hit):
-            out_row_parts.append(pr[a:b][hit])
+            out_row_parts.append(pr_g[ga:gb][hit])
             out_qi_parts.append(np.full(len(hit), qi, dtype=np.int32))
             out_cnt_parts.append(counts[hit].astype(np.int64))
     if not out_row_parts:
         return empty
     return (np.concatenate(out_row_parts), np.concatenate(out_qi_parts),
             np.concatenate(out_cnt_parts))
+
+
+# per-worker-process cache of the last assembled candidate-struct set,
+# keyed by the exchange's ref identities: map_batches with a plain
+# callable instance runs as a TASK pool, so every task deserializes a
+# fresh ExactVerifier and would re-ray.get + re-assemble the same slice
+# structs (measured ~35 core-s per 288-query batch at 8 workers — plasma
+# fetch contention, not compute). Worker processes are reused across
+# tasks; caching one struct set per process cuts the fetches from
+# O(tasks) to O(workers). Holding the views pins at most one batch's
+# structs in plasma per worker until the next query batch replaces them.
+_STRUCT_CACHE: dict = {}
 
 
 class ExactVerifier:
@@ -439,15 +520,30 @@ class ExactVerifier:
         self.with_counts = with_counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import os as _os
+        import time as _t
+        _prof = _os.environ.get("HBI_QPROF")
+        _w0, _c0 = _t.perf_counter(), _t.process_time()
         from ..stages.window import doc_index
+        _fetch = 0.0
         if self.cands is None:
+            _f0 = _t.perf_counter()
             src = self._cand_src
-            if isinstance(src, list):
-                self.cands = {}
-                for part in ray.get(src):
-                    self.cands.update(part)
+            key = (tuple(r.hex() for r in src) if isinstance(src, list)
+                   else src.hex())
+            cached = _STRUCT_CACHE.get(key)
+            if cached is not None:
+                self.cands = cached
             else:
-                self.cands = ray.get(src)
+                if isinstance(src, list):
+                    self.cands = {}
+                    for part in ray.get(src):
+                        self.cands.update(part)
+                else:
+                    self.cands = ray.get(src)
+                _STRUCT_CACHE.clear()  # hold at most one struct set
+                _STRUCT_CACHE[key] = self.cands
+            _fetch = _t.perf_counter() - _f0
         di = doc_index(batch)
         srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
         # 1) collect all candidate (row, query) pairs of this batch
@@ -484,9 +580,23 @@ class ExactVerifier:
             return empty()
         pair_rows = np.concatenate(pr_parts)
         pair_qis = np.concatenate(pq_parts)
+        _wp = _t.perf_counter()
         flat, offsets = flat_tokens_and_offsets(batch["tokens"])
+        _wf = _t.perf_counter()
         out_rows, out_qis, out_cnts = _match_pairs(
             flat, offsets, pair_rows, pair_qis, self.q_tokens)
+        if _prof:
+            with open(f"/tmp/qprof/{_os.getpid()}.jsonl", "a") as fh:
+                import json as _json
+                fh.write(_json.dumps({
+                    "wall": round(_t.perf_counter() - _w0, 4),
+                    "cpu": round(_t.process_time() - _c0, 4),
+                    "fetch": round(_fetch, 4),
+                    "t_pairs": round(_wp - _w0 - _fetch, 4),
+                    "t_flat": round(_wf - _wp, 4),
+                    "t_match": round(_t.perf_counter() - _wf, 4),
+                    "rows": batch.num_rows, "pairs": len(pair_rows),
+                }) + "\n")
         if not len(out_rows):
             return empty()
         cols = {
