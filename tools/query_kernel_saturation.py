@@ -25,8 +25,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def make_workload(seed: int = 0):
+    """Bench-shaped verify call: ~122k candidate pairs over an 8192-row
+    half-file batch (the sf0.1x4 scaling corpus measures 122k
+    pairs/call via HBI_QPROF), with the pair mass Zipf-skewed across
+    the present queries exactly as a Zipf corpus skews real bloom
+    candidates — the top few queries cross the kernel's full-scan
+    threshold, the tail takes the gather path, so the probe exercises
+    the adaptive kernel's true mix rather than a uniform all-gather."""
     rng = np.random.default_rng(seed)
-    n_rows = 16384
+    n_rows = 8192
     lens = rng.integers(32, 180, n_rows).astype(np.int64)
     offsets = np.zeros(n_rows + 1, np.int64)
     np.cumsum(lens, out=offsets[1:])
@@ -38,9 +45,20 @@ def make_workload(seed: int = 0):
         r = int(rng.integers(0, n_rows))
         s = int(rng.integers(0, max(1, lens[r] - ln)))
         q_tokens.append(flat[offsets[r] + s:offsets[r] + s + ln].copy())
-    n_pairs = 246_000
-    pair_rows = rng.integers(0, n_rows, n_pairs).astype(np.int64)
-    pair_qis = rng.integers(0, n_q, n_pairs).astype(np.int32)
+    n_pairs = 122_000
+    # Zipf pair mass over the 96 present queries + a selective tail
+    w = 1.0 / np.arange(1, 97)
+    present_counts = np.round(n_pairs * 0.95 * w / w.sum()).astype(int)
+    parts_r, parts_q = [], []
+    for qi, c in enumerate(present_counts):
+        c = min(c, n_rows)
+        parts_r.append(rng.choice(n_rows, size=c, replace=False))
+        parts_q.append(np.full(c, qi, np.int32))
+    tail = n_pairs - sum(len(p) for p in parts_r)
+    parts_r.append(rng.integers(0, n_rows, tail))
+    parts_q.append(rng.integers(96, n_q, tail).astype(np.int32))
+    pair_rows = np.concatenate(parts_r).astype(np.int64)
+    pair_qis = np.concatenate(parts_q)
     return flat, offsets, pair_rows, pair_qis, q_tokens
 
 
