@@ -1,16 +1,19 @@
-"""Pure-numpy baseline-sequential JPEG codec (round-3 VERDICT stretch
-#9: close the codec seam; round 4 extends greyscale to interleaved
-YCbCr colour).
+"""Pure-numpy JPEG codec (round-3 VERDICT stretch #9: close the codec
+seam; round 4 adds interleaved YCbCr colour, then progressive and
+multi-scan decode).
 
 Scope (deliberately restricted — the correctness baseline a production
 build swaps for a SIMD library behind the same functions):
 
-- decode: baseline DCT (SOF0), 8-bit precision, single-component
-  (greyscale) or 3-component interleaved YCbCr with sampling factors
-  whose ratio to the max is integral (covers 4:4:4, 4:2:2, 4:4:0 and
-  4:2:0), optional restart intervals (DRI/RSTn). Progressive (SOF2),
-  arithmetic coding, 12-bit, 16-bit quant tables and non-interleaved
-  multi-scan streams raise ``NotImplementedError`` with the form named.
+- decode: baseline DCT (SOF0) — interleaved or multi-scan
+  non-interleaved — and progressive DCT (SOF2) with spectral selection
+  and/or successive approximation (T.81 Annex G.1.2: DC first/refine,
+  AC first/refine with EOB runs and correction bits); 8-bit precision;
+  single-component (greyscale) or 3-component YCbCr with sampling
+  factors whose ratio to the max is integral (covers 4:4:4, 4:2:2,
+  4:4:0 and 4:2:0); optional restart intervals (DRI/RSTn). Arithmetic
+  coding, lossless/hierarchical SOFs, 12-bit precision and 16-bit
+  quant tables raise ``NotImplementedError`` with the form named.
 - encode: baseline greyscale or colour with the Annex K quantization
   tables (libjpeg-style quality scaling) and the Annex K standard
   Huffman tables; colour at 4:4:4 or 4:2:0 (JFIF YCbCr, box-filter
@@ -256,22 +259,249 @@ def _decode_block(br: _BitReader, dc_val, dc_len, ac_val, ac_len,
     return pred
 
 
+def _decode_dc_first(br: _BitReader, tabs, coef: np.ndarray,
+                     pred: int, al: int) -> int:
+    """Progressive DC first scan (T.81 G.1.2.1): the predictor runs in
+    the point-transformed domain (DC >> Al); the stored coefficient is
+    the accumulated value shifted back up."""
+    dc_val, dc_len = tabs
+    w16 = br.peek16()
+    t = int(dc_val[w16])
+    ln = int(dc_len[w16])
+    if ln == 0:
+        raise ValueError("bad DC Huffman code")
+    br.skip(ln)
+    pred += _extend(br.read(t), t)
+    coef[0] = pred << al
+    return pred
+
+
+def _decode_dc_refine(br: _BitReader, coef: np.ndarray, al: int):
+    """Progressive DC refinement: one raw bit appends bit Al to the
+    two's-complement coefficient (T.81 G.1.2.1 — the point transform
+    is an arithmetic shift, so a plain OR restores the bit)."""
+    if br.read(1):
+        coef[0] |= 1 << al
+
+
+def _decode_ac_first(br: _BitReader, tabs, coef: np.ndarray,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first scan over band [ss, se] (T.81 G.1.2.2):
+    like sequential AC decode plus EOBn run-length codes that skip
+    whole blocks. Returns the remaining end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    ac_val, ac_len = tabs
+    k = ss
+    while k <= se:
+        w16 = br.peek16()
+        rs = int(ac_val[w16])
+        ln = int(ac_len[w16])
+        if ln == 0:
+            raise ValueError("bad AC Huffman code")
+        br.skip(ln)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:                 # ZRL: 16 zeros within the band
+                k += 16
+                continue
+            eobrun = (1 << r) - 1       # EOBn: this block is run member
+            if r:
+                eobrun += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[ZIGZAG[k]] = _extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(br: _BitReader, tabs, coef: np.ndarray,
+                      ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement over band [ss, se] (T.81 G.1.2.3):
+    newly-nonzero coefficients arrive as ±(1<<Al); every coefficient
+    with prior history consumes a correction bit whenever the decode
+    position passes over it — including for the rest of the band while
+    inside an end-of-band run."""
+    p1, m1 = 1 << al, -(1 << al)
+    ac_val, ac_len = tabs
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            w16 = br.peek16()
+            rs = int(ac_val[w16])
+            ln = int(ac_len[w16])
+            if ln == 0:
+                raise ValueError("bad AC Huffman code")
+            br.skip(ln)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:             # EOBn (run counts this block)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # ZRL: advance past 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude != 1")
+                val = p1 if br.read(1) else m1
+            # advance r zero-history positions; history coefficients on
+            # the way each take a correction bit
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    if br.read(1) and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC run past band end")
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                  # correction bits to band end
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                if br.read(1) and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first true marker (0xFF followed by anything but
+    stuffing 0x00 or RSTn) at/after ``start`` — the end of an
+    entropy-coded segment."""
+    i = start
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF and payload[i + 1] != 0x00 and not (
+                0xD0 <= payload[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return n
+
+
+def _scan_units(scan_cis: list[int], comps: list[dict], geom,
+                mcux: int, mcuy: int, width: int, height: int,
+                hmax: int, vmax: int) -> list[list[tuple[int, int]]]:
+    """Decode order for one scan as a list of restart-countable units,
+    each a list of (component index, block index into the padded
+    coefficient array). Interleaved scans (ns > 1) step the frame MCU
+    grid with h*v blocks per member component (T.81 A.2.3);
+    single-component scans step the component's OWN block grid — no
+    MCU padding columns/rows are coded (T.81 A.2.2)."""
+    if len(scan_cis) > 1:
+        units = []
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            u = []
+            for ci in scan_cis:
+                c = comps[ci]
+                nbx = geom[ci][0]
+                for by in range(c["v"]):
+                    row0 = (my * c["v"] + by) * nbx + mx * c["h"]
+                    for bx in range(c["h"]):
+                        u.append((ci, row0 + bx))
+            units.append(u)
+        return units
+    ci = scan_cis[0]
+    c = comps[ci]
+    nbx = geom[ci][0]
+    cw = (width * c["h"] + hmax - 1) // hmax
+    ch = (height * c["v"] + vmax - 1) // vmax
+    ux, uy = (cw + 7) // 8, (ch + 7) // 8
+    return [[(ci, r * nbx + x)] for r in range(uy) for x in range(ux)]
+
+
+def _decode_scan(scan: dict, comps: list[dict], geom, coef,
+                 mcux: int, mcuy: int, width: int, height: int,
+                 hmax: int, vmax: int, progressive: bool):
+    """Entropy-decode one scan (sequential full-band or any of the four
+    progressive scan kinds) into the coefficient arrays in place."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    cis = [ci for ci, _, _ in scan["comps"]]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if not 0 <= ss <= se <= 63:
+            raise ValueError("bad spectral band")
+        if ss > 0 and len(cis) > 1:
+            raise ValueError("interleaved progressive AC scan")
+    tabs: dict[int, tuple] = {}
+    for ci, dc_t, ac_t in scan["comps"]:
+        if progressive:
+            need = dc_t if ss == 0 and ah == 0 else (
+                None if ss == 0 else ac_t)
+        else:
+            need = dc_t if dc_t is not None and ac_t is not None else None
+            if dc_t is None or ac_t is None:
+                raise ValueError("SOS references a missing Huffman table")
+        if progressive and need is None and not (ss == 0 and ah > 0):
+            raise ValueError("SOS references a missing Huffman table")
+        tabs[ci] = (dc_t, ac_t)
+    units = _scan_units(cis, comps, geom, mcux, mcuy,
+                        width, height, hmax, vmax)
+    intervals = _unstuff(scan["data"])
+    per_int = scan["restart"] or len(units)
+    pos = 0
+    pi = 0
+    while pos < len(units):
+        if pi >= len(intervals):
+            raise ValueError("scan ended early")
+        br = _BitReader(intervals[pi])
+        pi += 1
+        preds = dict.fromkeys(cis, 0)
+        eobrun = 0
+        for u in units[pos:pos + per_int]:
+            for ci, bi in u:
+                dc_t, ac_t = tabs[ci]
+                row = coef[ci][bi]
+                if not progressive:
+                    preds[ci] = _decode_block(
+                        br, dc_t[0], dc_t[1], ac_t[0], ac_t[1],
+                        row, preds[ci])
+                elif ss == 0 and ah == 0:
+                    preds[ci] = _decode_dc_first(br, dc_t, row,
+                                                 preds[ci], al)
+                elif ss == 0:
+                    _decode_dc_refine(br, row, al)
+                elif ah == 0:
+                    eobrun = _decode_ac_first(br, ac_t, row, ss, se,
+                                              al, eobrun)
+                else:
+                    eobrun = _decode_ac_refine(br, ac_t, row, ss, se,
+                                               al, eobrun)
+        pos += per_int
+
+
 def _decode_planes(payload: bytes
                    ) -> tuple[list[np.ndarray], int, int]:
-    """Parse + entropy-decode a baseline JPEG into full-resolution
-    float64 component planes (Y or Y/Cb/Cr, chroma upsampled by
-    sample replication). Returns (planes, height, width)."""
+    """Parse + entropy-decode a baseline-sequential (SOF0, interleaved
+    or multi-scan non-interleaved) or progressive (SOF2, spectral
+    selection and/or successive approximation) JPEG into
+    full-resolution float64 component planes (Y or Y/Cb/Cr, chroma
+    upsampled by sample replication). Returns (planes, height,
+    width)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     width = height = 0
     comps: list[dict] = []              # SOF order: id, h, v, tq
-    scan_sel: list[tuple[int, int, int]] = []   # (comp idx, dcsel, acsel)
+    scans: list[dict] = []
+    progressive = False
     restart = 0
     i = 2
     n = len(payload)
-    scan_data = None
     while i < n:
         if payload[i] != 0xFF:
             raise ValueError("marker expected")
@@ -303,7 +533,10 @@ def _decode_planes(payload: bytes
                 vals = list(seg[j + 17:j + 17 + cnt])
                 huff[(tc, th)] = _decode_lut(bits, vals)
                 j += 17 + cnt
-        elif m == 0xC0:                        # SOF0: baseline
+        elif m in (0xC0, 0xC2):                # SOF0 / SOF2
+            if comps:
+                raise ValueError("multiple frame headers")
+            progressive = m == 0xC2
             prec, height, width, ncomp = struct.unpack(
                 ">BHHB", seg[:6])
             if prec != 8:
@@ -316,32 +549,41 @@ def _decode_planes(payload: bytes
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             if ncomp == 1:
-                # a single-component scan is non-interleaved: one data
-                # unit per MCU over the component's own block grid,
-                # sampling factors ignored (T.81 A.2.2)
+                # a single-component frame is always non-interleaved:
+                # one data unit per MCU over the component's own block
+                # grid, sampling factors ignored (T.81 A.2.2)
                 comps[0]["h"] = comps[0]["v"] = 1
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{m:02X})")
         elif m == 0xDD:                        # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:                        # SOS
+            if not comps:
+                raise ValueError("SOS before frame header")
             ns = seg[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan JPEG")
             by_id = {c["id"]: k for k, c in enumerate(comps)}
+            sel = []
             for s in range(ns):
                 cid = seg[1 + 2 * s]
-                sel = seg[2 + 2 * s]
+                tsel = seg[2 + 2 * s]
                 if cid not in by_id:
                     raise ValueError("SOS names unknown component")
-                scan_sel.append((by_id[cid], sel >> 4, sel & 0xF))
-            scan_data = payload[i + 2 + seg_len:]
-            break
+                sel.append((by_id[cid],
+                            huff.get((0, tsel >> 4)),
+                            huff.get((1, tsel & 0xF))))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            data_start = i + 2 + seg_len
+            data_end = _entropy_end(payload, data_start)
+            scans.append({"comps": sel, "ss": ss, "se": se,
+                          "ah": ahal >> 4, "al": ahal & 0xF,
+                          "restart": restart,
+                          "data": payload[data_start:data_end]})
+            i = data_end
+            continue
         i += 2 + seg_len
-    if scan_data is None or not width or not height or not comps:
+    if not scans or not width or not height or not comps:
         raise ValueError("no scan data / frame header")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -359,37 +601,15 @@ def _decode_planes(payload: bytes
         geom.append((nbx, nby))
     coef = [np.zeros((nby * nbx, 64), dtype=np.int64)
             for nbx, nby in geom]
-    tables = []
-    for ci, dcsel, acsel in scan_sel:
-        try:
-            dc_val, dc_len = huff[(0, dcsel)]
-            ac_val, ac_len = huff[(1, acsel)]
-        except KeyError:
-            raise ValueError("SOS references a missing Huffman table")
-        tables.append((ci, dc_val, dc_len, ac_val, ac_len))
-    mcu_count = mcux * mcuy
-    intervals = _unstuff(scan_data)
-    per_int = restart if restart else mcu_count
-    mcu = 0
-    for part in intervals:
-        if mcu >= mcu_count:
-            break
-        br = _BitReader(part)
-        preds = [0] * len(comps)
-        for _ in range(min(per_int, mcu_count - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for ci, dc_val, dc_len, ac_val, ac_len in tables:
-                c = comps[ci]
-                nbx = geom[ci][0]
-                for by in range(c["v"]):
-                    row0 = (my * c["v"] + by) * nbx + mx * c["h"]
-                    for bx in range(c["h"]):
-                        preds[ci] = _decode_block(
-                            br, dc_val, dc_len, ac_val, ac_len,
-                            coef[ci][row0 + bx], preds[ci])
-            mcu += 1
-    if mcu != mcu_count:
-        raise ValueError("scan ended early")
+    scanned = set()
+    for scan in scans:
+        _decode_scan(scan, comps, geom, coef, mcux, mcuy,
+                     width, height, hmax, vmax, progressive)
+        for ci, _, _ in scan["comps"]:
+            if scan["ss"] == 0:
+                scanned.add(ci)
+    if not progressive and scanned != set(range(len(comps))):
+        raise ValueError("sequential frame leaves a component unscanned")
     planes = []
     for ci, c in enumerate(comps):
         if c["tq"] not in qt:
@@ -420,11 +640,10 @@ def _to_u8(a: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JPEG: (h, w) uint8 for greyscale,
-    (h, w, 3) uint8 RGB for 3-component YCbCr (JFIF colour transform).
-    Raises ``NotImplementedError`` for progressive / arithmetic /
-    12-bit / non-interleaved streams, ``ValueError`` for malformed
-    data."""
+    """Decode a baseline-sequential or progressive JPEG: (h, w) uint8
+    for greyscale, (h, w, 3) uint8 RGB for 3-component YCbCr (JFIF
+    colour transform). Raises ``NotImplementedError`` for arithmetic /
+    lossless / 12-bit streams, ``ValueError`` for malformed data."""
     planes, _, _ = _decode_planes(payload)
     if len(planes) == 1:
         return _to_u8(planes[0])

@@ -10,12 +10,14 @@ Three decoder modes:
   (concatenated P5 frames) and uniformly samples real frames.
 - ``decoder="fake"`` — deterministic stand-in features that exercise the
   Ray-side plumbing (schema, batch sizing, actor signature, layout).
-- ``decoder="real"`` — REAL baseline codecs from ``functions/codecs.py``
-  (pure numpy + stdlib zlib/struct): PNG (8-bit grey/RGB/RGBA/palette,
-  all five scanline filters) and RIFF/WAVE PCM audio, dispatched by
-  payload magic bytes; P5 payloads fall through to the PGM path. Only
-  JPEG/mp4 remain a declared ``NotImplementedError`` seam (entropy-coded
-  formats; see README media matrix).
+- ``decoder="real"`` — REAL codecs from ``functions/codecs.py`` and
+  ``functions/jpeg.py`` (pure numpy + stdlib zlib/struct): PNG (8-bit
+  grey/RGB/RGBA/palette, all five scanline filters), RIFF/WAVE PCM
+  audio and JPEG (baseline or progressive, greyscale or YCbCr colour),
+  dispatched by payload magic bytes; P5 payloads fall through to the
+  PGM path. Only mp4/webm (and the exotic JPEG variants: arithmetic,
+  lossless, 12-bit) remain a declared ``NotImplementedError`` seam
+  (README media matrix).
 """
 
 from __future__ import annotations
@@ -131,10 +133,10 @@ class MediaFeatureExtractor:
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _real_features(self, payload: bytes) -> np.ndarray:
-        """Dispatch on payload magic bytes: PNG, WAV, baseline JPEG
-        (greyscale or interleaved YCbCr colour) and P5 decode through
-        the baseline pure-numpy codecs. What remains of the codec seam:
-        progressive JPEG and mp4."""
+        """Dispatch on payload magic bytes: PNG, WAV, JPEG (baseline or
+        progressive, greyscale or YCbCr colour) and P5 decode through
+        the pure-numpy codecs. What remains of the codec seam:
+        arithmetic/lossless/12-bit JPEG and mp4."""
         from ..functions.codecs import decode_png, decode_wav, \
             wav_features
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -154,9 +156,9 @@ class MediaFeatureExtractor:
         if payload[:2] == b"P5":
             return pgm_features(decode_pgm(payload), self.feature_dim)
         raise NotImplementedError(
-            "payload is not PNG/WAV/PGM/baseline-JPEG — progressive "
-            "JPEG and mp4 decoding is the declared codec seam (README "
-            "media matrix)")
+            "payload is not PNG/WAV/PGM/JPEG — mp4 (and "
+            "arithmetic/lossless JPEG variants) are the declared codec "
+            "seam (README media matrix)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:
         """Deterministic stand-in: features = seeded hash-mix of payload

@@ -861,7 +861,7 @@ class TestJpegCodec:
         img = np.zeros((8, 8), np.uint8)
         enc = bytearray(encode_jpeg_gray(img))
         i = enc.find(bytes([0xFF, 0xC0]))
-        enc[i + 1] = 0xC2                      # masquerade as progressive
+        enc[i + 1] = 0xC3                      # masquerade as lossless
         with pytest.raises(NotImplementedError):
             decode_jpeg_gray(bytes(enc))
         with pytest.raises(ValueError):
