@@ -816,11 +816,12 @@ def _q_doc_fingerprints(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """REAL decode paths: synthetic PGM + PNG + WAV corpora featurized
-    through the actor-pool stage — PGM through its dedicated decoder,
-    PNG/WAV/greyscale-JPEG through the magic-byte ``decoder="real"``
+    """REAL decode paths: synthetic PGM + PNG + WAV + JPEG + MJPEG-mp4
+    corpora featurized through the actor-pool stage — PGM through its
+    dedicated decoder, the rest through the magic-byte ``decoder="real"``
     dispatch over the baseline pure-numpy/stdlib codecs
-    (``functions/codecs.py``, ``functions/jpeg.py``).
+    (``functions/codecs.py``, ``functions/jpeg.py``; mp4 thumbnails
+    demux via ``functions/mp4.py`` to their middle keyframe).
     concurrency=1 keeps the pools + read tasks schedulable at the
     driver's small num_cpus."""
     import pyarrow as pa
@@ -849,7 +850,11 @@ def _q_media_features(sf_dir: str):
         synth_media(32, seed=SEED, kind="jpeg"), decoder="real",
         feature_dim=8, concurrency=1).map_batches(
             shift(3000), batch_format="pyarrow")
-    return pgm.union(png).union(wav).union(jpg)
+    mp4 = extract_features(
+        synth_media(16, seed=SEED, kind="mp4", frames=6),
+        decoder="real", feature_dim=8, concurrency=1).map_batches(
+            shift(4000), batch_format="pyarrow")
+    return pgm.union(png).union(wav).union(jpg).union(mp4)
 
 
 def _q_index_manifest(sf_dir: str):

@@ -10,14 +10,16 @@ Three decoder modes:
   (concatenated P5 frames) and uniformly samples real frames.
 - ``decoder="fake"`` — deterministic stand-in features that exercise the
   Ray-side plumbing (schema, batch sizing, actor signature, layout).
-- ``decoder="real"`` — REAL codecs from ``functions/codecs.py`` and
-  ``functions/jpeg.py`` (pure numpy + stdlib zlib/struct): PNG (8-bit
-  grey/RGB/RGBA/palette, all five scanline filters), RIFF/WAVE PCM
-  audio and JPEG (baseline or progressive, greyscale or YCbCr colour),
-  dispatched by payload magic bytes; P5 payloads fall through to the
-  PGM path. Only mp4/webm (and the exotic JPEG variants: arithmetic,
-  lossless, 12-bit) remain a declared ``NotImplementedError`` seam
-  (README media matrix).
+- ``decoder="real"`` — REAL codecs from ``functions/codecs.py``,
+  ``functions/jpeg.py`` and ``functions/mp4.py`` (pure numpy + stdlib
+  zlib/struct): PNG (8-bit grey/RGB/RGBA/palette, all five scanline
+  filters), RIFF/WAVE PCM audio, JPEG (baseline or progressive,
+  greyscale or YCbCr colour) and ISO-BMFF/MP4 demux (sample tables,
+  keyframe seek, per-sample extraction — Motion-JPEG tracks decode
+  end-to-end), dispatched by payload magic bytes; P5 payloads fall
+  through to the PGM path. Only webm demux and
+  H.264/VP9/AV1/arithmetic-JPEG sample decode remain a declared
+  ``NotImplementedError`` seam (README media matrix).
 """
 
 from __future__ import annotations
@@ -155,8 +157,14 @@ class MediaFeatureExtractor:
             return pgm_features(img, self.feature_dim)
         if payload[:2] == b"P5":
             return pgm_features(decode_pgm(payload), self.feature_dim)
+        from ..functions.mp4 import is_mp4, extract_sample, video_track
+        if is_mp4(payload):
+            # thumbnail features: the middle keyframe of the video track
+            trk = video_track(payload)
+            mid = trk.sync_at_or_before(trk.n_samples // 2)
+            return self._real_features(extract_sample(payload, trk, mid))
         raise NotImplementedError(
-            "payload is not PNG/WAV/PGM/JPEG — mp4 (and "
+            "payload is not PNG/WAV/PGM/JPEG/MP4 — webm (and "
             "arithmetic/lossless JPEG variants) are the declared codec "
             "seam (README media matrix)")
 
@@ -263,41 +271,61 @@ class ImageResizer:
 
 class FrameSampler:
     """Video frame-sampling stage (flat_map-shaped: one output row per
-    sampled frame). ``decoder="pgmv"`` REALLY splits the pgmv container
-    (concatenated binary PGM frames) and uniformly samples ``n_frames``
-    of them, emitting each frame's own PGM payload (+ ``frame_no`` = the
-    source frame index, mirroring keyframe-seek behavior).
-    ``decoder="fake"`` replicates the opaque payload per frame (plumbing
-    drill); ``decoder="real"`` is the ONE remaining declared seam —
-    mp4/webm are entropy-coded container formats out of scope for the
-    from-scratch codecs (README media matrix)."""
+    sampled frame). ``decoder="real"`` demuxes REAL containers: MP4
+    (ISO-BMFF sample tables via ``functions/mp4.py`` — evenly-spaced
+    sample indices, optionally snapped to the nearest preceding sync
+    sample per ``stss``, i.e. true keyframe seek) and the pgmv
+    concatenation; each sampled frame's own payload is emitted
+    (Motion-JPEG tracks then decode through ``functions/jpeg.py``
+    downstream). ``decoder="pgmv"`` accepts only pgmv;
+    ``decoder="fake"`` replicates the opaque payload per frame
+    (plumbing drill). Sample DECODE of H.264/VP9/AV1 tracks (and webm
+    demux) stays the declared seam — demux/seek/extract here is
+    codec-independent (README media matrix)."""
 
-    def __init__(self, *, n_frames: int, decoder: str = "real"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "mp4/webm codecs are the declared seam (README media "
-                "matrix); use decoder='pgmv' (real frame split) or "
-                "'fake'")
-        if decoder not in ("fake", "pgmv"):
+    def __init__(self, *, n_frames: int, decoder: str = "real",
+                 snap_to_sync: bool = False):
+        if decoder not in ("fake", "pgmv", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.n_frames = n_frames
+        self.snap_to_sync = snap_to_sync
+
+    def _split(self, p: bytes) -> tuple[np.ndarray, list[bytes]]:
+        """One container -> (sampled source indices, frame payloads)."""
+        from ..functions.mp4 import is_mp4, extract_sample, video_track
+        k = self.n_frames
+        if self.decoder == "real" and is_mp4(p):
+            trk = video_track(p)
+            total = trk.n_samples
+            kk = min(k, total)
+            idx = (np.arange(kk) * total) // max(1, kk)
+            if self.snap_to_sync:
+                idx = np.unique([trk.sync_at_or_before(int(i))
+                                 for i in idx]).astype(np.int64)
+            return idx, [extract_sample(p, trk, int(i)) for i in idx]
+        if self.decoder == "real" and p[:2] != b"P5":
+            raise NotImplementedError(
+                "payload is neither ISO-BMFF (mp4) nor pgmv — webm "
+                "demux is the declared seam (README media matrix)")
+        frames = split_pgmv_frames(p)
+        total = len(frames)
+        kk = min(k, total)
+        # evenly-spaced source indices, same gather rule as resize
+        idx = (np.arange(kk) * total) // max(1, kk)
+        return idx, [frames[i] for i in idx]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "pgmv":
+        if self.decoder in ("pgmv", "real"):
             ids: list[int] = []
             frame_no: list[int] = []
             payloads: list[bytes] = []
             for mid, p in zip(batch["media_id"].to_pylist(),
                               batch["payload"].to_pylist()):
-                frames = split_pgmv_frames(p)
-                total = len(frames)
-                k = min(self.n_frames, total)
-                # evenly-spaced source indices, same gather rule as resize
-                idx = (np.arange(k) * total) // max(1, k)
-                ids.extend([mid] * k)
-                frame_no.extend(idx.tolist())
-                payloads.extend(frames[i] for i in idx)
+                idx, frames = self._split(p)
+                ids.extend([mid] * len(frames))
+                frame_no.extend(int(i) for i in idx)
+                payloads.extend(frames)
             return pa.table({
                 "media_id": pa.array(ids, pa.int64()),
                 "frame_no": pa.array(frame_no, pa.int32()),
@@ -369,13 +397,23 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                     encode_pgm(synth_frame(i, f, seed=seed, width=width,
                                            height=height))
                     for f in range(frames)))
+            elif kind == "mp4":
+                # Motion-JPEG in MP4: every sample independently
+                # decodable by the from-scratch JPEG codec
+                from ..functions.mp4 import encode_mp4_video
+                payloads.append(encode_mp4_video(
+                    [encode_jpeg_gray(synth_frame(
+                        i, f, seed=seed, width=width, height=height),
+                        quality=92) for f in range(frames)],
+                    codec=b"jpeg", width=width, height=height,
+                    sync_every=4))
             else:
                 payloads.append(bytes((
                     hash_u64(np.arange(64, dtype=np.uint64)
                              + np.uint64(i), seed) & np.uint64(255)
                 ).astype(np.uint8).tolist()))
         mt = {"pgm": "image/x-portable-graymap", "jpeg": "image/jpeg",
-              "jpeg_rgb": "image/jpeg",
+              "jpeg_rgb": "image/jpeg", "mp4": "video/mp4",
               "pgmv": "video/x-pgm-frames", "png": "image/png",
               "wav": "audio/wav"}.get(kind, "image/fake")
         return pa.table({

@@ -702,11 +702,15 @@ class TestMultimodal:
                 synth_frame(mid, 0, seed=5, width=16, height=16), 5, 7)
             assert np.array_equal(decode_png(payload), want)
 
-    def test_frame_sampler_real_is_declared_seam(self):
+    def test_frame_sampler_webm_is_declared_seam(self):
+        """mp4 demux is real now (test_mp4.py); a non-ISO-BMFF,
+        non-pgmv payload (e.g. webm/EBML magic) stays the declared
+        NotImplementedError seam."""
         from hierarchical_bloom_filter_index_ray.pipelines.multimodal import \
             FrameSampler
+        fs = FrameSampler(n_frames=3, decoder="real")
         with pytest.raises(NotImplementedError):
-            FrameSampler(n_frames=3, decoder="real")
+            fs._split(b"\x1a\x45\xdf\xa3" + b"\x00" * 64)
 
 
 def _hand_codes(bits, vals):
