@@ -118,6 +118,18 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def _container_module(payload: bytes):
+    """Magic-byte dispatch to the video-container demuxer whose API this
+    payload speaks (both modules expose ``video_track`` /
+    ``extract_sample`` over the same track shape), or ``None``."""
+    from ..functions import mp4, webm
+    if mp4.is_mp4(payload):
+        return mp4
+    if webm.is_webm(payload):
+        return webm
+    return None
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode + featurize binary media payloads.
 
@@ -137,8 +149,9 @@ class MediaFeatureExtractor:
     def _real_features(self, payload: bytes) -> np.ndarray:
         """Dispatch on payload magic bytes: PNG, WAV, JPEG (baseline or
         progressive, greyscale or YCbCr colour) and P5 decode through
-        the pure-numpy codecs. What remains of the codec seam:
-        arithmetic/lossless/12-bit JPEG and mp4."""
+        the pure-numpy codecs; MP4 and Matroska/WebM demux to their
+        middle keyframe. What remains of the codec seam:
+        arithmetic/lossless/12-bit JPEG and H.264/VP9/AV1 samples."""
         from ..functions.codecs import decode_png, decode_wav, \
             wav_features
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -157,15 +170,18 @@ class MediaFeatureExtractor:
             return pgm_features(img, self.feature_dim)
         if payload[:2] == b"P5":
             return pgm_features(decode_pgm(payload), self.feature_dim)
-        from ..functions.mp4 import is_mp4, extract_sample, video_track
-        if is_mp4(payload):
+        from ..functions.mp4 import is_mp4
+        from ..functions.webm import is_webm
+        if is_mp4(payload) or is_webm(payload):
             # thumbnail features: the middle keyframe of the video track
-            trk = video_track(payload)
+            mod = _container_module(payload)
+            trk = mod.video_track(payload)
             mid = trk.sync_at_or_before(trk.n_samples // 2)
-            return self._real_features(extract_sample(payload, trk, mid))
+            return self._real_features(
+                mod.extract_sample(payload, trk, mid))
         raise NotImplementedError(
-            "payload is not PNG/WAV/PGM/JPEG/MP4 — webm (and "
-            "arithmetic/lossless JPEG variants) are the declared codec "
+            "payload is not PNG/WAV/PGM/JPEG/MP4/WebM — "
+            "arithmetic/lossless JPEG variants are the declared codec "
             "seam (README media matrix)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:
@@ -272,16 +288,17 @@ class ImageResizer:
 class FrameSampler:
     """Video frame-sampling stage (flat_map-shaped: one output row per
     sampled frame). ``decoder="real"`` demuxes REAL containers: MP4
-    (ISO-BMFF sample tables via ``functions/mp4.py`` — evenly-spaced
-    sample indices, optionally snapped to the nearest preceding sync
-    sample per ``stss``, i.e. true keyframe seek) and the pgmv
-    concatenation; each sampled frame's own payload is emitted
-    (Motion-JPEG tracks then decode through ``functions/jpeg.py``
-    downstream). ``decoder="pgmv"`` accepts only pgmv;
-    ``decoder="fake"`` replicates the opaque payload per frame
-    (plumbing drill). Sample DECODE of H.264/VP9/AV1 tracks (and webm
-    demux) stays the declared seam — demux/seek/extract here is
-    codec-independent (README media matrix)."""
+    (ISO-BMFF sample tables via ``functions/mp4.py``), Matroska/WebM
+    (EBML clusters via ``functions/webm.py`` — keyframe flags from
+    SimpleBlock / ReferenceBlock) and the pgmv concatenation —
+    evenly-spaced sample indices, optionally snapped to the nearest
+    preceding sync sample (true keyframe seek); each sampled frame's
+    own payload is emitted (Motion-JPEG tracks then decode through
+    ``functions/jpeg.py`` downstream). ``decoder="pgmv"`` accepts only
+    pgmv; ``decoder="fake"`` replicates the opaque payload per frame
+    (plumbing drill). Sample DECODE of H.264/VP9/AV1 tracks stays the
+    declared seam — demux/seek/extract here is codec-independent
+    (README media matrix)."""
 
     def __init__(self, *, n_frames: int, decoder: str = "real",
                  snap_to_sync: bool = False):
@@ -293,21 +310,21 @@ class FrameSampler:
 
     def _split(self, p: bytes) -> tuple[np.ndarray, list[bytes]]:
         """One container -> (sampled source indices, frame payloads)."""
-        from ..functions.mp4 import is_mp4, extract_sample, video_track
+        mod = _container_module(p) if self.decoder == "real" else None
         k = self.n_frames
-        if self.decoder == "real" and is_mp4(p):
-            trk = video_track(p)
+        if mod is not None:
+            trk = mod.video_track(p)
             total = trk.n_samples
             kk = min(k, total)
             idx = (np.arange(kk) * total) // max(1, kk)
             if self.snap_to_sync:
                 idx = np.unique([trk.sync_at_or_before(int(i))
                                  for i in idx]).astype(np.int64)
-            return idx, [extract_sample(p, trk, int(i)) for i in idx]
+            return idx, [mod.extract_sample(p, trk, int(i)) for i in idx]
         if self.decoder == "real" and p[:2] != b"P5":
             raise NotImplementedError(
-                "payload is neither ISO-BMFF (mp4) nor pgmv — webm "
-                "demux is the declared seam (README media matrix)")
+                "payload is not ISO-BMFF (mp4), Matroska/WebM or pgmv "
+                "(README media matrix)")
         frames = split_pgmv_frames(p)
         total = len(frames)
         kk = min(k, total)
@@ -406,6 +423,15 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                         i, f, seed=seed, width=width, height=height),
                         quality=92) for f in range(frames)],
                     codec=b"jpeg", width=width, height=height,
+                    sync_every=4))
+            elif kind == "webm":
+                # Motion-JPEG in Matroska: same frames, EBML container
+                from ..functions.webm import encode_webm_video
+                payloads.append(encode_webm_video(
+                    [encode_jpeg_gray(synth_frame(
+                        i, f, seed=seed, width=width, height=height),
+                        quality=92) for f in range(frames)],
+                    codec="V_MJPEG", width=width, height=height,
                     sync_every=4))
             else:
                 payloads.append(bytes((

@@ -702,14 +702,19 @@ class TestMultimodal:
                 synth_frame(mid, 0, seed=5, width=16, height=16), 5, 7)
             assert np.array_equal(decode_png(payload), want)
 
-    def test_frame_sampler_webm_is_declared_seam(self):
-        """mp4 demux is real now (test_mp4.py); a non-ISO-BMFF,
-        non-pgmv payload (e.g. webm/EBML magic) stays the declared
-        NotImplementedError seam."""
+    def test_frame_sampler_unknown_container_is_declared_seam(self):
+        """mp4 AND webm demux are real now (test_mp4.py /
+        test_webm.py); a container that is none of ISO-BMFF, EBML or
+        pgmv (e.g. RIFF/AVI magic) stays the declared
+        NotImplementedError seam, while a payload with EBML magic but
+        a corrupt body surfaces the demuxer's parse error rather than
+        being misfiled as 'unsupported'."""
         from hierarchical_bloom_filter_index_ray.pipelines.multimodal import \
             FrameSampler
         fs = FrameSampler(n_frames=3, decoder="real")
         with pytest.raises(NotImplementedError):
+            fs._split(b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 64)
+        with pytest.raises(ValueError):
             fs._split(b"\x1a\x45\xdf\xa3" + b"\x00" * 64)
 
 
