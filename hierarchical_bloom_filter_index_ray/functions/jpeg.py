@@ -6,18 +6,23 @@ Scope (deliberately restricted — the correctness baseline a production
 build swaps for a SIMD library behind the same functions):
 
 - decode: baseline DCT (SOF0) — interleaved or multi-scan
-  non-interleaved — and progressive DCT (SOF2) with spectral selection
-  and/or successive approximation (T.81 Annex G.1.2: DC first/refine,
-  AC first/refine with EOB runs and correction bits); 8-bit precision;
-  single-component (greyscale) or 3-component YCbCr with sampling
-  factors whose ratio to the max is integral (covers 4:4:4, 4:2:2,
-  4:4:0 and 4:2:0); optional restart intervals (DRI/RSTn). Arithmetic
-  coding, lossless/hierarchical SOFs, 12-bit precision and 16-bit
-  quant tables raise ``NotImplementedError`` with the form named.
+  non-interleaved — extended sequential (SOF1, 8- or 12-bit precision,
+  8- or 16-bit quant tables) and progressive DCT (SOF2) with spectral
+  selection and/or successive approximation (T.81 Annex G.1.2: DC
+  first/refine, AC first/refine with EOB runs and correction bits);
+  lossless (SOF3, Annex H: predictors 1-7, 2-16-bit precision, point
+  transform, 1x1 sampling); single-component (greyscale) or
+  3-component YCbCr with sampling factors whose ratio to the max is
+  integral (covers 4:4:4, 4:2:2, 4:4:0 and 4:2:0). Optional restart
+  intervals (DRI/RSTn) everywhere. Arithmetic coding and
+  hierarchical/differential SOFs raise ``NotImplementedError`` with
+  the form named. 12-bit DCT and >8-bit lossless streams decode to
+  uint16 at native precision.
 - encode: baseline greyscale or colour with the Annex K quantization
   tables (libjpeg-style quality scaling) and the Annex K standard
   Huffman tables; colour at 4:4:4 or 4:2:0 (JFIF YCbCr, box-filter
-  chroma downsample).
+  chroma downsample); lossless greyscale or N-channel (SOF3,
+  any predictor, exact round-trip).
 
 Spec: ITU-T T.81 / ISO 10918-1. The entropy decoder follows the spec's
 canonical-code algorithm (F.2.2) accelerated by a 16-bit prefix lookup
@@ -483,14 +488,102 @@ def _decode_scan(scan: dict, comps: list[dict], geom, coef,
         pos += per_int
 
 
+def _decode_lossless(scans: list[dict], comps: list[dict],
+                     width: int, height: int, prec: int
+                     ) -> list[np.ndarray]:
+    """Entropy-decode a lossless (SOF3) frame per T.81 Annex H:
+    Huffman-coded prediction differences (DC-table categories 0-16,
+    category 16 = difference 32768 with no appended bits), predictors
+    1-7 selected per scan via Ss, point transform Pt in Al, arithmetic
+    mod 2^16 (H.1.2.1). First sample of a scan/restart interval takes
+    the default prediction 2^(P-Pt-1); the rest of the first line
+    predicts from Ra, the first column from Rb (H.1.2.2). Restricted
+    to 1x1 sampling (the shape every mainstream lossless producer,
+    e.g. DNG, emits). Samples are reconstructed in the
+    point-transformed domain and shifted left by Pt on output."""
+    for c in comps:
+        if c["h"] != 1 or c["v"] != 1:
+            raise NotImplementedError("subsampled lossless JPEG")
+    planes = [np.zeros((height, width), dtype=np.int64) for _ in comps]
+    shifts = [0] * len(comps)
+    decoded: set[int] = set()
+    for scan in scans:
+        pred_sel, pt = scan["ss"], scan["al"]
+        if not 1 <= pred_sel <= 7:
+            raise ValueError(f"lossless predictor selection {pred_sel}")
+        if pt >= prec:
+            raise ValueError("point transform >= sample precision")
+        cis = [ci for ci, _, _ in scan["comps"]]
+        tabs = {}
+        for ci, dc_t, _ in scan["comps"]:
+            if dc_t is None:
+                raise ValueError("SOS references a missing Huffman table")
+            tabs[ci] = dc_t
+            shifts[ci] = pt
+        intervals = _unstuff(scan["data"])
+        n_mcu = height * width          # 1x1: one sample/comp per MCU
+        per_int = scan["restart"] or n_mcu
+        default = 1 << (prec - pt - 1)
+        pos = 0
+        pi = 0
+        while pos < n_mcu:
+            if pi >= len(intervals):
+                raise ValueError("scan ended early")
+            br = _BitReader(intervals[pi])
+            pi += 1
+            start = pos
+            for m in range(pos, min(n_mcu, pos + per_int)):
+                y, x = divmod(m, width)
+                for ci in cis:
+                    val_lut, len_lut = tabs[ci]
+                    w16 = br.peek16()
+                    t = int(val_lut[w16])
+                    ln = int(len_lut[w16])
+                    if ln == 0:
+                        raise ValueError("bad lossless Huffman code")
+                    br.skip(ln)
+                    diff = 32768 if t == 16 else _extend(br.read(t), t)
+                    p = planes[ci]
+                    if m == start:
+                        px = default
+                    elif y == 0:
+                        px = int(p[0, x - 1])
+                    elif x == 0:
+                        px = int(p[y - 1, 0])
+                    else:
+                        a = int(p[y, x - 1])
+                        b = int(p[y - 1, x])
+                        c = int(p[y - 1, x - 1])
+                        if pred_sel == 1:
+                            px = a
+                        elif pred_sel == 2:
+                            px = b
+                        elif pred_sel == 3:
+                            px = c
+                        elif pred_sel == 4:
+                            px = a + b - c
+                        elif pred_sel == 5:
+                            px = a + ((b - c) >> 1)
+                        elif pred_sel == 6:
+                            px = b + ((a - c) >> 1)
+                        else:
+                            px = (a + b) >> 1
+                    p[y, x] = (px + diff) & 0xFFFF
+            pos = min(n_mcu, pos + per_int)
+        decoded.update(cis)
+    if decoded != set(range(len(comps))):
+        raise ValueError("lossless frame leaves a component unscanned")
+    return [p << s for p, s in zip(planes, shifts)]
+
+
 def _decode_planes(payload: bytes
-                   ) -> tuple[list[np.ndarray], int, int]:
-    """Parse + entropy-decode a baseline-sequential (SOF0, interleaved
-    or multi-scan non-interleaved) or progressive (SOF2, spectral
-    selection and/or successive approximation) JPEG into
-    full-resolution float64 component planes (Y or Y/Cb/Cr, chroma
-    upsampled by sample replication). Returns (planes, height,
-    width)."""
+                   ) -> tuple[list[np.ndarray], int, int, int, bool]:
+    """Parse + entropy-decode a sequential (SOF0/SOF1, interleaved or
+    multi-scan non-interleaved), progressive (SOF2, spectral selection
+    and/or successive approximation) or lossless (SOF3) JPEG into
+    full-resolution component planes (float64 for DCT modes, int64 for
+    lossless; Y or Y/Cb/Cr, chroma upsampled by sample replication).
+    Returns (planes, height, width, precision, lossless)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -499,6 +592,8 @@ def _decode_planes(payload: bytes
     comps: list[dict] = []              # SOF order: id, h, v, tq
     scans: list[dict] = []
     progressive = False
+    lossless = False
+    prec = 8
     restart = 0
     i = 2
     n = len(payload)
@@ -517,13 +612,17 @@ def _decode_planes(payload: bytes
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                z = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8)
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT element precision {pq}")
+                if pq:                         # 16-bit table elements
+                    z = np.frombuffer(seg[j + 1:j + 129],
+                                      dtype=">u2").astype(np.int64)
+                else:
+                    z = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8)
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[ZIGZAG] = z                # zigzag -> natural
                 qt[tq] = tbl
-                j += 65
+                j += 129 if pq else 65
         elif m == 0xC4:                        # DHT
             j = 0
             while j < len(seg):
@@ -533,15 +632,19 @@ def _decode_planes(payload: bytes
                 vals = list(seg[j + 17:j + 17 + cnt])
                 huff[(tc, th)] = _decode_lut(bits, vals)
                 j += 17 + cnt
-        elif m in (0xC0, 0xC2):                # SOF0 / SOF2
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):    # SOF0/1/2/3
             if comps:
                 raise ValueError("multiple frame headers")
             progressive = m == 0xC2
+            lossless = m == 0xC3
             prec, height, width, ncomp = struct.unpack(
                 ">BHHB", seg[:6])
-            if prec != 8:
-                raise NotImplementedError("12-bit precision")
-            if ncomp not in (1, 3):
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"lossless precision {prec}")
+            elif prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit DCT precision")
+            if not lossless and ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG (CMYK/unknown)")
             for c in range(ncomp):
@@ -553,10 +656,10 @@ def _decode_planes(payload: bytes
                 # one data unit per MCU over the component's own block
                 # grid, sampling factors ignored (T.81 A.2.2)
                 comps[0]["h"] = comps[0]["v"] = 1
-        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m in (0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{m:02X})")
+                f"arithmetic/hierarchical JPEG (SOF marker 0x{m:02X})")
         elif m == 0xDD:                        # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:                        # SOS
@@ -585,6 +688,9 @@ def _decode_planes(payload: bytes
         i += 2 + seg_len
     if not scans or not width or not height or not comps:
         raise ValueError("no scan data / frame header")
+    if lossless:
+        planes = _decode_lossless(scans, comps, width, height, prec)
+        return planes, height, width, prec, True
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -618,7 +724,9 @@ def _decode_planes(payload: bytes
         blocks = (coef[ci] * qt[c["tq"]]).reshape(
             nby * nbx, 8, 8).astype(np.float64)
         # dequantize + IDCT, all blocks of the component at once
-        pix = np.einsum("ki,nkl,lj->nij", _A, blocks, _A) + 128.0
+        # (level shift 2^(P-1): 128 for 8-bit, 2048 for 12-bit, A.3.1)
+        pix = np.einsum("ki,nkl,lj->nij", _A, blocks, _A) \
+            + float(1 << (prec - 1))
         plane = pix.reshape(nby, nbx, 8, 8).transpose(
             0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         # crop to the component's sampled size, then upsample to full
@@ -632,36 +740,51 @@ def _decode_planes(payload: bytes
         if rx > 1:
             plane = np.repeat(plane, rx, axis=1)
         planes.append(plane[:height, :width])
-    return planes, height, width
+    return planes, height, width, prec, False
+
+
+def _to_clip(a: np.ndarray, prec: int) -> np.ndarray:
+    """Round + clamp to the sample range of a P-bit stream; uint8 for
+    P <= 8, uint16 above (native precision, no rescaling)."""
+    dt = np.uint8 if prec <= 8 else np.uint16
+    return np.clip(np.round(a), 0, (1 << prec) - 1).astype(dt)
 
 
 def _to_u8(a: np.ndarray) -> np.ndarray:
-    return np.clip(np.round(a), 0, 255).astype(np.uint8)
+    return _to_clip(a, 8)
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential or progressive JPEG: (h, w) uint8
-    for greyscale, (h, w, 3) uint8 RGB for 3-component YCbCr (JFIF
-    colour transform). Raises ``NotImplementedError`` for arithmetic /
-    lossless / 12-bit streams, ``ValueError`` for malformed data."""
-    planes, _, _ = _decode_planes(payload)
+    """Decode a sequential (baseline or 12-bit extended), progressive
+    or lossless JPEG: (h, w) for single-component, (h, w, 3) RGB for
+    3-component YCbCr DCT streams (JFIF colour transform). Lossless
+    multi-component streams return (h, w, n) with NO colour transform
+    (T.81 lossless carries component samples verbatim — typically RGB
+    already). dtype is uint8 for 8-bit precision, uint16 above.
+    Raises ``NotImplementedError`` for arithmetic / hierarchical
+    streams, ``ValueError`` for malformed data."""
+    planes, _, _, prec, lossless = _decode_planes(payload)
     if len(planes) == 1:
-        return _to_u8(planes[0])
+        return _to_clip(planes[0], prec)
+    if lossless:
+        return _to_clip(np.stack(planes, axis=2), prec)
+    half = float(1 << (prec - 1))
     y, cb, cr = planes
-    cb = cb - 128.0
-    cr = cr - 128.0
+    cb = cb - half
+    cr = cr - half
     rgb = np.stack([y + 1.402 * cr,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=2)
-    return _to_u8(rgb)
+    return _to_clip(rgb, prec)
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to its (h, w) uint8 luma plane (the
-    decoded image for greyscale streams; the exact Y component, no
-    colour round-trip, for colour streams)."""
-    planes, _, _ = _decode_planes(payload)
-    return _to_u8(planes[0])
+    """Decode a JPEG to its (h, w) first-component plane (the decoded
+    image for greyscale streams; the exact Y component, no colour
+    round-trip, for colour streams). uint8 for 8-bit precision,
+    uint16 above."""
+    planes, _, _, prec, _ = _decode_planes(payload)
+    return _to_clip(planes[0], prec)
 
 
 class _BitWriter:
@@ -879,3 +1002,87 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         return encode_jpeg_gray(img, quality=quality)
     return encode_jpeg_color(img, quality=quality,
                              subsampling=subsampling)
+
+
+# lossless difference-category table: the 17 categories 0..16 as a flat
+# canonical code (all length 5; 17 of 32 codewords used, all-ones free
+# as T.81 C.2 requires) — universal, not tuned, exactness is the point
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(img: np.ndarray, *, predictor: int = 1,
+                         point_transform: int = 0,
+                         precision: int | None = None) -> bytes:
+    """Encode (h, w) or (h, w, n<=4) integer samples as a lossless
+    JPEG (SOF3, one interleaved scan, 1x1 sampling, T.81 Annex H).
+    Exact round-trip: ``decode_jpeg(encode_jpeg_lossless(a)) == a``
+    for any predictor when ``point_transform`` is 0 (a nonzero Pt
+    drops the Pt low bits by design). ``precision`` defaults to 8 for
+    uint8 input, else the smallest width that holds the data."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or not 1 <= a.shape[2] <= 4:
+        raise ValueError("expected (h, w) or (h, w, n<=4) samples")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor}")
+    h, w, nc = a.shape
+    if precision is None:
+        precision = 8 if a.dtype == np.uint8 else max(
+            2, int(a.max()).bit_length())
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision {precision}")
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError("point transform must be in [0, precision)")
+    if a.min() < 0 or a.max() >= (1 << precision):
+        raise ValueError("samples out of range for the precision")
+    x = a.astype(np.int64) >> pt
+    # predicted value per sample, vectorized per component (Annex H.1:
+    # interior = selected predictor over Ra/Rb/Rc; first line = Ra,
+    # first column = Rb, very first sample = 2^(P-Pt-1))
+    ra = np.zeros_like(x)
+    ra[:, 1:] = x[:, :-1]
+    rb = np.zeros_like(x)
+    rb[1:, :] = x[:-1, :]
+    rc = np.zeros_like(x)
+    rc[1:, 1:] = x[:-1, :-1]
+    px = [ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+          rb + ((ra - rc) >> 1), (ra + rb) >> 1][predictor - 1].copy()
+    px[0, 1:] = x[0, :-1]
+    px[1:, 0] = x[:-1, 0]
+    px[0, 0] = 1 << (precision - pt - 1)
+    signed = (x - px) & 0xFFFF
+    signed[signed >= 32768] -= 65536        # mod-2^16 diff, signed
+    mag = np.abs(signed)
+    with np.errstate(divide="ignore"):
+        cat = np.where(mag == 0, 0,
+                       np.floor(np.log2(np.maximum(mag, 1))) + 1
+                       ).astype(np.int64)
+    cat[signed == -32768] = 16              # category 16: no extra bits
+    extra = np.where(signed < 0, signed + (1 << cat) - 1, signed)
+    # MCU order: raster-major, components minor (one interleaved scan)
+    cat_f = cat.reshape(h * w * nc)
+    ext_f = extra.reshape(h * w * nc)
+    codes = _codes(_LL_BITS, _LL_VALS)
+    bwr = _BitWriter()
+    for i in range(h * w * nc):
+        t = int(cat_f[i])
+        bwr.put(*codes[t])
+        if 0 < t < 16:
+            bwr.put(int(ext_f[i]), t)
+    bwr.flush()
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
+    out += _seg(0xC3, sof)
+    out += _seg(0xDA, sos)
+    out += bwr.buf
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -147,11 +147,11 @@ class MediaFeatureExtractor:
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _real_features(self, payload: bytes) -> np.ndarray:
-        """Dispatch on payload magic bytes: PNG, WAV, JPEG (baseline or
-        progressive, greyscale or YCbCr colour) and P5 decode through
+        """Dispatch on payload magic bytes: PNG, WAV, JPEG (baseline,
+        extended 12-bit, progressive or lossless) and P5 decode through
         the pure-numpy codecs; MP4 and Matroska/WebM demux to their
-        middle keyframe. What remains of the codec seam:
-        arithmetic/lossless/12-bit JPEG and H.264/VP9/AV1 samples."""
+        middle keyframe. What remains of the codec seam: arithmetic
+        and hierarchical JPEG, and H.264/VP9/AV1 samples."""
         from ..functions.codecs import decode_png, decode_wav, \
             wav_features
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -166,8 +166,12 @@ class MediaFeatureExtractor:
             from ..functions.jpeg import decode_jpeg
             img = decode_jpeg(payload)
             if img.ndim == 3:          # luma approximation for features
-                img = img.mean(axis=2).astype(np.uint8)
-            return pgm_features(img, self.feature_dim)
+                img = img.mean(axis=2)
+            if img.dtype != np.uint8:  # 12/16-bit stream: features run
+                # in 8-bit space — shift so the brightest sample fits
+                shift = max(0, int(img.max()).bit_length() - 8)
+                img = (img.astype(np.int64) >> shift)
+            return pgm_features(img.astype(np.uint8), self.feature_dim)
         if payload[:2] == b"P5":
             return pgm_features(decode_pgm(payload), self.feature_dim)
         from ..functions.mp4 import is_mp4
@@ -180,8 +184,8 @@ class MediaFeatureExtractor:
             return self._real_features(
                 mod.extract_sample(payload, trk, mid))
         raise NotImplementedError(
-            "payload is not PNG/WAV/PGM/JPEG/MP4/WebM — "
-            "arithmetic/lossless JPEG variants are the declared codec "
+            "payload is not PNG/WAV/PGM/JPEG/MP4/WebM — arithmetic "
+            "and hierarchical JPEG variants are the declared codec "
             "seam (README media matrix)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:

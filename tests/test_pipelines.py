@@ -870,9 +870,12 @@ class TestJpegCodec:
         img = np.zeros((8, 8), np.uint8)
         enc = bytearray(encode_jpeg_gray(img))
         i = enc.find(bytes([0xFF, 0xC0]))
-        enc[i + 1] = 0xC3                      # masquerade as lossless
+        enc[i + 1] = 0xC9                      # masquerade as arithmetic
         with pytest.raises(NotImplementedError):
             decode_jpeg_gray(bytes(enc))
+        enc[i + 1] = 0xC3                      # lossless is REAL now but
+        with pytest.raises(ValueError):        # a DCT SOS under SOF3 is
+            decode_jpeg_gray(bytes(enc))       # malformed (Ss=0)
         with pytest.raises(ValueError):
             decode_jpeg_gray(b"\x00\x01not a jpeg")
 
