@@ -225,3 +225,76 @@ def wav_features(samples: np.ndarray, rate: int,
         pools = np.array_split(mag, n_spec)
         out[2:] = [np.log1p(p.mean()) if len(p) else 0.0 for p in pools]
     return out
+
+
+# ---- BMP (Windows DIB) ---------------------------------------------
+
+def is_bmp(payload: bytes) -> bool:
+    return payload[:2] == b"BM"
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed Windows BMP (BITMAPINFOHEADER or the
+    larger V4/V5 headers): 8-bit palette, 24-bit BGR or 32-bit BGRA,
+    bottom-up or top-down, 4-byte row padding. Returns (h, w) uint8
+    for greyscale palettes, else (h, w, 3) uint8 RGB."""
+    if not is_bmp(payload):
+        raise ValueError("not a BMP (missing BM signature)")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size} (OS/2)")
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    n_colors = struct.unpack("<I", payload[46:50])[0]
+    if compression not in (0, 3):    # BI_RGB / BI_BITFIELDS(default)
+        raise NotImplementedError(f"BMP compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * bpp // 8 + 3) & ~3
+    raw = np.frombuffer(payload[data_off:data_off + stride * h],
+                        dtype=np.uint8)
+    if len(raw) < stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = raw.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        pal_off = 14 + hdr_size
+        n = n_colors or 256
+        pal = np.frombuffer(payload[pal_off:pal_off + 4 * n],
+                            dtype=np.uint8).reshape(n, 4)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("BMP pixel index outside the palette")
+        rgb = pal[idx][:, :, [2, 1, 0]]          # BGRA -> RGB
+        if (rgb[:, :, 0] == rgb[:, :, 1]).all() \
+                and (rgb[:, :, 1] == rgb[:, :, 2]).all():
+            return np.ascontiguousarray(rgb[:, :, 0])
+        return np.ascontiguousarray(rgb)
+    ch = bpp // 8
+    px = rows[:, :w * ch].reshape(h, w, ch)
+    return np.ascontiguousarray(px[:, :, [2, 1, 0]])  # BGR(A) -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode (h, w) grey or (h, w, 3) RGB uint8 as a 24-bit
+    bottom-up BI_RGB BMP."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=2)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("expected (h, w) or (h, w, 3) uint8")
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = a[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    body = rows.tobytes()
+    hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    off = 14 + len(hdr)
+    head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + hdr + body

@@ -120,13 +120,15 @@ MEDIA_SCHEMA = pa.schema([
 
 def _container_module(payload: bytes):
     """Magic-byte dispatch to the video-container demuxer whose API this
-    payload speaks (both modules expose ``video_track`` /
+    payload speaks (all three modules expose ``video_track`` /
     ``extract_sample`` over the same track shape), or ``None``."""
-    from ..functions import mp4, webm
+    from ..functions import avi, mp4, webm
     if mp4.is_mp4(payload):
         return mp4
     if webm.is_webm(payload):
         return webm
+    if avi.is_avi(payload):
+        return avi
     return None
 
 
@@ -147,16 +149,26 @@ class MediaFeatureExtractor:
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _real_features(self, payload: bytes) -> np.ndarray:
-        """Dispatch on payload magic bytes: PNG, WAV, JPEG (baseline,
-        extended 12-bit, progressive or lossless) and P5 decode through
-        the pure-numpy codecs; MP4 and Matroska/WebM demux to their
-        middle keyframe. What remains of the codec seam: arithmetic
-        and hierarchical JPEG, and H.264/VP9/AV1 samples."""
-        from ..functions.codecs import decode_png, decode_wav, \
-            wav_features
+        """Dispatch on payload magic bytes: PNG, GIF, BMP, WAV, JPEG
+        (baseline, extended 12-bit, progressive or lossless) and P5
+        decode through the pure-numpy codecs; MP4, Matroska/WebM and
+        AVI demux to their middle keyframe. What remains of the codec
+        seam: arithmetic and hierarchical JPEG, and H.264/VP9/AV1
+        samples."""
+        from ..functions.codecs import decode_bmp, decode_png, \
+            decode_wav, is_bmp, wav_features
+        from ..functions.gif import decode_gif_first, is_gif
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             img = decode_png(payload)
             if img.ndim == 3:          # luma approximation for features
+                img = img.mean(axis=2).astype(np.uint8)
+            return pgm_features(img, self.feature_dim)
+        if is_gif(payload):
+            img = decode_gif_first(payload).mean(axis=2).astype(np.uint8)
+            return pgm_features(img, self.feature_dim)
+        if is_bmp(payload):
+            img = decode_bmp(payload)
+            if img.ndim == 3:
                 img = img.mean(axis=2).astype(np.uint8)
             return pgm_features(img, self.feature_dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -174,19 +186,17 @@ class MediaFeatureExtractor:
             return pgm_features(img.astype(np.uint8), self.feature_dim)
         if payload[:2] == b"P5":
             return pgm_features(decode_pgm(payload), self.feature_dim)
-        from ..functions.mp4 import is_mp4
-        from ..functions.webm import is_webm
-        if is_mp4(payload) or is_webm(payload):
+        mod = _container_module(payload)
+        if mod is not None:
             # thumbnail features: the middle keyframe of the video track
-            mod = _container_module(payload)
             trk = mod.video_track(payload)
             mid = trk.sync_at_or_before(trk.n_samples // 2)
             return self._real_features(
                 mod.extract_sample(payload, trk, mid))
         raise NotImplementedError(
-            "payload is not PNG/WAV/PGM/JPEG/MP4/WebM — arithmetic "
-            "and hierarchical JPEG variants are the declared codec "
-            "seam (README media matrix)")
+            "payload is not PNG/GIF/BMP/WAV/PGM/JPEG/MP4/WebM/AVI — "
+            "arithmetic and hierarchical JPEG variants are the "
+            "declared codec seam (README media matrix)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:
         """Deterministic stand-in: features = seeded hash-mix of payload
@@ -294,7 +304,9 @@ class FrameSampler:
     sampled frame). ``decoder="real"`` demuxes REAL containers: MP4
     (ISO-BMFF sample tables via ``functions/mp4.py``), Matroska/WebM
     (EBML clusters via ``functions/webm.py`` — keyframe flags from
-    SimpleBlock / ReferenceBlock) and the pgmv concatenation —
+    SimpleBlock / ReferenceBlock), AVI (RIFF movi chunks + idx1
+    keyframe flags via ``functions/avi.py``), animated GIF (composited
+    frames re-encoded as PNG payloads) and the pgmv concatenation —
     evenly-spaced sample indices, optionally snapped to the nearest
     preceding sync sample (true keyframe seek); each sampled frame's
     own payload is emitted (Motion-JPEG tracks then decode through
@@ -325,10 +337,23 @@ class FrameSampler:
                 idx = np.unique([trk.sync_at_or_before(int(i))
                                  for i in idx]).astype(np.int64)
             return idx, [mod.extract_sample(p, trk, int(i)) for i in idx]
+        if self.decoder == "real":
+            from ..functions.gif import is_gif
+            if is_gif(p):
+                # animated GIF: composited frames re-encoded as PNG
+                # (every composited frame is independently decodable,
+                # so snap_to_sync is the identity here)
+                from ..functions.codecs import encode_png
+                from ..functions.gif import decode_gif
+                frames, _ = decode_gif(p)
+                total = len(frames)
+                kk = min(k, total)
+                idx = (np.arange(kk) * total) // max(1, kk)
+                return idx, [encode_png(frames[int(i)]) for i in idx]
         if self.decoder == "real" and p[:2] != b"P5":
             raise NotImplementedError(
-                "payload is not ISO-BMFF (mp4), Matroska/WebM or pgmv "
-                "(README media matrix)")
+                "payload is not ISO-BMFF (mp4), Matroska/WebM, AVI, "
+                "GIF or pgmv (README media matrix)")
         frames = split_pgmv_frames(p)
         total = len(frames)
         kk = min(k, total)

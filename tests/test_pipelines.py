@@ -703,19 +703,21 @@ class TestMultimodal:
             assert np.array_equal(decode_png(payload), want)
 
     def test_frame_sampler_unknown_container_is_declared_seam(self):
-        """mp4 AND webm demux are real now (test_mp4.py /
-        test_webm.py); a container that is none of ISO-BMFF, EBML or
-        pgmv (e.g. RIFF/AVI magic) stays the declared
-        NotImplementedError seam, while a payload with EBML magic but
-        a corrupt body surfaces the demuxer's parse error rather than
-        being misfiled as 'unsupported'."""
+        """mp4, webm AND avi demux are real now (test_mp4.py /
+        test_webm.py / test_avi.py); a container that is none of
+        ISO-BMFF, EBML, RIFF-AVI, GIF or pgmv (e.g. Ogg magic) stays
+        the declared NotImplementedError seam, while payloads with
+        EBML or AVI magic but corrupt bodies surface the demuxer's
+        parse error rather than being misfiled as 'unsupported'."""
         from hierarchical_bloom_filter_index_ray.pipelines.multimodal import \
             FrameSampler
         fs = FrameSampler(n_frames=3, decoder="real")
         with pytest.raises(NotImplementedError):
-            fs._split(b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 64)
+            fs._split(b"OggS\x00\x02" + b"\x00" * 64)
         with pytest.raises(ValueError):
             fs._split(b"\x1a\x45\xdf\xa3" + b"\x00" * 64)
+        with pytest.raises(ValueError):
+            fs._split(b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 64)
 
 
 def _hand_codes(bits, vals):
