@@ -92,11 +92,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     idat: list[bytes] = []
     plte = None
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
         pos += 12 + length
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("bad PNG IHDR length")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -115,7 +119,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"PNG color type {color} not supported")
     ch = _PNG_CHANNELS[color]
     stride = w * ch
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:             # corrupt/truncated deflate
+        raise ValueError(f"bad PNG IDAT stream: {ex}") from ex
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG raster length mismatch")
     img = _unfilter(raw, h, stride, ch)
@@ -173,6 +181,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[pos + 8:pos + 8 + ln]
         pos += 8 + ln + (ln & 1)
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -240,6 +250,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     for greyscale palettes, else (h, w, 3) uint8 RGB."""
     if not is_bmp(payload):
         raise ValueError("not a BMP (missing BM signature)")
+    if len(payload) < 54:                # file header + min info header
+        raise ValueError("truncated BMP header")
     data_off = struct.unpack("<I", payload[10:14])[0]
     hdr_size = struct.unpack("<I", payload[14:18])[0]
     if hdr_size < 40:

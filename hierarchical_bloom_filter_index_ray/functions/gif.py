@@ -145,6 +145,8 @@ def parse_gif(payload: bytes) -> dict:
     "delay_cs", "disposal"}], "loop"}`` — indices pre-deinterlaced."""
     if not is_gif(payload):
         raise ValueError("not a GIF (missing GIF87a/GIF89a signature)")
+    if len(payload) < 14:
+        raise ValueError("truncated GIF header")
     w, h, flags, bg, _ = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
@@ -177,6 +179,8 @@ def parse_gif(payload: bytes) -> dict:
             continue
         if b != 0x2C:
             raise ValueError(f"unknown GIF block 0x{b:02X}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         il, it, iw, ih, iflags = struct.unpack("<HHHHB",
                                                payload[pos:pos + 9])
         pos += 9

@@ -754,6 +754,17 @@ def _to_u8(a: np.ndarray) -> np.ndarray:
     return _to_clip(a, 8)
 
 
+def _planes_checked(payload: bytes):
+    """``_decode_planes`` with the decode boundary hardened for
+    untrusted bytes: truncations and bit flips surface as IndexError /
+    struct.error deep in the marker and entropy loops — normalize them
+    to ValueError so actor-pool stages see one malformed-input type."""
+    try:
+        return _decode_planes(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"malformed JPEG stream: {ex}") from ex
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a sequential (baseline or 12-bit extended), progressive
     or lossless JPEG: (h, w) for single-component, (h, w, 3) RGB for
@@ -763,7 +774,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     already). dtype is uint8 for 8-bit precision, uint16 above.
     Raises ``NotImplementedError`` for arithmetic / hierarchical
     streams, ``ValueError`` for malformed data."""
-    planes, _, _, prec, lossless = _decode_planes(payload)
+    planes, _, _, prec, lossless = _planes_checked(payload)
     if len(planes) == 1:
         return _to_clip(planes[0], prec)
     if lossless:
@@ -783,7 +794,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     image for greyscale streams; the exact Y component, no colour
     round-trip, for colour streams). uint8 for 8-bit precision,
     uint16 above."""
-    planes, _, _, prec, _ = _decode_planes(payload)
+    planes, _, _, prec, _ = _planes_checked(payload)
     return _to_clip(planes[0], prec)
 
 

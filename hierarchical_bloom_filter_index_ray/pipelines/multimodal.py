@@ -141,12 +141,19 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, *, decoder: str = "real", feature_dim: int = 16,
-                 seed: int = 42):
+                 seed: int = 42, on_error: str = "raise"):
         self.decoder = decoder
         self.feature_dim = feature_dim
         self.seed = seed
         if decoder not in ("fake", "pgm", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"unknown on_error policy {on_error!r}")
+        # "skip" drops rows whose payload fails to decode (malformed or
+        # unsupported format) instead of failing the whole batch task —
+        # the right default posture over crawl corpora, opt-in here so
+        # tests and curated corpora keep loud failures
+        self.on_error = on_error
 
     def _real_features(self, payload: bytes) -> np.ndarray:
         """Dispatch on payload magic bytes: PNG, GIF, BMP, WAV, JPEG
@@ -216,15 +223,27 @@ class MediaFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         if self.decoder == "pgm":
-            feats = np.stack([
-                pgm_features(decode_pgm(p), self.feature_dim)
-                for p in payloads]) if payloads else np.empty(
-                    (0, self.feature_dim), np.float32)
+            decode = lambda p: pgm_features(decode_pgm(p),  # noqa: E731
+                                            self.feature_dim)
         elif self.decoder == "real":
-            feats = np.stack([
-                self._real_features(p) for p in payloads]) \
-                if payloads else np.empty((0, self.feature_dim),
-                                          np.float32)
+            decode = self._real_features
+        else:
+            decode = None
+        if decode is not None:
+            rows = []
+            keep = np.ones(len(payloads), dtype=bool)
+            for i, p in enumerate(payloads):
+                try:
+                    rows.append(decode(p))
+                except (ValueError, NotImplementedError):
+                    if self.on_error == "raise":
+                        raise
+                    keep[i] = False
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                payloads = [p for p, k in zip(payloads, keep) if k]
+            feats = np.stack(rows) if rows else np.empty(
+                (0, self.feature_dim), np.float32)
         else:
             feats = self._fake_decode(payloads)
         offsets = np.arange(0, (len(payloads) + 1) * self.feature_dim,
@@ -240,15 +259,18 @@ class MediaFeatureExtractor:
 
 def extract_features(ds: "rd.Dataset", *, decoder: str = "fake",
                      feature_dim: int = 16, seed: int = 42,
-                     batch_size: int = 64, concurrency: int = 2
-                     ) -> "rd.Dataset":
+                     batch_size: int = 64, concurrency: int = 2,
+                     on_error: str = "raise") -> "rd.Dataset":
     """Media featurization pipeline. Small ``batch_size`` by design: large
-    binary payloads x concurrency must fit the worker heap."""
+    binary payloads x concurrency must fit the worker heap.
+    ``on_error="skip"`` drops undecodable rows instead of failing the
+    task (crawl-corpus posture)."""
     return ds.map_batches(
         MediaFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
         fn_constructor_kwargs={"decoder": decoder,
-                               "feature_dim": feature_dim, "seed": seed})
+                               "feature_dim": feature_dim, "seed": seed,
+                               "on_error": on_error})
 
 
 class ImageResizer:

@@ -1,0 +1,124 @@
+"""Decode-boundary fuzz: every media decoder, fed garbage bytes,
+truncations of a valid stream, or single-bit flips, must raise
+``ValueError`` or ``NotImplementedError`` — never ``struct.error``,
+``IndexError``, ``zlib.error`` or an unbounded loop. The actor-pool
+media stages run over untrusted crawl payloads; a stray exception type
+there kills a whole Ray task batch instead of being handled as one
+malformed row. Deterministic seeds keep this reproducible."""
+
+import numpy as np
+import pytest
+
+from hierarchical_bloom_filter_index_ray.functions import (
+    avi, gif, jpeg, mp4, webm)
+from hierarchical_bloom_filter_index_ray.functions import codecs
+
+_OK = (ValueError, NotImplementedError)
+
+_RNG = np.random.default_rng(12345)
+_IMG = _RNG.integers(0, 256, (9, 11)).astype(np.uint8)
+_PAL = _RNG.integers(0, 256, (16, 3)).astype(np.uint8)
+
+_CASES = {
+    "png": (codecs.decode_png, b"\x89PNG\r\n\x1a\n",
+            lambda: codecs.encode_png(_IMG)),
+    "wav": (codecs.decode_wav, b"RIFF\x10\x00\x00\x00WAVE",
+            lambda: codecs.encode_wav(
+                _RNG.integers(-3000, 3000, (50, 1)).astype(np.int16),
+                8000)),
+    "bmp": (codecs.decode_bmp, b"BM",
+            lambda: codecs.encode_bmp(_IMG)),
+    "gif": (gif.decode_gif, b"GIF89a",
+            lambda: gif.encode_gif(_IMG % 16, _PAL)),
+    "jpeg": (jpeg.decode_jpeg, b"\xff\xd8",
+             lambda: jpeg.encode_jpeg(_IMG)),
+    "jpegll": (jpeg.decode_jpeg, b"\xff\xd8",
+               lambda: jpeg.encode_jpeg_lossless(_IMG)),
+    "mp4": (mp4.video_track, b"\x00\x00\x00\x18ftypisom",
+            lambda: mp4.encode_mp4_video([b"fr1", b"fr2"],
+                                         codec=b"jpeg",
+                                         width=2, height=2)),
+    "webm": (webm.video_track, b"\x1aE\xdf\xa3",
+             lambda: webm.encode_webm_video([b"fr1", b"fr2"],
+                                            width=2, height=2)),
+    "avi": (avi.parse_avi, b"RIFF\x40\x00\x00\x00AVI ",
+            lambda: avi.encode_avi_video([b"fr1", b"fr2"],
+                                         width=2, height=2)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_garbage_after_magic(name):
+    fn, magic, _ = _CASES[name]
+    rng = np.random.default_rng(hash(name) % 2**32)
+    for _ in range(200):
+        n = int(rng.integers(0, 120))
+        payload = magic + rng.integers(0, 256, n,
+                                       dtype=np.uint8).tobytes()
+        try:
+            fn(payload)
+        except _OK:
+            pass
+
+
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_truncations(name):
+    fn, _, make = _CASES[name]
+    v = make()
+    for cut in range(1, len(v)):
+        try:
+            fn(v[:cut])
+        except _OK:
+            pass
+
+
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_bit_flips(name):
+    fn, _, make = _CASES[name]
+    v = make()
+    rng = np.random.default_rng(hash(name) % 2**31)
+    for _ in range(150):
+        b = bytearray(v)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            fn(bytes(b))
+        except _OK:
+            pass
+
+
+class TestOnErrorPolicy:
+    def test_skip_drops_bad_rows(self, ray_session):
+        import ray
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import extract_features
+        good = codecs.encode_png(_IMG)
+        rows = [
+            {"media_id": 0, "payload": good, "media_type": "image/png"},
+            {"media_id": 1, "payload": b"\xff\xd8garbage",
+             "media_type": "image/jpeg"},
+            {"media_id": 2, "payload": good, "media_type": "image/png"},
+            {"media_id": 3, "payload": b"OggS unsupported",
+             "media_type": "audio/ogg"},
+        ]
+        out = extract_features(ray.data.from_items(rows),
+                               decoder="real", feature_dim=8,
+                               concurrency=1, on_error="skip"
+                               ).to_pandas()
+        assert sorted(out["media_id"]) == [0, 2]
+
+    def test_raise_is_default(self, ray_session):
+        import ray
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import extract_features
+        rows = [{"media_id": 0, "payload": b"\xff\xd8garbage",
+                 "media_type": "image/jpeg"}]
+        with pytest.raises(Exception):
+            extract_features(ray.data.from_items(rows), decoder="real",
+                             feature_dim=8, concurrency=1).to_pandas()
+
+    def test_bad_policy_rejected(self):
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import MediaFeatureExtractor
+        with pytest.raises(ValueError):
+            MediaFeatureExtractor(on_error="ignore")
