@@ -1,0 +1,504 @@
+"""Pure-numpy FLAC codec (RFC 9639 / the xiph FLAC format) — the
+most common lossless audio format in crawled corpora after WAV.
+
+Decode covers the full subset real encoders emit: STREAMINFO +
+skipped metadata blocks, frame headers (all block-size / sample-rate /
+sample-size codes, UTF-8-coded frame numbers, CRC-8 verified),
+subframes CONSTANT / VERBATIM / FIXED (orders 0-4) / LPC (any order,
+signed quantized coefficients + shift), wasted bits, Rice residuals
+(both 4- and 5-bit parameter methods, any partition order, escape
+partitions with raw bits) and all four channel assignments
+(independent, left/side, right/side, mid/side). Fixed-predictor
+reconstruction is vectorized as repeated prefix-sum integration; LPC
+is the inherently-serial feedback loop (runs inside actor-pool
+``map_batches`` stages, one clip per row — never on the driver).
+
+Encode writes a spec-correct stream with CONSTANT / VERBATIM / FIXED
+subframes (best order 0-2 by residual magnitude), single-partition
+Rice residuals and any channel decorrelation mode — exact round-trip
+for any int16 input at any of the four stereo assignments.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+               8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+               13: 8192, 14: 16384, 15: 32768}
+_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+          6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+          11: 96000}
+_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def is_flac(payload: bytes) -> bool:
+    return payload[:4] == b"fLaC"
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+    return c
+
+
+class _Bits:
+    """MSB-first bit reader over bytes."""
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.d = data
+        self.p = pos_bits
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        byte, off = divmod(self.p, 8)
+        need = (off + n + 7) // 8
+        chunk = self.d[byte:byte + need]
+        if len(chunk) < need:
+            raise ValueError("truncated FLAC bitstream")
+        word = int.from_bytes(chunk, "big")
+        self.p += n
+        return (word >> (need * 8 - off - n)) & ((1 << n) - 1)
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while True:
+            if self.read(1):
+                return q
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway FLAC unary code")
+
+    def align(self):
+        self.p = (self.p + 7) & ~7
+
+
+def _utf8_encode(v: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of a frame/sample number."""
+    if v < 0x80:
+        return bytes([v])
+    parts = []
+    n = 1
+    while True:
+        n += 1
+        parts = [(0b10_000000 | ((v >> (6 * i)) & 0x3F))
+                 for i in range(n - 1)][::-1]
+        lead_bits = 7 - n
+        if v >> (6 * (n - 1)) < (1 << lead_bits):
+            lead = ((0xFF << (8 - n)) & 0xFF) >> 0 \
+                | (v >> (6 * (n - 1)))
+            return bytes([lead & 0xFF] + parts)
+        if n == 7:
+            raise ValueError("frame number too large for UTF-8 coding")
+
+
+def _utf8_number(br: _Bits) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("bad FLAC UTF-8 frame number")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = br.read(8)
+        if c >> 6 != 0b10:
+            raise ValueError("bad FLAC UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _rice_residual(br: _Bits, blocksize: int, order: int) -> np.ndarray:
+    """Residual section (RFC 9639 §9.2.7): Rice partitions."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    parts = 1 << porder
+    if blocksize % parts:
+        raise ValueError("FLAC partition order does not divide block")
+    out = np.empty(blocksize - order, dtype=np.int64)
+    k = 0
+    for p in range(parts):
+        n = blocksize // parts - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC partition smaller than predictor order")
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for i in range(n):
+                out[k + i] = br.sread(raw) if raw else 0
+        else:
+            for i in range(n):
+                q = br.unary()
+                v = (q << param) | br.read(param)
+                out[k + i] = (v >> 1) ^ -(v & 1)     # zigzag
+        k += n
+    return out
+
+
+def _undifference(warm: np.ndarray, res: np.ndarray, order: int
+                  ) -> np.ndarray:
+    """Invert the order-k fixed predictor by k prefix-sum integrations:
+    the residual IS the k-th difference sequence, and each lower
+    difference level seeds from the warmup's own differences."""
+    if order == 0:
+        return res.copy()
+    cur = res
+    for j in range(order - 1, -1, -1):
+        init = np.diff(warm, n=j)[-1]      # j-th difference at pos k-1-j
+        cur = init + np.cumsum(cur)
+    return cur
+
+
+def _fixed_reconstruct(warm: np.ndarray, res: np.ndarray, order: int
+                       ) -> np.ndarray:
+    if order == 0:
+        return res.copy()
+    tail = _undifference(warm, res, order)
+    return np.concatenate([warm, tail])
+
+
+def _subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    t = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exhaust the sample size")
+    if t == 0:                                # CONSTANT
+        v = br.sread(eff)
+        out = np.full(blocksize, v, dtype=np.int64)
+    elif t == 1:                              # VERBATIM
+        out = np.fromiter((br.sread(eff) for _ in range(blocksize)),
+                          np.int64, blocksize)
+    elif 8 <= t <= 12:                        # FIXED order 0-4
+        order = t - 8
+        warm = np.fromiter((br.sread(eff) for _ in range(order)),
+                           np.int64, order)
+        res = _rice_residual(br, blocksize, order)
+        out = _fixed_reconstruct(warm, res, order)
+    elif t >= 32:                             # LPC order 1-32
+        order = t - 31
+        warm = [br.sread(eff) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = br.sread(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.sread(prec) for _ in range(order)]
+        res = _rice_residual(br, blocksize, order)
+        s = list(warm)
+        for i in range(blocksize - order):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * s[-1 - j]
+            s.append((acc >> shift) + int(res[i]))
+        out = np.asarray(s, dtype=np.int64)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {t}")
+    return out << wasted if wasted else out
+
+
+def _parse_streaminfo(payload: bytes) -> dict:
+    if not is_flac(payload):
+        raise ValueError("not a FLAC stream (missing fLaC)")
+    pos = 4
+    info = None
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if ln < 34:
+                raise ValueError("short FLAC STREAMINFO")
+            br = _Bits(body)
+            br.read(16)
+            br.read(16)
+            br.read(24)
+            br.read(24)
+            rate = br.read(20)
+            nch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+            info = {"rate": rate, "channels": nch, "bps": bps,
+                    "total": total}
+        pos += 4 + ln
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    info["frames_at"] = pos
+    return info
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream -> ((n_samples, n_channels) int32 array,
+    sample_rate) — the same shape ``codecs.decode_wav`` returns."""
+    info = _parse_streaminfo(payload)
+    pos = info["frames_at"]
+    chans: list[list[np.ndarray]] = [[] for _ in range(info["channels"])]
+    got = 0
+    while pos + 2 <= len(payload) and (info["total"] == 0
+                                       or got < info["total"]):
+        sync = int.from_bytes(payload[pos:pos + 2], "big")
+        if sync >> 2 != 0x3FFE:
+            raise ValueError("lost FLAC frame sync")
+        br = _Bits(payload, pos * 8 + 16)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)
+        _utf8_number(br)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZES[bs_code]
+        if sr_code == 0:
+            pass
+        elif sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        bps = info["bps"] if ss_code == 0 else _SIZES.get(ss_code)
+        if bps is None:
+            raise ValueError("reserved FLAC sample size code")
+        hdr_end = (br.p + 7) // 8
+        if hdr_end >= len(payload):
+            raise ValueError("truncated FLAC frame header")
+        if _crc8(payload[pos:hdr_end]) != payload[hdr_end]:
+            raise ValueError("FLAC frame header CRC mismatch")
+        br.p = (hdr_end + 1) * 8
+        if ch_code < 8:
+            nch = ch_code + 1
+            if nch != info["channels"]:
+                raise ValueError("FLAC frame channel count mismatch")
+            subs = [_subframe(br, blocksize, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if info["channels"] != 2:
+                raise ValueError("stereo decorrelation in non-stereo "
+                                 "stream")
+            a_bits = bps + (1 if ch_code == 9 else 0)
+            b_bits = bps + (0 if ch_code == 9 else 1)
+            a = _subframe(br, blocksize, a_bits)
+            b = _subframe(br, blocksize, b_bits)
+            if ch_code == 8:                  # left/side
+                subs = [a, a - b]
+            elif ch_code == 9:                # right(=b)/side(=a): a is
+                subs = [a + b, b]             # side? no: left=side+right
+            else:                             # mid/side
+                m = (a << 1) | (b & 1)
+                subs = [(m + b) >> 1, (m - b) >> 1]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        br.align()
+        foot = br.p // 8
+        if foot + 2 > len(payload):
+            raise ValueError("truncated FLAC frame footer")
+        if _crc16(payload[pos:foot]) != int.from_bytes(
+                payload[foot:foot + 2], "big"):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        for c in range(info["channels"]):
+            chans[c].append(subs[c])
+        got += blocksize
+        pos = foot + 2
+    if not got:
+        raise ValueError("FLAC stream has no frames")
+    arr = np.stack([np.concatenate(c) for c in chans], axis=1)
+    if info["total"]:
+        arr = arr[:info["total"]]
+    return arr.astype(np.int32), info["rate"]
+
+
+# ------------------------------------------------------------ encode ----
+
+class _BitW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v: int, bits: int):
+        self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+
+def _best_fixed_order(x: np.ndarray) -> int:
+    best, cost = 0, None
+    d = x.astype(np.int64)
+    for order in range(3):
+        if len(d) <= order:
+            break
+        c = np.abs(np.diff(d, n=order)[order:] if order else d).sum()
+        if cost is None or c < cost:
+            best, cost = order, c
+    return best
+
+
+def _rice_param(res: np.ndarray) -> int:
+    if not len(res):
+        return 0
+    mean = max(1.0, float(np.abs(res).mean()))
+    return min(14, max(0, int(np.ceil(np.log2(mean))) + 1))
+
+
+def _write_subframe(bw: _BitW, x: np.ndarray, bps: int):
+    x = x.astype(np.int64)
+    if len(np.unique(x)) == 1:
+        bw.w(0, 1)
+        bw.w(0, 6)
+        bw.w(0, 1)
+        bw.w(int(x[0]), bps)
+        return
+    order = _best_fixed_order(x)
+    res = np.diff(x, n=order) if order else x
+    param = _rice_param(res)
+    # verbatim beats hopeless rice blocks (tiny or wild input)
+    if len(x) <= order or param >= 14:
+        bw.w(0, 1)
+        bw.w(1, 6)
+        bw.w(0, 1)
+        for v in x:
+            bw.w(int(v), bps)
+        return
+    bw.w(0, 1)
+    bw.w(8 + order, 6)
+    bw.w(0, 1)
+    for v in x[:order]:
+        bw.w(int(v), bps)
+    bw.w(0, 2)                                 # 4-bit rice method
+    bw.w(0, 4)                                 # partition order 0
+    bw.w(param, 4)
+    for r in res:
+        ri = int(r)
+        v = (ri << 1) ^ (ri >> 63)             # zigzag
+        q = v >> param
+        for _ in range(q):
+            bw.w(0, 1)
+        bw.w(1, 1)
+        if param:
+            bw.w(v & ((1 << param) - 1), param)
+
+
+def encode_flac(samples: np.ndarray, rate: int, *,
+                blocksize: int = 4096, stereo: str = "independent",
+                bps: int = 16) -> bytes:
+    """Encode (n,) or (n, ch) integer PCM as FLAC. ``stereo`` selects
+    the channel assignment for 2-channel input: ``independent``,
+    ``left_side``, ``right_side`` or ``mid_side`` (decoders must undo
+    all four; exact round-trip for every mode)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    if not 1 <= nch <= 8:
+        raise ValueError("1-8 channels supported")
+    if x.min() < -(1 << (bps - 1)) or x.max() >= (1 << (bps - 1)):
+        raise ValueError(f"samples exceed {bps}-bit range")
+    modes = {"independent": None, "left_side": 8, "right_side": 9,
+             "mid_side": 10}
+    if stereo not in modes:
+        raise ValueError(f"unknown stereo mode {stereo!r}")
+    if stereo != "independent" and nch != 2:
+        raise ValueError("stereo decorrelation needs 2 channels")
+    out = bytearray(b"fLaC")
+    si = _BitW()
+    si.w(blocksize, 16)
+    si.w(blocksize, 16)
+    si.w(0, 24)
+    si.w(0, 24)
+    si.w(rate, 20)
+    si.w(nch - 1, 3)
+    si.w(bps - 1, 5)
+    si.w(n, 36)                                # 144 bits = 18 bytes
+    body = bytes(si.buf) + b"\x00" * 16        # md5 unset (zeros)
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    for fi, start in enumerate(range(0, n, blocksize)):
+        blk = x[start:start + blocksize]
+        bs = len(blk)
+        hdr = _BitW()
+        hdr.w(0x3FFE, 14)
+        hdr.w(0, 1)
+        hdr.w(0, 1)                            # fixed-blocksize stream
+        hdr.w(7, 4)                            # 16-bit blocksize-1 field
+        hdr.w(0, 4)                            # rate: streaminfo
+        ch_code = modes[stereo]
+        hdr.w(nch - 1 if ch_code is None else ch_code, 4)
+        hdr.w({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+        hdr.w(0, 1)
+        for b in _utf8_encode(fi):             # UTF-8 frame number
+            hdr.w(b, 8)
+        hdr.w(bs - 1, 16)
+        hdr.align()
+        hbytes = bytes(hdr.buf)
+        frame = bytearray(hbytes)
+        frame.append(_crc8(hbytes))
+        bw = _BitW()
+        if ch_code is None:
+            for c in range(nch):
+                _write_subframe(bw, blk[:, c], bps)
+        else:
+            left = blk[:, 0]
+            right = blk[:, 1]
+            side = left - right
+            if ch_code == 8:
+                _write_subframe(bw, left, bps)
+                _write_subframe(bw, side, bps + 1)
+            elif ch_code == 9:
+                _write_subframe(bw, side, bps + 1)
+                _write_subframe(bw, right, bps)
+            else:
+                mid = (left + right) >> 1
+                _write_subframe(bw, mid, bps)
+                _write_subframe(bw, side, bps + 1)
+        bw.align()
+        frame += bw.buf
+        frame += _crc16(bytes(frame)).to_bytes(2, "big")
+        out += frame
+    return bytes(out)

@@ -156,12 +156,12 @@ class MediaFeatureExtractor:
         self.on_error = on_error
 
     def _real_features(self, payload: bytes) -> np.ndarray:
-        """Dispatch on payload magic bytes: PNG, GIF, BMP, WAV, JPEG
-        (baseline, extended 12-bit, progressive or lossless) and P5
-        decode through the pure-numpy codecs; MP4, Matroska/WebM and
-        AVI demux to their middle keyframe. What remains of the codec
-        seam: arithmetic and hierarchical JPEG, and H.264/VP9/AV1
-        samples."""
+        """Dispatch on payload magic bytes: PNG, GIF, BMP, WAV, FLAC,
+        JPEG (baseline, extended 12-bit, progressive or lossless) and
+        P5 decode through the pure-numpy codecs; MP4, Matroska/WebM
+        and AVI demux to their middle keyframe. What remains of the
+        codec seam: arithmetic and hierarchical JPEG, and
+        H.264/VP9/AV1 samples."""
         from ..functions.codecs import decode_bmp, decode_png, \
             decode_wav, is_bmp, wav_features
         from ..functions.gif import decode_gif_first, is_gif
@@ -180,6 +180,14 @@ class MediaFeatureExtractor:
             return pgm_features(img, self.feature_dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, rate = decode_wav(payload)
+            return wav_features(samples, rate, self.feature_dim)
+        if payload[:4] == b"fLaC":
+            from ..functions.flac import decode_flac
+            samples, rate = decode_flac(payload)
+            # wav_features keys its peak off the dtype: FLAC decodes to
+            # int32 but carries 16-bit PCM here, so narrow when it fits
+            if samples.min() >= -32768 and samples.max() < 32768:
+                samples = samples.astype(np.int16)
             return wav_features(samples, rate, self.feature_dim)
         if payload[:2] == b"\xff\xd8":
             from ..functions.jpeg import decode_jpeg
@@ -201,8 +209,8 @@ class MediaFeatureExtractor:
             return self._real_features(
                 mod.extract_sample(payload, trk, mid))
         raise NotImplementedError(
-            "payload is not PNG/GIF/BMP/WAV/PGM/JPEG/MP4/WebM/AVI — "
-            "arithmetic and hierarchical JPEG variants are the "
+            "payload is not PNG/GIF/BMP/WAV/FLAC/PGM/JPEG/MP4/WebM/AVI"
+            " — arithmetic and hierarchical JPEG variants are the "
             "declared codec seam (README media matrix)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:

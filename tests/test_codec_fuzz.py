@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from hierarchical_bloom_filter_index_ray.functions import (
-    avi, gif, jpeg, mp4, webm)
+    avi, flac, gif, jpeg, mp4, webm)
 from hierarchical_bloom_filter_index_ray.functions import codecs
 
 _OK = (ValueError, NotImplementedError)
@@ -44,6 +44,10 @@ _CASES = {
     "avi": (avi.parse_avi, b"RIFF\x40\x00\x00\x00AVI ",
             lambda: avi.encode_avi_video([b"fr1", b"fr2"],
                                          width=2, height=2)),
+    "flac": (flac.decode_flac, b"fLaC",
+             lambda: flac.encode_flac(
+                 (_RNG.integers(-3000, 3000, 600)).astype(np.int64),
+                 8000, blocksize=256)),
 }
 
 
