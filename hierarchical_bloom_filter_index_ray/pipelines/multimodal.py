@@ -178,6 +178,12 @@ class MediaFeatureExtractor:
             if img.ndim == 3:
                 img = img.mean(axis=2).astype(np.uint8)
             return pgm_features(img, self.feature_dim)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from ..functions.tiff import decode_tiff
+            img = decode_tiff(payload)
+            if img.ndim == 3:
+                img = img[:, :, :3].mean(axis=2).astype(np.uint8)
+            return pgm_features(img, self.feature_dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, rate = decode_wav(payload)
             return wav_features(samples, rate, self.feature_dim)

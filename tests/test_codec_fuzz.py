@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from hierarchical_bloom_filter_index_ray.functions import (
-    avi, flac, gif, jpeg, mp4, webm)
+    avi, flac, gif, jpeg, mp4, tiff, webm)
 from hierarchical_bloom_filter_index_ray.functions import codecs
 
 _OK = (ValueError, NotImplementedError)
@@ -48,6 +48,8 @@ _CASES = {
              lambda: flac.encode_flac(
                  (_RNG.integers(-3000, 3000, 600)).astype(np.int64),
                  8000, blocksize=256)),
+    "tiff": (tiff.decode_tiff, b"II*\x00",
+             lambda: tiff.encode_tiff(_IMG, compression="lzw")),
 }
 
 
