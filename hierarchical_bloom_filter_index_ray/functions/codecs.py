@@ -81,10 +81,45 @@ def _unfilter(raw: np.ndarray, height: int, stride: int,
     return out
 
 
+# Adam7 pass grid: (xstart, ystart, xstep, ystep)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unpack_samples(rows: np.ndarray, w: int, ch: int, depth: int
+                    ) -> np.ndarray:
+    """(h, stride_bytes) filtered-removed rows -> (h, w*ch) samples
+    (uint8 for depth <= 8, uint16 for 16)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, :w * ch]
+    if depth == 16:
+        u16 = rows.reshape(h, -1).astype(np.uint16)
+        return (u16[:, 0::2] << 8 | u16[:, 1::2])[:, :w * ch]
+    bits = np.unpackbits(rows, axis=1)
+    if depth == 1:
+        return bits[:, :w * ch]
+    grouped = bits[:, :bits.shape[1] // depth * depth].reshape(
+        h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)[:, :w * ch]
+
+
+def _decode_raster(raw: np.ndarray, h: int, w: int, ch: int,
+                   depth: int) -> np.ndarray:
+    """One filtered sub-image raster -> (h, w*ch) samples."""
+    stride = (w * ch * depth + 7) // 8
+    bpp = max(1, ch * depth // 8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG raster length mismatch")
+    return _unpack_samples(_unfilter(raw, h, stride, bpp), w, ch, depth)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Baseline PNG -> uint8 array: (h, w) for greyscale, (h, w, c)
-    otherwise. Supports bit depth 8, color types 0/2/3/4/6,
-    non-interlaced (interlace raises)."""
+    """PNG -> array: (h, w) for greyscale, (h, w, c) otherwise; uint8
+    for bit depths 1/2/4/8 (sub-8 greyscale scaled to the 0-255
+    range), uint16 for 16. Supports color types 0/2/3/4/6 and both
+    interlace methods (none and Adam7)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -111,26 +146,65 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
-    if interlace:
-        raise ValueError("interlaced PNG not supported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {depth} invalid")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"PNG depth {depth} illegal for color {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is illegal")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {color} not supported")
+    if not w or not h:
+        raise ValueError("empty PNG dimensions")
     ch = _PNG_CHANNELS[color]
-    stride = w * ch
     try:
         inflated = zlib.decompress(b"".join(idat))
     except zlib.error as ex:             # corrupt/truncated deflate
         raise ValueError(f"bad PNG IDAT stream: {ex}") from ex
     raw = np.frombuffer(inflated, dtype=np.uint8)
-    if len(raw) != h * (1 + stride):
-        raise ValueError("PNG raster length mismatch")
-    img = _unfilter(raw, h, stride, ch)
+    dt = np.uint16 if depth == 16 else np.uint8
+    if not interlace:
+        img = _decode_raster(raw, h, w, ch, depth).astype(dt)
+    else:                                # Adam7: 7 sub-image rasters
+        # validate the TOTAL raster size before allocating anything —
+        # a malformed IHDR must not make a tiny IDAT demand gigabytes
+        expect = 0
+        for xs, ys, dx, dy in _ADAM7:
+            pw = (w - xs + dx - 1) // dx
+            ph = (h - ys + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expect += ph * (1 + (pw * ch * depth + 7) // 8)
+        if raw.size != expect:
+            raise ValueError("PNG raster length mismatch")
+        img = np.zeros((h, w * ch), dtype=dt)
+        pos = 0
+        for xs, ys, dx, dy in _ADAM7:
+            pw = (w - xs + dx - 1) // dx
+            ph = (h - ys + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * ch * depth + 7) // 8
+            size = ph * (1 + stride)
+            sub = _decode_raster(raw[pos:pos + size], ph, pw, ch,
+                                 depth).astype(dt)
+            pos += size
+            cols = (xs + dx * np.arange(pw))[:, None] * ch \
+                + np.arange(ch)
+            img[ys::dy, cols.reshape(-1)] = sub.reshape(ph, pw * ch)
+        if pos != raw.size:
+            raise ValueError("PNG raster length mismatch")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        return plte[img.reshape(h, w)]
+        idx = img.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if depth < 8:                        # scale grey to the 8-bit range
+        img = (img.astype(np.uint16)
+               * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if ch == 1:
         return img.reshape(h, w)
     return img.reshape(h, w, ch)

@@ -53,6 +53,13 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
     dictionary growth to 4096 then deferred-clear behaviour."""
     if not 2 <= min_code <= 11:
         raise ValueError(f"bad LZW minimum code size {min_code}")
+    # LZW emits at most one dictionary chain (< 4096 bytes) per coded
+    # symbol (>= 3 bits), so output is bounded by ~11000x the input —
+    # reject impossible claims BEFORE allocating the pixel array (a
+    # malformed descriptor can otherwise demand gigabytes for a
+    # 100-byte stream)
+    if n_pixels > len(data) * (4096 // 3) * 8 + 4096:
+        raise ValueError("GIF image size impossible for its LZW data")
     clear = 1 << min_code
     eoi = clear + 1
     # dictionary as immutable-prefix chains: (prefix index, tail byte)
@@ -166,6 +173,8 @@ def parse_gif(payload: bytes) -> dict:
         if b == 0x3B:                           # trailer
             break
         if b == 0x21:                           # extension
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
             label = payload[pos]
             pos += 1
             data, pos = _sub_blocks(payload, pos)
@@ -192,6 +201,8 @@ def parse_gif(payload: bytes) -> dict:
             pos += 3 * n
         if pal is None:
             raise ValueError("GIF image without any colour table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
         min_code = payload[pos]
         pos += 1
         data, pos = _sub_blocks(payload, pos)

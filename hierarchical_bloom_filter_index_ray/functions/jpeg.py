@@ -688,6 +688,17 @@ def _decode_planes(payload: bytes
         i += 2 + seg_len
     if not scans or not width or not height or not comps:
         raise ValueError("no scan data / frame header")
+    import os
+    max_px = int(os.environ.get("HBI_JPEG_MAX_PIXELS", 1 << 27))
+    if width * height > max_px:
+        # progressive EOB runs (and pathological lossless tables) make
+        # a tiny stream able to claim a gigapixel frame, so size cannot
+        # be validated against payload length — cap decoded pixels
+        # (env-tunable) instead of letting one malformed row allocate
+        # the worker's whole heap
+        raise ValueError(
+            f"JPEG dimensions {width}x{height} exceed the "
+            f"HBI_JPEG_MAX_PIXELS cap ({max_px})")
     if lossless:
         planes = _decode_lossless(scans, comps, width, height, prec)
         return planes, height, width, prec, True

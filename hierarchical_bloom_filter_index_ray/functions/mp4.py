@@ -125,7 +125,11 @@ def _parse_stbl(buf: bytes, s: int, e: int) -> dict:
             entries = []
             pos = cs + 8
             for _ in range(n):
+                if pos + 8 > ce:
+                    raise ValueError("stsd entries overrun the box")
                 esize = _U32.unpack_from(buf, pos)[0]
+                if esize < 8:
+                    raise ValueError(f"bad stsd entry size {esize}")
                 efcc = buf[pos + 4:pos + 8]
                 entries.append((efcc, pos + 8, pos + esize))
                 pos += esize
@@ -139,6 +143,11 @@ def _parse_stbl(buf: bytes, s: int, e: int) -> dict:
             uniform = _U32.unpack_from(buf, cs + 4)[0]
             count = _U32.unpack_from(buf, cs + 8)[0]
             if uniform:
+                if count > len(buf):
+                    # a sample is at least one byte: a count beyond the
+                    # file size is a malformed header, not a table to
+                    # allocate (32 GB np.full from a flipped bit)
+                    raise ValueError("stsz count exceeds the file size")
                 out["stsz"] = np.full(count, uniform, dtype=np.int64)
             else:
                 out["stsz"] = np.frombuffer(
@@ -193,9 +202,15 @@ def _resolve_samples(stbl: dict) -> tuple[np.ndarray, np.ndarray,
     if total < n:
         raise ValueError(
             f"stsc/stco cover {total} samples, stsz declares {n}")
-    # per-sample chunk id (truncate the expansion to n — last chunk may
-    # be short in a truncated-but-valid file)
-    chunk_of = np.repeat(np.arange(n_chunks), spc)[:n]
+    # per-sample chunk id, truncating the run expansion AT n BEFORE
+    # materializing (a flipped bit in samples_per_chunk must not turn
+    # np.repeat into a multi-GB allocation; the last chunk may also be
+    # legitimately short in a truncated-but-valid file)
+    cum = np.cumsum(spc)
+    k = int(np.searchsorted(cum, n))
+    spc_trunc = spc[:k + 1].copy()
+    spc_trunc[k] = n - (int(cum[k - 1]) if k else 0)
+    chunk_of = np.repeat(np.arange(k + 1), spc_trunc)
     # within-chunk cumulative byte offset of each sample
     csum = np.concatenate([[0], np.cumsum(sizes)[:-1]])
     chunk_start_csum = np.concatenate(
@@ -207,7 +222,14 @@ def _resolve_samples(stbl: dict) -> tuple[np.ndarray, np.ndarray,
     # decode times from stts runs
     stts = stbl.get("stts")
     if stts is not None and len(stts):
-        deltas = np.repeat(stts[:, 1], stts[:, 0])[:n]
+        counts = stts[:, 0]
+        tcum = np.cumsum(counts)
+        kt = int(np.searchsorted(tcum, n))
+        if kt >= len(counts):
+            raise ValueError("stts covers fewer samples than stsz")
+        counts = counts[:kt + 1].copy()     # truncate BEFORE np.repeat
+        counts[kt] = n - (int(tcum[kt - 1]) if kt else 0)
+        deltas = np.repeat(stts[:kt + 1, 1], counts)
         times = np.concatenate([[0], np.cumsum(deltas)[:-1]])
     else:
         times = np.zeros(n, dtype=np.int64)

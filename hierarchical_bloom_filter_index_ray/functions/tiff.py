@@ -238,19 +238,26 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("not a TIFF (missing II*/MM* signature)")
     bo = "<" if payload[:2] == b"II" else ">"
     tags = _read_ifd(payload, bo)
-    try:
-        w = tags[256][0]
-        h = tags[257][0]
-        offsets = tags[273]
-        counts = tags[279]
-    except KeyError as ex:
-        raise ValueError(f"TIFF missing required tag {ex}") from ex
-    spp = tags.get(277, [1])[0]
-    bits = tags.get(258, [8] * spp)
-    comp = tags.get(259, [1])[0]
-    photo = tags.get(262, [1])[0]
-    rps = tags.get(278, [h])[0] or h
-    predictor = tags.get(317, [1])[0]
+    def one(tag, default=None):
+        vals = tags.get(tag)
+        if not vals:                    # absent OR zero-count entry
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return vals[0]
+
+    w = one(256)
+    h = one(257)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    spp = one(277, 1)
+    bits = tags.get(258) or [8] * spp
+    comp = one(259, 1)
+    photo = one(262, 1)
+    rps = one(278, h) or h
+    predictor = one(317, 1)
     if any(b != 8 for b in bits):
         raise NotImplementedError(
             f"{bits}-bit TIFF (only 8 bits/sample)")

@@ -189,6 +189,8 @@ def _lace_sizes(buf: bytes, pos: int, end: int, mode: int
     """Decode a block's lacing header at ``pos``. Returns the size of
     every laced frame (the last one implied by the remaining bytes) and
     the offset where frame data begins."""
+    if pos >= end:
+        raise ValueError("truncated lacing header")
     n_laced = buf[pos] + 1
     pos += 1
     sizes: list[int] = []
@@ -201,6 +203,8 @@ def _lace_sizes(buf: bytes, pos: int, end: int, mode: int
         for _ in range(n_laced - 1):
             s = 0
             while True:
+                if pos >= end:
+                    raise ValueError("truncated Xiph lacing sizes")
                 b = buf[pos]
                 pos += 1
                 s += b
@@ -217,7 +221,7 @@ def _lace_sizes(buf: bytes, pos: int, end: int, mode: int
             length = pos - raw_pos
             sizes.append(sizes[-1] + delta - ((1 << (7 * length - 1)) - 1))
     sizes.append((end - pos) - sum(sizes))
-    if sizes[-1] < 0:
+    if any(s < 0 for s in sizes):
         raise ValueError("laced frame sizes overrun block")
     return sizes, pos
 
@@ -228,6 +232,8 @@ def _parse_block(buf: bytes, s: int, e: int, cluster_ts: int,
     ``keyframe=None`` means SimpleBlock (flag bit 0x80 decides);
     a bool means Block-in-BlockGroup (ReferenceBlock absence decided)."""
     tnum, pos = _read_vint(buf, s, keep_marker=False)
+    if pos + 3 > e:
+        raise ValueError("truncated block header")
     rel = struct.unpack_from(">h", buf, pos)[0]
     flags = buf[pos + 2]
     pos += 3

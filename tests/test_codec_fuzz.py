@@ -53,11 +53,18 @@ _CASES = {
 }
 
 
+def _seed(name: str) -> int:
+    """Stable across processes (hash() is salted per run — an earlier
+    revision used it and silently explored different inputs each run)."""
+    import zlib as _z
+    return _z.crc32(name.encode())
+
+
 @pytest.mark.parametrize("name", sorted(_CASES))
 def test_garbage_after_magic(name):
     fn, magic, _ = _CASES[name]
-    rng = np.random.default_rng(hash(name) % 2**32)
-    for _ in range(200):
+    rng = np.random.default_rng(_seed(name))
+    for _ in range(2000):
         n = int(rng.integers(0, 120))
         payload = magic + rng.integers(0, 256, n,
                                        dtype=np.uint8).tobytes()
@@ -82,8 +89,8 @@ def test_truncations(name):
 def test_bit_flips(name):
     fn, _, make = _CASES[name]
     v = make()
-    rng = np.random.default_rng(hash(name) % 2**31)
-    for _ in range(150):
+    rng = np.random.default_rng(_seed(name) + 1)
+    for _ in range(1500):
         b = bytearray(v)
         i = int(rng.integers(0, len(b)))
         b[i] ^= 1 << int(rng.integers(0, 8))
@@ -128,3 +135,36 @@ class TestOnErrorPolicy:
             import MediaFeatureExtractor
         with pytest.raises(ValueError):
             MediaFeatureExtractor(on_error="ignore")
+
+
+class TestAllocationBombs:
+    """A malformed header must not make a tiny payload allocate
+    gigabytes (one bad crawl row would OOM the whole Ray worker)."""
+
+    def test_gif_huge_dimensions_tiny_data(self):
+        import struct
+        buf = bytearray(b"GIF89a")
+        buf += struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+        buf += bytes(6)                       # 2-colour GCT
+        buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        buf += b"\x02\x02\x4c\x01\x00\x3b"    # 2-byte LZW stream
+        with pytest.raises(ValueError):
+            gif.decode_gif(bytes(buf))
+
+    def test_png_adam7_huge_dimensions_tiny_data(self):
+        import struct, zlib
+        ihdr = struct.pack(">IIBBBBB", 500_000, 500_000, 8, 0, 0, 0, 1)
+        buf = (codecs._PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+               + codecs._chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+               + codecs._chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            codecs.decode_png(buf)
+
+    def test_jpeg_gigapixel_cap(self):
+        img = np.zeros((8, 8), np.uint8)
+        buf = bytearray(jpeg.encode_jpeg_gray(img))
+        i = buf.index(b"\xff\xc0")
+        # rewrite SOF dims to 60000x60000
+        buf[i + 5:i + 9] = (60000).to_bytes(2, "big") * 2
+        with pytest.raises(ValueError, match="MAX_PIXELS"):
+            jpeg.decode_jpeg(bytes(buf))
