@@ -816,14 +816,16 @@ def _q_doc_fingerprints(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """REAL decode paths: synthetic PGM + PNG + WAV + JPEG + MJPEG-mp4
-    corpora featurized through the actor-pool stage — PGM through its
-    dedicated decoder, the rest through the magic-byte ``decoder="real"``
-    dispatch over the baseline pure-numpy/stdlib codecs
-    (``functions/codecs.py``, ``functions/jpeg.py``; mp4 thumbnails
-    demux via ``functions/mp4.py`` to their middle keyframe).
-    concurrency=1 keeps the pools + read tasks schedulable at the
-    driver's small num_cpus."""
+    """REAL decode paths: synthetic PGM + PNG + WAV + JPEG (baseline
+    and lossless) + GIF + BMP + TIFF + FLAC + Motion-JPEG (mp4, webm,
+    avi) corpora featurized through the actor-pool stage — PGM through
+    its dedicated decoder, the rest through the magic-byte
+    ``decoder="real"`` dispatch over the from-scratch pure-numpy
+    codecs (``functions/codecs.py``, ``functions/jpeg.py``,
+    ``functions/gif.py``, ``functions/tiff.py``, ``functions/flac.py``;
+    video thumbnails demux via ``functions/{mp4,webm,avi}.py`` to
+    their middle keyframe). concurrency=1 keeps the pools + read tasks
+    schedulable at the driver's small num_cpus."""
     import pyarrow as pa
 
     from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
@@ -836,25 +838,22 @@ def _q_media_features(sf_dir: str):
                                 "media_id", pa.array(ids, pa.int64()))
         return f
 
-    pgm = extract_features(synth_media(64, seed=SEED, kind="pgm"),
-                           decoder="pgm", feature_dim=8, concurrency=1)
-    png = extract_features(
-        synth_media(32, seed=SEED, kind="png"), decoder="real",
-        feature_dim=8, concurrency=1).map_batches(
-            shift(1000), batch_format="pyarrow")
-    wav = extract_features(
-        synth_media(32, seed=SEED, kind="wav"), decoder="real",
-        feature_dim=8, concurrency=1).map_batches(
-            shift(2000), batch_format="pyarrow")
-    jpg = extract_features(
-        synth_media(32, seed=SEED, kind="jpeg"), decoder="real",
-        feature_dim=8, concurrency=1).map_batches(
-            shift(3000), batch_format="pyarrow")
-    mp4 = extract_features(
-        synth_media(16, seed=SEED, kind="mp4", frames=6),
-        decoder="real", feature_dim=8, concurrency=1).map_batches(
-            shift(4000), batch_format="pyarrow")
-    return pgm.union(png).union(wav).union(jpg).union(mp4)
+    # union the PAYLOAD datasets first (no actors), then featurize the
+    # whole mixed corpus through ONE actor pool — per-kind pools would
+    # put 12 one-CPU pools in one streaming plan and starve each other
+    # at the driver's small num_cpus
+    kinds = [("pgm", 64, 8), ("png", 32, 8), ("wav", 32, 8),
+             ("jpeg", 32, 8), ("mp4", 16, 6), ("gif", 16, 6),
+             ("bmp", 16, 8), ("tiff", 16, 8), ("jpeg_ll", 16, 8),
+             ("flac", 16, 8), ("webm", 8, 6), ("avi", 8, 6)]
+    corpus = None
+    for off, (kind, n, frames) in enumerate(kinds):
+        ds = synth_media(n, seed=SEED, kind=kind,
+                         frames=frames).map_batches(
+            shift(1000 * off), batch_format="pyarrow")
+        corpus = ds if corpus is None else corpus.union(ds)
+    return extract_features(corpus, decoder="real", feature_dim=8,
+                            concurrency=2)
 
 
 def _q_index_manifest(sf_dir: str):

@@ -439,11 +439,12 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                 width: int = 16, height: int = 16,
                 frames: int = 8) -> "rd.Dataset":
     """Deterministic media table for tests. ``kind="fake"`` -> opaque
-    seeded bytes; ``kind="pgm"`` -> REAL binary PGM images that the pgm
-    decoder round-trips; ``kind="pgmv"`` -> REAL pgmv "videos"
-    (``frames`` concatenated PGM frames per item); ``kind="png"`` /
-    ``kind="wav"`` -> REAL baseline-codec payloads
-    (``functions/codecs.py``)."""
+    seeded bytes; every other kind emits REAL payloads through the
+    from-scratch codecs: ``pgm``/``png``/``bmp``/``tiff``/``gif``
+    (animated, 256-grey palette)/``jpeg``/``jpeg_rgb``/``jpeg_ll``
+    (lossless) images, ``wav``/``flac`` audio tones, and
+    ``pgmv``/``mp4``/``webm``/``avi`` Motion-JPEG videos (``frames``
+    per item, keyframe every 4)."""
     def gen(batch: dict) -> pa.Table:
         from ..functions.codecs import encode_png, encode_wav
         from ..functions.jpeg import encode_jpeg_color, encode_jpeg_gray
@@ -498,14 +499,58 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                         quality=92) for f in range(frames)],
                     codec="V_MJPEG", width=width, height=height,
                     sync_every=4))
+            elif kind == "avi":
+                # Motion-JPEG in AVI: same frames, RIFF container
+                from ..functions.avi import encode_avi_video
+                payloads.append(encode_avi_video(
+                    [encode_jpeg_gray(synth_frame(
+                        i, f, seed=seed, width=width, height=height),
+                        quality=92) for f in range(frames)],
+                    codec="MJPG", width=width, height=height,
+                    sync_every=4))
+            elif kind == "gif":
+                # animated GIF over a 256-grey identity palette: the
+                # composited frames decode to the synth frames exactly
+                from ..functions.gif import encode_gif
+                pal = np.repeat(np.arange(256, dtype=np.uint8),
+                                3).reshape(256, 3)
+                payloads.append(encode_gif(
+                    [synth_frame(i, f, seed=seed, width=width,
+                                 height=height) for f in range(frames)],
+                    pal, delays_cs=[4] * frames))
+            elif kind == "bmp":
+                from ..functions.codecs import encode_bmp
+                payloads.append(encode_bmp(synth_frame(
+                    i, 0, seed=seed, width=width, height=height)))
+            elif kind == "tiff":
+                from ..functions.tiff import encode_tiff
+                payloads.append(encode_tiff(synth_frame(
+                    i, 0, seed=seed, width=width, height=height),
+                    compression="lzw"))
+            elif kind == "jpeg_ll":
+                from ..functions.jpeg import encode_jpeg_lossless
+                payloads.append(encode_jpeg_lossless(synth_frame(
+                    i, 0, seed=seed, width=width, height=height)))
+            elif kind == "flac":
+                from ..functions.flac import encode_flac
+                t = np.arange(width * height, dtype=np.float64)
+                tone = np.sin(2 * np.pi * (220 + 11 * (int(i) % 8))
+                              * t / 8000.0)
+                payloads.append(encode_flac(
+                    (tone * 20000).astype(np.int64), 8000,
+                    blocksize=192))
             else:
                 payloads.append(bytes((
                     hash_u64(np.arange(64, dtype=np.uint64)
                              + np.uint64(i), seed) & np.uint64(255)
                 ).astype(np.uint8).tolist()))
         mt = {"pgm": "image/x-portable-graymap", "jpeg": "image/jpeg",
-              "jpeg_rgb": "image/jpeg", "mp4": "video/mp4",
-              "pgmv": "video/x-pgm-frames", "png": "image/png",
+              "jpeg_rgb": "image/jpeg", "jpeg_ll": "image/jpeg",
+              "mp4": "video/mp4", "webm": "video/webm",
+              "avi": "video/x-msvideo", "gif": "image/gif",
+              "bmp": "image/bmp", "tiff": "image/tiff",
+              "flac": "audio/flac", "pgmv": "video/x-pgm-frames",
+              "png": "image/png",
               "wav": "audio/wav"}.get(kind, "image/fake")
         return pa.table({
             "media_id": pa.array(ids),
