@@ -288,12 +288,13 @@ def extract_features(ds: "rd.Dataset", *, decoder: str = "fake",
 
 
 class ImageResizer:
-    """Actor-pool resize stage. ``decoder="pgm"`` REALLY decodes, resizes
-    (nearest-neighbor, pure numpy) and re-encodes each payload;
-    ``decoder="real"`` does the same through the baseline PNG codec
-    (per-channel nearest gather, filter-0 re-encode); ``decoder="fake"``
-    rewrites only the typed metadata (plumbing drill). JPEG stays the
-    declared seam inside the PNG decoder's magic-byte check."""
+    """Actor-pool resize stage. ``decoder="pgm"`` REALLY decodes,
+    resizes (nearest-neighbor, pure numpy) and re-encodes each payload;
+    ``decoder="real"`` dispatches on magic bytes and resizes PNG, PGM,
+    BMP, JPEG, GIF (all frames, index-plane resize — palette
+    preserved, no re-quantization) and TIFF, re-encoding each in its
+    own format; ``decoder="fake"`` rewrites only the typed metadata
+    (plumbing drill)."""
 
     def __init__(self, *, width: int, height: int, decoder: str = "real"):
         if decoder not in ("fake", "pgm", "real"):
@@ -301,21 +302,72 @@ class ImageResizer:
         self.decoder = decoder
         self.width, self.height = width, height
 
+    def _resize_any(self, img: np.ndarray) -> np.ndarray:
+        if img.ndim == 2:
+            return resize_nearest(img, self.width, self.height)
+        return np.stack([resize_nearest(img[:, :, c], self.width,
+                                        self.height)
+                         for c in range(img.shape[2])], axis=2)
+
+    def _resize_payload(self, p: bytes) -> bytes:
+        """Magic-byte dispatch: resize and re-encode IN the payload's
+        own format (GIF resizes the palette-index planes directly, so
+        no re-quantization; JPEG re-encodes baseline at q92 — the one
+        necessarily lossy hop)."""
+        from ..functions.codecs import decode_bmp, decode_png, \
+            encode_bmp, encode_png, is_bmp
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(p)
+            if img.dtype != np.uint8:        # 16-bit: keep 8-bit out
+                img = (img >> 8).astype(np.uint8)
+            return encode_png(self._resize_any(img))
+        if p[:2] == b"P5":
+            return encode_pgm(resize_nearest(decode_pgm(p), self.width,
+                                             self.height))
+        if is_bmp(p):
+            return encode_bmp(self._resize_any(decode_bmp(p)))
+        if p[:2] == b"\xff\xd8":
+            from ..functions.jpeg import decode_jpeg, encode_jpeg
+            img = decode_jpeg(p)
+            if img.dtype != np.uint8:
+                img = (img.astype(np.int64)
+                       >> max(0, int(img.max()).bit_length() - 8)
+                       ).astype(np.uint8)
+            if img.ndim == 3 and img.shape[2] != 3:
+                img = img.mean(axis=2).astype(np.uint8)
+            return encode_jpeg(self._resize_any(img), quality=92)
+        from ..functions.gif import encode_gif, is_gif, parse_gif
+        if is_gif(p):
+            g = parse_gif(p)
+            f0 = g["frames"][0]
+            if any(f["left"] or f["top"]
+                   or f["index"].shape != f0["index"].shape
+                   or f["palette"] is not f0["palette"]
+                   and not np.array_equal(f["palette"], f0["palette"])
+                   for f in g["frames"]):
+                raise NotImplementedError(
+                    "resize of offset-composited / per-frame-palette "
+                    "GIFs (decode via decode_gif and re-encode instead)")
+            frames = [resize_nearest(f["index"], self.width,
+                                     self.height)
+                      for f in g["frames"]]
+            return encode_gif(frames, f0["palette"], delays_cs=[
+                f["delay_cs"] for f in g["frames"]], loop=g["loop"])
+        from ..functions.tiff import decode_tiff, encode_tiff, is_tiff
+        if is_tiff(p):
+            img = decode_tiff(p)
+            if img.ndim == 3 and img.shape[2] == 4:
+                img = img[:, :, :3]
+            return encode_tiff(self._resize_any(img),
+                               compression="lzw")
+        raise NotImplementedError(
+            "resize: payload is not PNG/PGM/BMP/JPEG/GIF/TIFF")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if self.decoder == "real":
-            from ..functions.codecs import decode_png, encode_png
-            payloads = []
-            for p in batch["payload"].to_pylist():
-                img = decode_png(p)
-                if img.ndim == 2:
-                    img = resize_nearest(img, self.width, self.height)
-                else:
-                    img = np.stack([
-                        resize_nearest(img[:, :, c], self.width,
-                                       self.height)
-                        for c in range(img.shape[2])], axis=2)
-                payloads.append(encode_png(img))
+            payloads = [self._resize_payload(p)
+                        for p in batch["payload"].to_pylist()]
             batch = batch.set_column(
                 batch.schema.get_field_index("payload"), "payload",
                 pa.array(payloads, pa.binary()))

@@ -214,3 +214,65 @@ class TestPipelines:
         for _, row in out.iterrows():
             img = decode_png(bytes(row["payload"]))
             assert np.array_equal(img, pal[fs[int(row["frame_no"])]])
+
+
+class TestResizer:
+    def test_resize_dispatch_all_formats(self, ray_session):
+        """ImageResizer decoder='real' resizes each payload in its own
+        format: PNG/BMP/TIFF pixel-exact under nearest-neighbor, GIF
+        palette-index-exact across frames, JPEG re-encoded."""
+        import ray
+        from hierarchical_bloom_filter_index_ray.functions.codecs \
+            import decode_bmp, decode_png, encode_bmp, encode_png
+        from hierarchical_bloom_filter_index_ray.functions.jpeg \
+            import decode_jpeg, encode_jpeg
+        from hierarchical_bloom_filter_index_ray.functions.tiff \
+            import decode_tiff, encode_tiff
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import ImageResizer, resize_nearest
+        rng = np.random.default_rng(70)
+        img = rng.integers(0, 256, (16, 12)).astype(np.uint8)
+        pal = rng.integers(0, 256, (32, 3)).astype(np.uint8)
+        gif_frames = [rng.integers(0, 32, (16, 12)).astype(np.uint8)
+                      for _ in range(3)]
+        rows = [
+            {"media_id": 0, "payload": encode_png(img),
+             "media_type": "image/png", "width": 12, "height": 16},
+            {"media_id": 1, "payload": encode_bmp(img),
+             "media_type": "image/bmp", "width": 12, "height": 16},
+            {"media_id": 2,
+             "payload": encode_tiff(img, compression="packbits"),
+             "media_type": "image/tiff", "width": 12, "height": 16},
+            {"media_id": 3,
+             "payload": encode_gif(gif_frames, pal,
+                                   delays_cs=[2, 4, 6]),
+             "media_type": "image/gif", "width": 12, "height": 16},
+            {"media_id": 4, "payload": encode_jpeg(img, quality=92),
+             "media_type": "image/jpeg", "width": 12, "height": 16},
+        ]
+        out = (ray.data.from_items(rows)
+               .map_batches(ImageResizer, batch_format="pyarrow",
+                            concurrency=1,
+                            fn_constructor_kwargs={
+                                "width": 7, "height": 5,
+                                "decoder": "real"})
+               .to_pandas().sort_values("media_id"))
+        assert (out["width"] == 7).all() and (out["height"] == 5).all()
+        want = resize_nearest(img, 7, 5)
+        got = {int(r["media_id"]): bytes(r["payload"])
+               for _, r in out.iterrows()}
+        assert np.array_equal(decode_png(got[0]), want)
+        bmp_out = decode_bmp(got[1])
+        assert np.array_equal(
+            bmp_out, np.stack([want] * 3, 2) if bmp_out.ndim == 3
+            else want)
+        assert np.array_equal(decode_tiff(got[2]), want)
+        g = parse_gif(got[3])
+        assert len(g["frames"]) == 3
+        for f, orig in zip(g["frames"], gif_frames):
+            assert np.array_equal(f["index"],
+                                  resize_nearest(orig, 7, 5))
+            assert np.array_equal(f["palette"], pal)
+        assert [f["delay_cs"] for f in g["frames"]] == [2, 4, 6]
+        jp = decode_jpeg(got[4])
+        assert jp.shape == (5, 7)
