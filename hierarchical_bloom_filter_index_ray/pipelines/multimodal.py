@@ -296,10 +296,14 @@ class ImageResizer:
     own format; ``decoder="fake"`` rewrites only the typed metadata
     (plumbing drill)."""
 
-    def __init__(self, *, width: int, height: int, decoder: str = "real"):
+    def __init__(self, *, width: int, height: int,
+                 decoder: str = "real", on_error: str = "raise"):
         if decoder not in ("fake", "pgm", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"unknown on_error policy {on_error!r}")
         self.decoder = decoder
+        self.on_error = on_error
         self.width, self.height = width, height
 
     def _resize_any(self, img: np.ndarray) -> np.ndarray:
@@ -364,10 +368,18 @@ class ImageResizer:
             "resize: payload is not PNG/PGM/BMP/JPEG/GIF/TIFF")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         if self.decoder == "real":
-            payloads = [self._resize_payload(p)
-                        for p in batch["payload"].to_pylist()]
+            payloads = []
+            keep = np.ones(batch.num_rows, dtype=bool)
+            for i, p in enumerate(batch["payload"].to_pylist()):
+                try:
+                    payloads.append(self._resize_payload(p))
+                except (ValueError, NotImplementedError):
+                    if self.on_error == "raise":
+                        raise
+                    keep[i] = False
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
             batch = batch.set_column(
                 batch.schema.get_field_index("payload"), "payload",
                 pa.array(payloads, pa.binary()))
@@ -379,6 +391,7 @@ class ImageResizer:
             batch = batch.set_column(
                 batch.schema.get_field_index("payload"), "payload",
                 pa.array(payloads, pa.binary()))
+        n = batch.num_rows
         return (batch.set_column(batch.schema.get_field_index("width"),
                                  "width",
                                  pa.array([self.width] * n, pa.int32()))
@@ -405,12 +418,15 @@ class FrameSampler:
     (README media matrix)."""
 
     def __init__(self, *, n_frames: int, decoder: str = "real",
-                 snap_to_sync: bool = False):
+                 snap_to_sync: bool = False, on_error: str = "raise"):
         if decoder not in ("fake", "pgmv", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"unknown on_error policy {on_error!r}")
         self.decoder = decoder
         self.n_frames = n_frames
         self.snap_to_sync = snap_to_sync
+        self.on_error = on_error
 
     def _split(self, p: bytes) -> tuple[np.ndarray, list[bytes]]:
         """One container -> (sampled source indices, frame payloads)."""
@@ -456,7 +472,12 @@ class FrameSampler:
             payloads: list[bytes] = []
             for mid, p in zip(batch["media_id"].to_pylist(),
                               batch["payload"].to_pylist()):
-                idx, frames = self._split(p)
+                try:
+                    idx, frames = self._split(p)
+                except (ValueError, NotImplementedError):
+                    if self.on_error == "raise":
+                        raise
+                    continue            # skip: drop the whole container
                 ids.extend([mid] * len(frames))
                 frame_no.extend(int(i) for i in idx)
                 payloads.extend(frames)

@@ -168,3 +168,36 @@ class TestAllocationBombs:
         buf[i + 5:i + 9] = (60000).to_bytes(2, "big") * 2
         with pytest.raises(ValueError, match="MAX_PIXELS"):
             jpeg.decode_jpeg(bytes(buf))
+
+    def test_skip_policy_on_resizer_and_sampler(self, ray_session):
+        import ray
+        from hierarchical_bloom_filter_index_ray.functions.webm \
+            import encode_webm_video
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import FrameSampler, ImageResizer
+        good_img = codecs.encode_png(_IMG)
+        rows = [
+            {"media_id": 0, "payload": good_img,
+             "media_type": "image/png", "width": 11, "height": 9},
+            {"media_id": 1, "payload": b"\x89PNG\r\n\x1a\njunk",
+             "media_type": "image/png", "width": 11, "height": 9},
+        ]
+        out = (ray.data.from_items(rows)
+               .map_batches(ImageResizer, batch_format="pyarrow",
+                            concurrency=1,
+                            fn_constructor_kwargs={
+                                "width": 4, "height": 4,
+                                "decoder": "real", "on_error": "skip"})
+               .to_pandas())
+        assert out["media_id"].tolist() == [0]
+        vid = encode_webm_video([b"f0", b"f1"], width=2, height=2)
+        vrows = [{"media_id": 0, "payload": vid},
+                 {"media_id": 1, "payload": b"OggS not a container"}]
+        out = (ray.data.from_items(vrows)
+               .map_batches(FrameSampler, batch_format="pyarrow",
+                            concurrency=1,
+                            fn_constructor_kwargs={
+                                "n_frames": 2, "decoder": "real",
+                                "on_error": "skip"})
+               .to_pandas())
+        assert sorted(out["media_id"].unique()) == [0]
