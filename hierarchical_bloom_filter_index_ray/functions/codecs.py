@@ -1,18 +1,23 @@
 """Pure-stdlib baseline media codecs (round-2 VERDICT #8: close the
 ``decoder="real"`` seam with actual pixel/sample paths).
 
-PNG: baseline 8-bit greyscale / RGB / RGBA / palette, non-interlaced —
-chunk parse + ``zlib`` inflate + all five scanline filters on decode;
-filter-0 rows + ``zlib`` deflate on encode (spec: RFC 2083). No image
-library involved; everything is numpy over bytes.
+PNG: greyscale / RGB / RGBA / palette at bit depths 1/2/4/8/16, both
+interlace methods (none and Adam7) — chunk parse + ``zlib`` inflate +
+all five scanline filters on decode; filter-0 rows + ``zlib`` deflate
+on encode (spec: RFC 2083). No image library involved; everything is
+numpy over bytes.
 
 WAV: RIFF/WAVE PCM (8/16/32-bit int) decode/encode straight off the
 byte layout.
 
+BMP: Windows DIB, 8-bit palette / 24 / 32-bpp, either row order.
+
 These are correctness baselines: a production build swaps in SIMD
-codecs behind the same functions. What stays a declared seam is only
-JPEG/mp4 (entropy-coded formats a from-scratch decoder can't do
-justice); see the media matrix in README.md.
+codecs behind the same functions. The entropy-coded formats live in
+sibling modules (``jpeg.py``, ``gif.py``, ``tiff.py``, ``flac.py``;
+containers in ``mp4.py``/``webm.py``/``avi.py``); the remaining
+declared seam is only arithmetic/hierarchical JPEG and H.264/VP9/AV1
+sample decode — see the media matrix in README.md.
 """
 
 from __future__ import annotations
