@@ -291,3 +291,50 @@ class TestSegmenter:
         assert [list(r["tokens"]) for r in out] == [[1, 2], [3]]
         with pytest.raises(ValueError):
             segment_sequences(rd.from_arrow(t), seg_len=0)
+
+
+class TestCompressedInputs:
+    """Crawl corpora arrive gzip/zstd-compressed; Ray's readers infer
+    the codec from the file extension and every documents reader must
+    produce IDENTICAL rows from compressed and plain copies."""
+
+    @pytest.fixture()
+    def corpus(self, tmp_path):
+        import gzip
+        import pyarrow as pa
+        jl = '{"text": "hello world"}\n{"text": "second doc"}\n'
+        tx = "line one\n\nline two\n"
+        (tmp_path / "a.jsonl").write_text(jl)
+        (tmp_path / "b.txt").write_text(tx)
+        with gzip.open(tmp_path / "a.jsonl.gz", "wt") as f:
+            f.write(jl)
+        with gzip.open(tmp_path / "b.txt.gz", "wt") as f:
+            f.write(tx)
+        for name, payload in (("a.jsonl.zst", jl), ("b.txt.zst", tx)):
+            buf = pa.BufferOutputStream()
+            with pa.CompressedOutputStream(buf, "zstd") as f:
+                f.write(payload.encode())
+            (tmp_path / name).write_bytes(buf.getvalue().to_pybytes())
+        return tmp_path
+
+    @pytest.mark.parametrize("ext", ["gz", "zst"])
+    def test_jsonl_compressed_matches_plain(self, ray_session, corpus,
+                                            ext):
+        plain = read_documents_jsonl(str(corpus / "a.jsonl")).to_pandas()
+        comp = read_documents_jsonl(
+            str(corpus / f"a.jsonl.{ext}")).to_pandas()
+        assert sorted(comp["text"]) == sorted(plain["text"])
+        # content-hash ids are path-independent -> identical
+        assert sorted(comp["doc_id"]) == sorted(plain["doc_id"])
+
+    @pytest.mark.parametrize("ext", ["gz", "zst"])
+    def test_text_compressed_matches_plain(self, ray_session, corpus,
+                                           ext):
+        plain = read_documents_text(str(corpus / "b.txt")).to_pandas()
+        comp = read_documents_text(
+            str(corpus / f"b.txt.{ext}")).to_pandas()
+        assert comp["text"].tolist() == plain["text"].tolist()
+        # line numbers survive decompression (ids differ only in the
+        # basename prefix)
+        assert [d.split(":")[1] for d in comp["doc_id"]] \
+            == [d.split(":")[1] for d in plain["doc_id"]]
