@@ -233,6 +233,18 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, list[int]]:
     per-frame delays in centiseconds)``."""
     g = parse_gif(payload)
     h, w = g["height"], g["width"]
+    # The logical-screen descriptor is two unvalidated u16s: a ~35-byte
+    # GIF claiming a 65535x65535 screen would allocate ~12.9 GB for the
+    # canvas (x n_frames for the output stack) even though its one
+    # frame is LZW-bounded. Cap composited pixels like jpeg.py caps
+    # frame pixels (same env knob), BEFORE any allocation, so the
+    # failure is a ValueError the on_error="skip" net catches.
+    import os
+    max_px = int(os.environ.get("HBI_JPEG_MAX_PIXELS", 1 << 27))
+    if h * w > max_px or len(g["frames"]) * h * w > max_px:
+        raise ValueError(
+            f"GIF screen {w}x{h} x {len(g['frames'])} frames exceeds "
+            f"the HBI_JPEG_MAX_PIXELS cap ({max_px})")
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     first = g["frames"][0]
     if first["palette"] is not None and g["bg"] < len(first["palette"]):

@@ -199,6 +199,12 @@ def _resolve_samples(stbl: dict) -> tuple[np.ndarray, np.ndarray,
         spc[lo:hi] = stsc[r, 1]
     total = int(spc.sum())
     n = len(sizes)
+    if n == 0:
+        # spec-legal zero-sample track (empty stsz/stsc/stco is how
+        # metadata-only tracks are written) — the truncation math below
+        # would index an empty array
+        empty = np.empty(0, dtype=np.int64)
+        return empty, sizes.astype(np.int64), empty.copy()
     if total < n:
         raise ValueError(
             f"stsc/stco cover {total} samples, stsz declares {n}")

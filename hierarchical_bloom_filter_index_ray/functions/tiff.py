@@ -26,6 +26,11 @@ def is_tiff(payload: bytes) -> bool:
 
 
 def _packbits_decode(data: bytes, out_len: int) -> bytes:
+    # PackBits emits at most 128 bytes per 2 input bytes (a repeat run):
+    # reject an out_len no input of this size could produce BEFORE the
+    # loop grows `out` toward a multi-GB claim from a forged IFD
+    if out_len > len(data) * 64 + 128:
+        raise ValueError("PackBits strip size impossible for its data")
     out = bytearray()
     i = 0
     n = len(data)
@@ -76,6 +81,12 @@ def _lzw_decode(data: bytes, out_len: int) -> bytes:
     """TIFF LZW (6.0 §13): MSB-first, 9-bit start, Clear=256, EOI=257,
     EARLY CHANGE — the code width grows when the next assigned code
     would be (1<<width)-1, one step before the GIF variant."""
+    # Same impossibility pre-check as gif._lzw_decode: one dictionary
+    # chain (< 4096 bytes) per coded symbol (>= 9 bits here), so output
+    # is bounded by ~3641x the input — reject a forged IFD's multi-GB
+    # out_len before the decode loop allocates toward it
+    if out_len > len(data) * 8 * 4096 // 9 + 4096:
+        raise ValueError("TIFF strip size impossible for its LZW data")
     prefix = np.full(4096, -1, dtype=np.int32)
     tail = np.zeros(4096, dtype=np.uint8)
     first = np.zeros(4096, dtype=np.uint8)

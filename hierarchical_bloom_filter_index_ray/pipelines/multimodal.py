@@ -155,7 +155,8 @@ class MediaFeatureExtractor:
         # tests and curated corpora keep loud failures
         self.on_error = on_error
 
-    def _real_features(self, payload: bytes) -> np.ndarray:
+    def _real_features(self, payload: bytes,
+                       depth: int = 0) -> np.ndarray:
         """Dispatch on payload magic bytes: PNG, GIF, BMP, WAV, FLAC,
         JPEG (baseline, extended 12-bit, progressive or lossless) and
         P5 decode through the pure-numpy codecs; MP4, Matroska/WebM
@@ -209,11 +210,19 @@ class MediaFeatureExtractor:
             return pgm_features(decode_pgm(payload), self.feature_dim)
         mod = _container_module(payload)
         if mod is not None:
+            if depth > 0:
+                # sample byte ranges in mp4/webm/avi are arbitrary
+                # absolute offsets — a crafted container whose middle
+                # sample covers the file itself would otherwise recurse
+                # until RecursionError (which escapes on_error="skip")
+                raise ValueError(
+                    "container sample is itself a container — refusing "
+                    "nested demux")
             # thumbnail features: the middle keyframe of the video track
             trk = mod.video_track(payload)
             mid = trk.sync_at_or_before(trk.n_samples // 2)
             return self._real_features(
-                mod.extract_sample(payload, trk, mid))
+                mod.extract_sample(payload, trk, mid), depth=depth + 1)
         raise NotImplementedError(
             "payload is not PNG/GIF/BMP/WAV/FLAC/PGM/JPEG/MP4/WebM/AVI"
             " — arithmetic and hierarchical JPEG variants are the "
@@ -352,11 +361,26 @@ class ImageResizer:
                 raise NotImplementedError(
                     "resize of offset-composited / per-frame-palette "
                     "GIFs (decode via decode_gif and re-encode instead)")
+            # transparency survives an index-plane resize, but only a
+            # single uniform index can be re-encoded (encode_gif writes
+            # one GCE transparent index), and disposal 2/3 semantics
+            # under transparency cannot be preserved (encode_gif writes
+            # disposal 0); full-frame opaque frames make disposal moot
+            transp = f0["transparent"]
+            if any(f["transparent"] != transp for f in g["frames"]):
+                raise NotImplementedError(
+                    "resize of GIFs with per-frame transparent indices")
+            if transp is not None and any(f["disposal"] not in (0, 1)
+                                          for f in g["frames"]):
+                raise NotImplementedError(
+                    "resize of transparent GIFs with restore-to-"
+                    "background/previous disposal")
             frames = [resize_nearest(f["index"], self.width,
                                      self.height)
                       for f in g["frames"]]
             return encode_gif(frames, f0["palette"], delays_cs=[
-                f["delay_cs"] for f in g["frames"]], loop=g["loop"])
+                f["delay_cs"] for f in g["frames"]], loop=g["loop"],
+                transparent=transp)
         from ..functions.tiff import decode_tiff, encode_tiff, is_tiff
         if is_tiff(p):
             img = decode_tiff(p)

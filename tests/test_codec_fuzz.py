@@ -151,6 +151,53 @@ class TestAllocationBombs:
         with pytest.raises(ValueError):
             gif.decode_gif(bytes(buf))
 
+    def test_gif_huge_screen_valid_tiny_frame(self):
+        """The logical-screen descriptor alone must not size the
+        compositing canvas: a ~40-byte GIF with one VALID 1x1 frame but
+        a 65535x65535 screen claim would allocate ~12.9 GB."""
+        pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+        buf = bytearray(gif.encode_gif(np.zeros((1, 1), np.uint8), pal))
+        import struct
+        buf[6:10] = struct.pack("<HH", 65535, 65535)
+        with pytest.raises(ValueError, match="cap"):
+            gif.decode_gif(bytes(buf))
+
+    def test_tiff_lzw_output_impossible_for_input(self):
+        """A forged IFD's strip byte count must be rejected before the
+        LZW loop grows the output toward it (~3600x max amplification)."""
+        with pytest.raises(ValueError, match="impossible"):
+            tiff._lzw_decode(b"\x00" * 1024, 1 << 31)
+        with pytest.raises(ValueError, match="impossible"):
+            tiff._packbits_decode(b"\x81\x00" * 512, 1 << 31)
+        # sanity: legitimate ratios still decode
+        row = bytes(range(64)) * 4
+        assert tiff._lzw_decode(tiff._lzw_encode(row), len(row)) == row
+
+    def test_mp4_zero_sample_track(self):
+        """Spec-legal zero-sample track (empty stsz/stsc/stco, as
+        written for metadata-only tracks) resolves to empty arrays —
+        not IndexError (which would escape the on_error='skip' net)."""
+        stbl = {"stsz": np.zeros(0, np.int64),
+                "stco": np.zeros(0, np.int64),
+                "stsc": np.zeros((0, 3), np.int64)}
+        off, sz, t = mp4._resolve_samples(stbl)
+        assert len(off) == len(sz) == len(t) == 0
+
+    def test_container_recursion_guard(self):
+        """A container whose sample bytes are themselves a container
+        (offsets are arbitrary absolute ranges, so a crafted file can
+        even cover itself) must fail with ValueError after ONE level,
+        not recurse to RecursionError."""
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import MediaFeatureExtractor
+        inner = mp4.encode_mp4_video([b"frame"], codec=b"jpeg",
+                                     width=1, height=1)
+        outer = mp4.encode_mp4_video([inner, inner, inner],
+                                     codec=b"jpeg", width=1, height=1)
+        ext = MediaFeatureExtractor(decoder="real", feature_dim=8)
+        with pytest.raises(ValueError, match="nested"):
+            ext._real_features(outer)
+
     def test_png_adam7_huge_dimensions_tiny_data(self):
         import struct, zlib
         ihdr = struct.pack(">IIBBBBB", 500_000, 500_000, 8, 0, 0, 0, 1)

@@ -276,3 +276,61 @@ class TestResizer:
         assert [f["delay_cs"] for f in g["frames"]] == [2, 4, 6]
         jp = decode_jpeg(got[4])
         assert jp.shape == (5, 7)
+
+    def test_resize_preserves_transparency(self, ray_session):
+        """A transparent index survives the index-plane resize and is
+        re-written into the output GCEs (it was silently dropped,
+        turning see-through pixels into opaque palette colour 0)."""
+        import ray
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import ImageResizer, resize_nearest
+        rng = np.random.default_rng(71)
+        pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+        fs = [rng.integers(0, 8, (10, 10)).astype(np.uint8)
+              for _ in range(3)]
+        src = encode_gif(fs, pal, delays_cs=[1, 1, 1], transparent=3)
+        out = (ray.data.from_items([{"media_id": 0, "payload": src,
+                                     "width": 10, "height": 10}])
+               .map_batches(ImageResizer, batch_format="pyarrow",
+                            concurrency=1,
+                            fn_constructor_kwargs={
+                                "width": 5, "height": 4,
+                                "decoder": "real"})
+               .to_pandas())
+        g = parse_gif(bytes(out["payload"][0]))
+        assert [f["transparent"] for f in g["frames"]] == [3, 3, 3]
+        # nearest-neighbor commutes with per-pixel compositing, so
+        # composite(resize) == resize(composite) frame by frame
+        want, _ = decode_gif(src)
+        got_frames, _ = decode_gif(bytes(out["payload"][0]))
+        for w3, g3 in zip(want, got_frames):
+            assert np.array_equal(
+                np.stack([resize_nearest(w3[:, :, c], 5, 4)
+                          for c in range(3)], axis=2), g3)
+
+    def test_resize_rejects_unpreservable_transparency(self):
+        """Per-frame transparent indices / restore-disposal under
+        transparency can't be re-encoded faithfully — loud
+        NotImplementedError (caught by on_error='skip'), not silent
+        corruption."""
+        import pytest
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import ImageResizer
+        rng = np.random.default_rng(72)
+        pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+        f = rng.integers(0, 4, (6, 6)).astype(np.uint8)
+        # two frames with DIFFERENT transparent indices: splice two
+        # single-frame encodes (header+LSD+GCT is 13 + 3*4 bytes)
+        g1 = encode_gif([f], pal, transparent=1)
+        g2 = encode_gif([f], pal, transparent=2)
+        spliced = g1[:-1] + g2[13 + 3 * 4:]
+        rz = ImageResizer(width=3, height=3, decoder="real")
+        with pytest.raises(NotImplementedError, match="per-frame"):
+            rz._resize_payload(spliced)
+        # transparent + restore-to-background disposal
+        buf = bytearray(encode_gif([f, f], pal, delays_cs=[1, 1],
+                                   transparent=1))
+        i = buf.find(b"\x21\xf9\x04")
+        buf[i + 3] |= 2 << 2                     # disposal = 2
+        with pytest.raises(NotImplementedError, match="disposal"):
+            rz._resize_payload(bytes(buf))
