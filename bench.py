@@ -69,7 +69,73 @@ def bench_config():
 
 
 STAGES = set((os.environ.get("GRAFT_BENCH_STAGES") or
-              "build,docs,query,sketch,dedup,joins,simjoin").split(","))
+              "build,docs,query,sketch,dedup,joins,simjoin,media").split(","))
+
+
+def _media_decode_stage(extras: dict) -> None:
+    """Per-codec decode throughput, SINGLE-THREADED (= per core): the
+    VERDICT r4 #2 number that sizes ``media_features`` against the text
+    pipelines at 100 TB. Two kernels are timed per codec:
+
+    - ``media_mbps_<kind>``: the feature-stage kernel exactly as the
+      actor pool runs it (``MediaFeatureExtractor._real_features`` =
+      decode + 16-dim featurize; for containers that is demux + middle
+      keyframe, the stage's real per-item cost), in compressed input
+      MB/s per core.
+    - ``media_mbps_<kind>_full`` (containers only): demux + decode of
+      EVERY sample — the frame-sampling pipeline's worst case.
+
+    Each kernel loops over a deterministic ``synth_media`` corpus until
+    >= 0.25 s has elapsed (min one full pass), so slow pure-Python
+    entropy decoders and fast raw formats are measured equally well.
+    Corpus generation is untimed."""
+    from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+        MediaFeatureExtractor, _container_module, synth_media)
+    ex = MediaFeatureExtractor(decoder="real", feature_dim=16)
+
+    def full_video(payload: bytes) -> None:
+        from hierarchical_bloom_filter_index_ray.functions.jpeg import \
+            decode_jpeg
+        mod = _container_module(payload)
+        trk = mod.video_track(payload)
+        for s in range(trk.n_samples):
+            decode_jpeg(mod.extract_sample(payload, trk, s))
+
+    # (kind, synth kwargs, n items); image kinds at 96x96, videos 8
+    # frames of 64x64, audio 9216 samples — big enough to swamp per-call
+    # overhead, small enough that the whole stage stays a few seconds
+    kinds = [
+        ("jpeg", dict(width=96, height=96), 12),
+        ("jpeg_rgb", dict(width=96, height=96), 6),
+        ("jpeg_ll", dict(width=96, height=96), 6),
+        ("png", dict(width=96, height=96), 32),
+        ("bmp", dict(width=96, height=96), 48),
+        ("tiff", dict(width=96, height=96), 8),
+        ("gif", dict(width=96, height=96, frames=1), 8),
+        ("flac", dict(width=96, height=96), 6),
+        ("wav", dict(width=96, height=96), 48),
+        ("mp4", dict(width=64, height=64, frames=8), 3),
+        ("webm", dict(width=64, height=64, frames=8), 3),
+        ("avi", dict(width=64, height=64, frames=8), 3),
+    ]
+    for kind, kw, n in kinds:
+        rows = synth_media(n, seed=SEED, kind=kind, **kw).take_all()
+        payloads = [r["payload"] for r in rows]
+        nbytes = sum(len(p) for p in payloads)
+        fns = [("", ex._real_features)]
+        if kind in ("mp4", "webm", "avi"):
+            fns.append(("_full", full_video))
+        for suffix, fn in fns:
+            fn(payloads[0])                       # warm imports/tables
+            done, t0 = 0, time.perf_counter()
+            while True:
+                for p in payloads:
+                    fn(p)
+                done += nbytes
+                dt = time.perf_counter() - t0
+                if dt >= 0.25:
+                    break
+            extras[f"media_mbps_{kind}{suffix}"] = done / dt / 1e6
 
 
 def main(gen_only: bool = False) -> None:
@@ -289,6 +355,14 @@ def main(gen_only: bool = False) -> None:
             rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), sj_dir,
             threshold=0.45, chunk_rows=512, seed=SEED)
         timings["emb_sim_join"] = time.perf_counter() - t0
+
+    # -- per-codec single-thread decode throughput (extras only: the
+    # stage self-tunes its own duration, so it must not perturb the
+    # round-comparable headline total)
+    if "media" in STAGES:
+        t0 = time.perf_counter()
+        _media_decode_stage(extras)
+        extras["media_decode_sec"] = time.perf_counter() - t0
 
     total = sum(timings.values())
     # probe at BOTH ends: a round-4 run's 16-cpu leg collapsed 1.8x
