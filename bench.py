@@ -106,6 +106,7 @@ def _media_decode_stage(extras: dict) -> None:
     # overhead, small enough that the whole stage stays a few seconds
     kinds = [
         ("jpeg", dict(width=96, height=96), 12),
+        ("jpeg_dri", dict(width=96, height=96), 12),
         ("jpeg_rgb", dict(width=96, height=96), 6),
         ("jpeg_ll", dict(width=96, height=96), 6),
         ("png", dict(width=96, height=96), 32),

@@ -558,6 +558,12 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                 payloads.append(encode_jpeg_gray(synth_frame(
                     i, 0, seed=seed, width=width, height=height),
                     quality=92))
+            elif kind == "jpeg_dri":
+                # restart interval per MCU: every entropy segment is
+                # independent -> the lockstep vectorized decode path
+                payloads.append(encode_jpeg_gray(synth_frame(
+                    i, 0, seed=seed, width=width, height=height),
+                    quality=92, restart_mcus=1))
             elif kind == "jpeg_rgb":
                 # NB: don't name this `frames` — it would shadow the
                 # enclosing parameter the pgmv branch reads
@@ -642,6 +648,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                              + np.uint64(i), seed) & np.uint64(255)
                 ).astype(np.uint8).tolist()))
         mt = {"pgm": "image/x-portable-graymap", "jpeg": "image/jpeg",
+              "jpeg_dri": "image/jpeg",
               "jpeg_rgb": "image/jpeg", "jpeg_ll": "image/jpeg",
               "mp4": "video/mp4", "webm": "video/webm",
               "avi": "video/x-msvideo", "gif": "image/gif",

@@ -34,6 +34,12 @@ _CASES = {
              lambda: jpeg.encode_jpeg(_IMG)),
     "jpegll": (jpeg.decode_jpeg, b"\xff\xd8",
                lambda: jpeg.encode_jpeg_lossless(_IMG)),
+    # >= 32 restart intervals: exercises the lockstep vectorized
+    # entropy decoder (_decode_seq_vec) on malformed streams
+    "jpegdri": (jpeg.decode_jpeg, b"\xff\xd8",
+                lambda: jpeg.encode_jpeg_gray(
+                    _RNG.integers(0, 256, (48, 48)).astype(np.uint8),
+                    restart_mcus=1)),
     "mp4": (mp4.video_track, b"\x00\x00\x00\x18ftypisom",
             lambda: mp4.encode_mp4_video([b"fr1", b"fr2"],
                                          codec=b"jpeg",
