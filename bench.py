@@ -365,6 +365,31 @@ def main(gen_only: bool = False) -> None:
         _media_decode_stage(extras)
         extras["media_decode_sec"] = time.perf_counter() - t0
 
+    # memory posture evidence (sf1 soak, VERDICT r4 #3): driver peak
+    # RSS plus the max/sum of per-worker peak RSS (VmHWM) across live
+    # Ray workers — a stage that materialized the corpus would show up
+    # as a worker (or driver) high-water mark tracking the input size
+    import resource
+    extras["driver_peak_rss_mb"] = resource.getrusage(
+        resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    hwm = []
+    for pid_dir in Path("/proc").iterdir():
+        if not pid_dir.name.isdigit():
+            continue
+        try:
+            cmd = (pid_dir / "cmdline").read_bytes()
+            if b"ray::" not in cmd and b"raylet" not in cmd:
+                continue
+            for line in (pid_dir / "status").read_text().splitlines():
+                if line.startswith("VmHWM:"):
+                    hwm.append(int(line.split()[1]) / 1024.0)
+                    break
+        except OSError:
+            continue
+    if hwm:
+        extras["worker_peak_rss_mb_max"] = max(hwm)
+        extras["worker_peak_rss_mb_sum"] = sum(hwm)
+
     total = sum(timings.values())
     # probe at BOTH ends: a round-4 run's 16-cpu leg collapsed 1.8x
     # across all stages while a clean END-of-run probe said calm — a
