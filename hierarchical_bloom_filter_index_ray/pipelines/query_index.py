@@ -493,6 +493,9 @@ def _match_pairs(flat: np.ndarray, offsets: np.ndarray,
 # O(tasks) to O(workers). Holding the views pins at most one batch's
 # structs in plasma per worker until the next query batch replaces them.
 _STRUCT_CACHE: dict = {}
+# per-worker-process cache of the resolved candidate-gate bloom (see
+# BloomGateVerifier: the UDF must ship refs, not the bloom itself)
+_GATE_CACHE: dict = {}
 
 
 class ExactVerifier:
@@ -623,14 +626,34 @@ class BloomGateVerifier:
     def __init__(self, cfg: HbiConfig, bloom_ref, queries_ref,
                  key_seed: int, with_counts: bool = False):
         self.cfg = cfg
-        blob = ray.get(bloom_ref) if not isinstance(bloom_ref, bytes) \
-            else bloom_ref
-        self.bloom = sketch_from_bytes(blob)
-        qs = ray.get(queries_ref) if not isinstance(queries_ref, list) \
-            else queries_ref
-        self.q_tokens = [np.asarray(q["tokens"], dtype=np.int32) for q in qs]
+        # hold REFS only: this instance is cloudpickled as the UDF, so
+        # resolving here would inline the gate bloom into every task's
+        # payload (observed 128 MB/task at the sf1 soak — the bloom is
+        # sized to the candidate count). Resolve lazily on the worker,
+        # once per process (_GATE_CACHE), zero-copy from local plasma.
+        self._bloom_ref = bloom_ref
+        self._queries_ref = queries_ref
+        self.bloom = None
+        self.q_tokens = None
         self.key_seed = key_seed
         self.with_counts = with_counts
+
+    def _resolve(self):
+        if self.bloom is not None:
+            return
+        if isinstance(self._bloom_ref, bytes):
+            self.bloom = sketch_from_bytes(self._bloom_ref)
+        else:
+            key = self._bloom_ref.hex()
+            cached = _GATE_CACHE.get(key)
+            if cached is None:
+                cached = sketch_from_bytes(ray.get(self._bloom_ref))
+                _GATE_CACHE.clear()  # hold at most one gate bloom
+                _GATE_CACHE[key] = cached
+            self.bloom = cached
+        qs = self._queries_ref if isinstance(self._queries_ref, list) \
+            else ray.get(self._queries_ref)
+        self.q_tokens = [np.asarray(q["tokens"], dtype=np.int32) for q in qs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..state.splitmix import hash_str_u64
@@ -650,6 +673,7 @@ class BloomGateVerifier:
 
         if not batch.num_rows:
             return empty()
+        self._resolve()
         di = doc_index(batch)
         srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
         uniq_src, inv = np.unique(srcs, return_inverse=True)
