@@ -208,6 +208,14 @@ class MediaFeatureExtractor:
             return pgm_features(img.astype(np.uint8), self.feature_dim)
         if payload[:2] == b"P5":
             return pgm_features(decode_pgm(payload), self.feature_dim)
+        from ..functions.mp3 import is_mp3
+        if is_mp3(payload):
+            # frame demux / tags / duration / cut points are real
+            # (functions/mp3.py); audio features need decoded samples
+            raise NotImplementedError(
+                "MP3 Layer III sample decode (Huffman+IMDCT) is the "
+                "declared codec seam — the structural layer (mp3_info/"
+                "parse_frames/extract_frames) is implemented")
         mod = _container_module(payload)
         if mod is not None:
             if depth > 0:
