@@ -138,6 +138,26 @@ def _media_decode_stage(extras: dict) -> None:
                     break
             extras[f"media_mbps_{kind}{suffix}"] = done / dt / 1e6
 
+    # MP3 sample decode is a declared seam, so the structural layer is
+    # what ships (``functions/mp3.py``); time it on a synthetic 500-frame
+    # 128 kbps CBR stream with an ID3v2.3 tag — frame-header chain walk,
+    # CRC fields, tag parse and VBR-header probe per call.
+    from hierarchical_bloom_filter_index_ray.functions.mp3 import mp3_info
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])         # MPEG-1 L3 128k/44.1
+    frame = hdr + bytes(413)                       # 417-byte CBR frame
+    tag = (b"ID3\x03\x00\x00\x00\x00\x00\x26TIT2\x00\x00\x00\x0c\x00\x00"
+           b"\x00bench titleTPE1\x00\x00\x00\x06\x00\x00\x00bench")
+    payload = tag + frame * 500
+    mp3_info(payload)                              # warm
+    done, t0 = 0, time.perf_counter()
+    while True:
+        mp3_info(payload)
+        done += len(payload)
+        dt = time.perf_counter() - t0
+        if dt >= 0.25:
+            break
+    extras["media_mbps_mp3_demux"] = done / dt / 1e6
+
 
 def main(gen_only: bool = False) -> None:
     import ray
