@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import struct
 import subprocess
 import sys
 import time
@@ -157,6 +158,29 @@ def _media_decode_stage(extras: dict) -> None:
         if dt >= 0.25:
             break
     extras["media_mbps_mp3_demux"] = done / dt / 1e6
+
+    # Ogg-Opus sample decode is likewise a declared seam; time the
+    # structural layer (page walk + CRC verify + codec ident + granule
+    # duration) on a synthetic 500-packet Opus stream — the per-byte
+    # cost is dominated by the slice-by-4 page CRC.
+    from hierarchical_bloom_filter_index_ray.functions.ogg import (
+        mux_ogg, ogg_info)
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<HIhB", 312,
+                                                      48000, 0, 0))
+    tags = b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 0)
+    toc = bytes([(19 << 3)])                       # CELT 20 ms mono
+    pkts = [head, tags] + [toc + bytes(160) for _ in range(500)]
+    grans = [0, 0] + [312 + 960 * (i + 1) for i in range(500)]
+    payload = mux_ogg(pkts, serial=1, granules=grans)
+    ogg_info(payload)                              # warm
+    done, t0 = 0, time.perf_counter()
+    while True:
+        ogg_info(payload)
+        done += len(payload)
+        dt = time.perf_counter() - t0
+        if dt >= 0.25:
+            break
+    extras["media_mbps_ogg_demux"] = done / dt / 1e6
 
 
 def main(gen_only: bool = False) -> None:

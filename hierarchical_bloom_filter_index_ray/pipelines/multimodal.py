@@ -216,6 +216,14 @@ class MediaFeatureExtractor:
                 "MP3 Layer III sample decode (Huffman+IMDCT) is the "
                 "declared codec seam — the structural layer (mp3_info/"
                 "parse_frames/extract_frames) is implemented")
+        from ..functions.ogg import is_ogg
+        if is_ogg(payload):
+            # page demux / codec ident / duration / cut points are
+            # real (functions/ogg.py); features need decoded samples
+            raise NotImplementedError(
+                "Ogg Opus/Vorbis sample decode is the declared codec "
+                "seam — the structural layer (ogg_info/packets/"
+                "cut_points/extract_pages) is implemented")
         mod = _container_module(payload)
         if mod is not None:
             if depth > 0:
