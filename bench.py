@@ -182,6 +182,32 @@ def _media_decode_stage(extras: dict) -> None:
             break
     extras["media_mbps_ogg_demux"] = done / dt / 1e6
 
+    # H.264 slice decode is a declared seam; time the structural layer
+    # (Annex B NAL walk + SPS parse + IDR cut points) on a synthetic
+    # 300-NAL stream — the per-byte cost is the start-code scan.
+    from hierarchical_bloom_filter_index_ray.functions.h264 import (
+        cut_points as h264_cuts, h264_info)
+    # SPS for 320x240 baseline (Exp-Golomb-assembled per §7.3.2.1.1,
+    # pinned by the parse assertion below)
+    sps = bytes([103, 66, 0, 31, 242, 2, 131, 242])
+    pps = bytes([0x68, 0xce, 0x38, 0x80])
+    idr = bytes([0x65, 0x88]) + bytes(1024)
+    sl = bytes([0x41, 0x9a]) + bytes(1024)
+    sc = b"\x00\x00\x00\x01"
+    gop = sc + sps + sc + pps + sc + idr + (sc + sl) * 9
+    payload = gop * 30
+    info = h264_info(payload)                      # warm
+    assert (info["width"], info["height"]) == (320, 240), info
+    done, t0 = 0, time.perf_counter()
+    while True:
+        h264_info(payload)
+        h264_cuts(payload)
+        done += len(payload)
+        dt = time.perf_counter() - t0
+        if dt >= 0.25:
+            break
+    extras["media_mbps_h264_parse"] = done / dt / 1e6
+
 
 def main(gen_only: bool = False) -> None:
     import ray

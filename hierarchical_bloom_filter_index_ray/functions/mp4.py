@@ -96,6 +96,10 @@ class Mp4Track:
     sample_sizes: np.ndarray = field(repr=False)
     sample_times: np.ndarray = field(repr=False)
     sync_samples: np.ndarray | None = field(repr=False, default=None)
+    # raw first sample-entry body (after its size+fourcc): carries the
+    # codec-configuration child boxes (avcC/hvcC/...) for byte-stream
+    # conversion — see ``visual_config_box``
+    sample_entry: bytes = field(repr=False, default=b"")
 
     @property
     def n_samples(self) -> int:
@@ -298,8 +302,26 @@ def parse_mp4(payload: bytes) -> list[Mp4Track]:
             width=int(width), height=int(height),
             timescale=int(timescale), duration=int(duration),
             sample_offsets=offsets, sample_sizes=sizes,
-            sample_times=times, sync_samples=stbl.get("stss")))
+            sample_times=times, sync_samples=stbl.get("stss"),
+            sample_entry=(bytes(payload[entries[0][1]:entries[0][2]])
+                          if entries else b"")))
     return tracks
+
+
+def visual_config_box(sample_entry: bytes, fourcc: bytes) -> bytes | None:
+    """Body of a codec-configuration child box (``avcC``/``hvcC``/...)
+    inside a visual sample entry: the fixed 78-byte VisualSampleEntry
+    prefix (ISO/IEC 14496-12 §12.1.3) precedes the child boxes. None
+    when absent or malformed."""
+    pos, end = 78, len(sample_entry)
+    while pos + 8 <= end:
+        size = _U32.unpack_from(sample_entry, pos)[0]
+        if size < 8 or pos + size > end:
+            return None
+        if sample_entry[pos + 4:pos + 8] == fourcc:
+            return sample_entry[pos + 8:pos + size]
+        pos += size
+    return None
 
 
 def extract_sample(payload: bytes, track: Mp4Track, i: int) -> bytes:
