@@ -396,6 +396,125 @@ def is_mp3(payload: bytes) -> bool:
         or _parse_header(payload[nxt:nxt + 4]) is not None)
 
 
+class _SiBits:
+    """MSB-first bit reader over a Layer III side-info block."""
+
+    def __init__(self, data: bytes):
+        self.v = int.from_bytes(data, "big")
+        self.n = len(data) * 8
+        self.pos = 0
+
+    def u(self, k: int) -> int:
+        if self.pos + k > self.n:
+            raise ValueError("side info truncated")
+        self.pos += k
+        return (self.v >> (self.n - self.pos)) & ((1 << k) - 1)
+
+
+def _granule_fields(br: _SiBits, mpeg1: bool) -> dict:
+    """One granule-channel's fields (11172-3 §2.4.1.7 order; 13818-3
+    LSF drops preflag and widens scalefac_compress to 9 bits)."""
+    g: dict = {
+        "part2_3_length": br.u(12),
+        "big_values": br.u(9),
+        "global_gain": br.u(8),
+        "scalefac_compress": br.u(4 if mpeg1 else 9),
+    }
+    if g["big_values"] > 288:
+        raise ValueError(f"big_values {g['big_values']} exceeds 288 "
+                         "(§2.4.2.7: pairs cannot outnumber 576/2 "
+                         "frequency lines)")
+    wsf = br.u(1)
+    g["window_switching"] = bool(wsf)
+    if wsf:
+        g["block_type"] = br.u(2)
+        if g["block_type"] == 0:
+            raise ValueError("block_type 0 is forbidden when "
+                             "window_switching_flag is set (§2.4.1.7)")
+        g["mixed_block_flag"] = bool(br.u(1))
+        g["table_select"] = (br.u(5), br.u(5))
+        g["subblock_gain"] = (br.u(3), br.u(3), br.u(3))
+        # region counts are implied for switched windows (§2.4.2.7)
+        g["region0_count"] = 8 if g["block_type"] == 2 \
+            and not g["mixed_block_flag"] else 7
+        g["region1_count"] = 36
+    else:
+        g["block_type"] = 0
+        g["mixed_block_flag"] = False
+        g["table_select"] = (br.u(5), br.u(5), br.u(5))
+        g["region0_count"] = br.u(4)
+        g["region1_count"] = br.u(3)
+    if mpeg1:
+        g["preflag"] = bool(br.u(1))
+    g["scalefac_scale"] = br.u(1)
+    g["count1table_select"] = br.u(1)
+    return g
+
+
+def parse_side_info(h: dict, frame: bytes) -> dict:
+    """Full Layer III side-info decode (11172-3 §2.4.1.7 for MPEG-1:
+    9-bit reservoir pointer, scfsi, 2 granules; 13818-3 LSF layout for
+    MPEG-2/2.5: 8-bit pointer, 1 granule, 9-bit scalefac_compress, no
+    preflag). ``h`` is the frame's parsed header; ``frame`` the full
+    frame bytes. The bit budget is exact by construction: the reader
+    consumes precisely the 9/17/17/32 side-info bytes. Sample decode
+    (the Huffman main data these fields describe) stays the declared
+    seam — but the side info alone already yields the structural audio
+    analysis a crawl pipeline filters on (transient density via short
+    blocks, bit-reservoir depth, per-granule bit allocation)."""
+    if h["layer"] != 3:
+        raise ValueError("side info is a Layer III structure")
+    off = 4 + (2 if h["protected"] else 0)
+    n = _side_info_len(h)
+    if len(frame) < off + n:
+        raise ValueError("frame shorter than its side info")
+    br = _SiBits(frame[off:off + n])
+    mpeg1 = h["version"] == 1
+    ch = h["channels"]
+    out: dict = {"main_data_begin": br.u(9 if mpeg1 else 8)}
+    br.u((5 if ch == 1 else 3) if mpeg1 else (1 if ch == 1 else 2))
+    if mpeg1:
+        out["scfsi"] = tuple(tuple(br.u(1) for _ in range(4))
+                             for _ in range(ch))
+    grans = []
+    for _ in range(2 if mpeg1 else 1):
+        grans.append(tuple(_granule_fields(br, mpeg1)
+                           for _ in range(ch)))
+    out["granules"] = tuple(grans)
+    assert br.pos == n * 8      # layout is exact by spec
+    return out
+
+
+def side_info_summary(payload: bytes) -> dict:
+    """Stream-level structural audio analysis without sample decode:
+    walk every Layer III frame's side info and aggregate transient
+    density (short-block share), bit-reservoir depth and per-granule
+    bit allocation. The filter features a crawl pipeline needs from
+    audio (silence/music/speech heuristics) at demux cost."""
+    offs, lens, info = parse_frames(payload)
+    if info["layer"] != 3:
+        raise ValueError("side info summary requires Layer III")
+    n_gr = 0
+    n_short = 0
+    reservoir_max = 0
+    part_bits = 0
+    for o, ln in zip(offs.tolist(), lens.tolist()):
+        si = parse_side_info(info, payload[o:o + ln])
+        reservoir_max = max(reservoir_max, si["main_data_begin"])
+        for gr in si["granules"]:
+            for g in gr:
+                n_gr += 1
+                part_bits += g["part2_3_length"]
+                if g["window_switching"] and g["block_type"] == 2:
+                    n_short += 1
+    return {
+        "n_frames": len(offs), "n_granule_channels": n_gr,
+        "short_block_share": round(n_short / n_gr, 6) if n_gr else 0.0,
+        "reservoir_max_bytes": reservoir_max,
+        "mean_part2_3_bits": round(part_bits / n_gr, 3) if n_gr else 0.0,
+    }
+
+
 def decode_mp3(payload: bytes):
     """Layer III sample decode is the declared codec seam: the 34
     scalefactor/Huffman tables plus the 512-tap synthesis window

@@ -317,3 +317,160 @@ def test_fuzz_never_crashes():
             mp3.mp3_info(buf)
         except (ValueError, NotImplementedError):
             pass
+
+
+# -------------------------------------------------------------- side info
+
+class SiW:
+    """Independent MSB-first bit writer for side-info fixtures."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, n, v):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def to_bytes(self):
+        assert len(self.bits) % 8 == 0, len(self.bits)
+        return bytes(int("".join(map(str, self.bits[i:i + 8])), 2)
+                     for i in range(0, len(self.bits), 8))
+
+
+def granule_bits(w, mpeg1=True, part23=1500, big_values=120, gain=200,
+                 sfc=7, short=False, tables=(11, 9, 5), regions=(6, 4),
+                 subgain=(1, 2, 3), preflag=1, sfs=1, c1t=0,
+                 block_type=2, mixed=0):
+    w.u(12, part23).u(9, big_values).u(8, gain)
+    w.u(4 if mpeg1 else 9, sfc)
+    if short:
+        w.u(1, 1).u(2, block_type).u(1, mixed)
+        w.u(5, tables[0]).u(5, tables[1])
+        for g in subgain:
+            w.u(3, g)
+    else:
+        w.u(1, 0)
+        for t in tables:
+            w.u(5, t)
+        w.u(4, regions[0]).u(3, regions[1])
+    if mpeg1:
+        w.u(1, preflag)
+    w.u(1, sfs).u(1, c1t)
+
+
+def test_side_info_mpeg1_stereo_mixed_blocks():
+    w = SiW()
+    w.u(9, 300)                         # main_data_begin
+    w.u(3, 0)                           # private bits (stereo)
+    for bit in (1, 0, 1, 1, 0, 1, 0, 0):   # scfsi 2 channels x 4
+        w.u(1, bit)
+    granule_bits(w, part23=2000, big_values=288, gain=180,
+                 tables=(24, 13, 2), regions=(5, 2), preflag=0)
+    granule_bits(w, short=True, block_type=2, mixed=1, sfc=9,
+                 subgain=(7, 0, 2), part23=900, big_values=30)
+    granule_bits(w, part23=1234, big_values=100, tables=(1, 2, 3))
+    granule_bits(w, short=True, block_type=3, part23=10, big_values=0,
+                 sfc=0, subgain=(0, 0, 0))
+    si = w.to_bytes()
+    assert len(si) == 32
+    frame = make_frame(version=1, mode=0)
+    frame = frame[:4] + si + frame[4 + 32:]
+    h = mp3._parse_header(frame[:4])
+    out = mp3.parse_side_info(h, frame)
+    assert out["main_data_begin"] == 300
+    assert out["scfsi"] == ((1, 0, 1, 1), (0, 1, 0, 0))
+    (g0l, g0r), (g1l, g1r) = out["granules"]
+    assert g0l["part2_3_length"] == 2000 and g0l["big_values"] == 288
+    assert g0l["table_select"] == (24, 13, 2)
+    assert (g0l["region0_count"], g0l["region1_count"]) == (5, 2)
+    assert g0l["preflag"] is False and g0l["block_type"] == 0
+    assert g0r["window_switching"] and g0r["block_type"] == 2
+    assert g0r["mixed_block_flag"] is True
+    assert g0r["subblock_gain"] == (7, 0, 2)
+    assert g0r["region0_count"] == 7          # mixed short: 7, not 8
+    assert g1l["table_select"] == (1, 2, 3)
+    assert g1r["block_type"] == 3 and g1r["big_values"] == 0
+
+
+def test_side_info_mpeg2_mono_lsf():
+    w = SiW()
+    w.u(8, 17)                          # main_data_begin (8-bit LSF)
+    w.u(1, 0)                           # private (mono)
+    granule_bits(w, mpeg1=False, sfc=300, part23=555, big_values=42,
+                 short=True, block_type=2, mixed=0, subgain=(1, 1, 1))
+    si = w.to_bytes()
+    assert len(si) == 9
+    frame = make_frame(version=2, kbps=64, rate=22050, mode=3)
+    frame = frame[:4] + si + frame[4 + 9:]
+    h = mp3._parse_header(frame[:4])
+    out = mp3.parse_side_info(h, frame)
+    assert out["main_data_begin"] == 17
+    assert "scfsi" not in out
+    assert len(out["granules"]) == 1
+    g = out["granules"][0][0]
+    assert g["scalefac_compress"] == 300     # 9-bit LSF field
+    assert "preflag" not in g
+    assert g["region0_count"] == 8           # pure short blocks
+    assert g["big_values"] == 42
+
+
+def test_side_info_validation():
+    h = mp3._parse_header(header())
+    # big_values > 288
+    w = SiW()
+    w.u(9, 0).u(3, 0)
+    w.u(8, 0)
+    granule_bits(w, big_values=289)
+    granule_bits(w)
+    granule_bits(w)
+    granule_bits(w)
+    frame = header() + w.to_bytes() + bytes(380)
+    with pytest.raises(ValueError, match="big_values"):
+        mp3.parse_side_info(h, frame)
+    # window switching with block_type 0 is forbidden
+    w = SiW()
+    w.u(9, 0).u(3, 0).u(8, 0)
+    w.u(12, 0).u(9, 0).u(8, 0).u(4, 0)
+    w.u(1, 1).u(2, 0)                   # wsf=1, block_type=0
+    while len(w.bits) % 8:
+        w.u(1, 0)
+    frame = header() + w.to_bytes() + bytes(400)
+    with pytest.raises(ValueError, match="block_type 0"):
+        mp3.parse_side_info(h, frame)
+    # truncated frame
+    with pytest.raises(ValueError, match="shorter"):
+        mp3.parse_side_info(h, header() + bytes(10))
+    # not layer III
+    h2 = mp3._parse_header(header(layer=2, kbps=384, rate=48000))
+    with pytest.raises(ValueError, match="Layer III"):
+        mp3.parse_side_info(h2, make_frame(layer=2, kbps=384,
+                                           rate=48000))
+
+
+def test_side_info_summary_zero_frames():
+    # all-zero side info: long blocks everywhere, empty reservoir
+    payload = b"".join(make_frame(mdb=0) for _ in range(6))
+    s = mp3.side_info_summary(payload)
+    assert s["n_frames"] == 6
+    assert s["n_granule_channels"] == 6 * 2 * 2
+    assert s["short_block_share"] == 0.0
+    assert s["reservoir_max_bytes"] == 0
+
+
+def test_side_info_summary_counts_short_blocks():
+    w = SiW()
+    w.u(9, 101).u(3, 0).u(8, 0)
+    granule_bits(w, short=True, block_type=2, mixed=0)   # short
+    granule_bits(w)                                      # long
+    granule_bits(w, short=True, block_type=2, mixed=0)   # short
+    granule_bits(w, short=True, block_type=3, mixed=0)   # stop, not short
+    si = w.to_bytes()
+    f = make_frame()
+    f = f[:4] + si + f[4 + 32:]
+    payload = f + make_frame(mdb=0)
+    s = mp3.side_info_summary(payload)
+    assert s["n_frames"] == 2
+    assert s["short_block_share"] == pytest.approx(2 / 8)
+    assert s["reservoir_max_bytes"] == 101
+    assert s["mean_part2_3_bits"] > 0
