@@ -808,15 +808,17 @@ def _q_doc_fingerprints(sf_dir: str):
 
 def _q_media_features(sf_dir: str):
     """REAL decode paths: synthetic PGM + PNG + WAV + JPEG (baseline
-    and lossless) + GIF + BMP + TIFF + FLAC + Motion-JPEG (mp4, webm,
-    avi) corpora featurized through the actor-pool stage — PGM through
+    and lossless) + GIF + BMP + TIFF + FLAC + MP3 (Layer III sample
+    decode via the profile codec) + Motion-JPEG (mp4, webm, avi)
+    corpora featurized through the actor-pool stage — PGM through
     its dedicated decoder, the rest through the magic-byte
     ``decoder="real"`` dispatch over the from-scratch pure-numpy
     codecs (``functions/codecs.py``, ``functions/jpeg.py``,
-    ``functions/gif.py``, ``functions/tiff.py``, ``functions/flac.py``;
-    video thumbnails demux via ``functions/{mp4,webm,avi}.py`` to
-    their middle keyframe). concurrency=1 keeps the pools + read tasks
-    schedulable at the driver's small num_cpus."""
+    ``functions/gif.py``, ``functions/tiff.py``, ``functions/flac.py``,
+    ``functions/mp3dec.py``; video thumbnails demux via
+    ``functions/{mp4,webm,avi}.py`` to their middle keyframe).
+    concurrency=1 keeps the pools + read tasks schedulable at the
+    driver's small num_cpus."""
     import pyarrow as pa
 
     from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
@@ -836,7 +838,8 @@ def _q_media_features(sf_dir: str):
     kinds = [("pgm", 64, 8), ("png", 32, 8), ("wav", 32, 8),
              ("jpeg", 32, 8), ("mp4", 16, 6), ("gif", 16, 6),
              ("bmp", 16, 8), ("tiff", 16, 8), ("jpeg_ll", 16, 8),
-             ("flac", 16, 8), ("webm", 8, 6), ("avi", 8, 6)]
+             ("flac", 16, 8), ("webm", 8, 6), ("avi", 8, 6),
+             ("mp3", 8, 6)]
     corpus = None
     for off, (kind, n, frames) in enumerate(kinds):
         ds = synth_media(n, seed=SEED, kind=kind,

@@ -6,11 +6,12 @@ posture (``mp4.py`` / ``webm.py`` / ``avi.py``): the *structural* layer
 — frame boundaries, stream parameters, duration, tags, reservoir-safe
 cut points, frame extraction and re-mux — is fully implemented and
 verified against hand-assembled fixtures built from the public header
-formula; Layer III *sample* decode (Huffman + IMDCT + synthesis
-filterbank, ISO 11172-3 §2.4.3) is the declared codec seam alongside
-H.264/VP9/AV1 (README media matrix): its 34 Huffman tables and 512-tap
-synthesis window cannot be verified in this sandbox without external
-fixtures.
+formula. Layer III *sample* decode (Huffman + IMDCT + synthesis
+filterbank, ISO 11172-3 §2.4.3) lives in the sibling ``mp3dec.py``:
+the full DSP/bitstream chain is real and round-trip verified; only the
+literal ISO Huffman code assignments and synthesis window (Tables
+B.7/B.3) remain pluggable profile data, unverifiable in this sandbox
+without external fixtures.
 
 Everything here derives from the public spec tables: bitrate and
 sample-rate indices (11172-3 §2.4.2.3), the frame-length formula
@@ -516,12 +517,14 @@ def side_info_summary(payload: bytes) -> dict:
 
 
 def decode_mp3(payload: bytes):
-    """Layer III sample decode is the declared codec seam: the 34
-    scalefactor/Huffman tables plus the 512-tap synthesis window
-    (11172-3 Tables B.3/B.7) cannot be verified here without external
-    fixtures — same rationale as the skipped JPEG QM-coder. Demux,
-    tags, duration, cut points and frame extraction above are real."""
-    raise NotImplementedError(
-        "MP3 sample decode (Huffman+IMDCT) is the declared codec seam; "
-        "use mp3_info/parse_frames/extract_frames for the structural "
-        "layer")
+    """Layer III sample decode lives in ``mp3dec.py``: the full chain
+    (reservoir, scalefactors, Huffman regions, requantize, alias,
+    hybrid IMDCT, polyphase synthesis) is implemented and round-trip
+    verified against its own subset encoder. The one remaining seam is
+    the literal ISO Huffman code assignments + synthesis window
+    (11172-3 Tables B.7/B.3) — unverifiable here without external
+    fixtures, so they are pluggable ``Mp3Profile`` data; foreign
+    streams need the real tables loaded. Use
+    ``mp3dec.decode_mp3_samples`` directly."""
+    from .mp3dec import decode_mp3_samples
+    return decode_mp3_samples(payload)

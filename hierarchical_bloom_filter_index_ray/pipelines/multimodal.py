@@ -210,12 +210,22 @@ class MediaFeatureExtractor:
             return pgm_features(decode_pgm(payload), self.feature_dim)
         from ..functions.mp3 import is_mp3
         if is_mp3(payload):
-            # frame demux / tags / duration / cut points are real
-            # (functions/mp3.py); audio features need decoded samples
+            from ..functions.mp3dec import decode_mp3_samples, \
+                is_profile_mp3
+            if is_profile_mp3(payload):
+                # full Layer III decode (functions/mp3dec.py): the
+                # profile marker says the stream's Huffman codes are
+                # the profile's, so sample decode is exact
+                samples, srate = decode_mp3_samples(payload)
+                return wav_features(samples, srate, self.feature_dim)
+            # foreign stream: its ISO Table B.7 Huffman codes are the
+            # one spec blob unverifiable in this sandbox — the DSP
+            # chain is real (mp3dec), the code tables are the seam
             raise NotImplementedError(
-                "MP3 Layer III sample decode (Huffman+IMDCT) is the "
-                "declared codec seam — the structural layer (mp3_info/"
-                "parse_frames/extract_frames) is implemented")
+                "MP3 sample decode for foreign streams needs the ISO "
+                "Huffman tables loaded into an Mp3Profile — the full "
+                "decode chain (mp3dec) and the structural layer "
+                "(mp3_info/parse_frames/extract_frames) are implemented")
         from ..functions.ogg import is_ogg
         if is_ogg(payload):
             # page demux / codec ident / duration / cut points are
@@ -658,6 +668,16 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                 payloads.append(encode_flac(
                     (tone * 20000).astype(np.int64), 8000,
                     blocksize=192))
+            elif kind == "mp3":
+                # profile-tagged Layer III stream (functions/mp3dec):
+                # real reservoir bitstream + hybrid/polyphase DSP
+                from ..functions.mp3dec import encode_mp3
+                t = np.arange(width * height, dtype=np.float64)
+                tone = np.sin(2 * np.pi * (220 + 11 * (int(i) % 8))
+                              * t / 32000.0)
+                payloads.append(encode_mp3(
+                    (tone * 20000).astype(np.int16), 32000,
+                    bitrate=64, reservoir=True, tag=True))
             else:
                 payloads.append(bytes((
                     hash_u64(np.arange(64, dtype=np.uint64)
@@ -669,7 +689,8 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
               "mp4": "video/mp4", "webm": "video/webm",
               "avi": "video/x-msvideo", "gif": "image/gif",
               "bmp": "image/bmp", "tiff": "image/tiff",
-              "flac": "audio/flac", "pgmv": "video/x-pgm-frames",
+              "flac": "audio/flac", "mp3": "audio/mpeg",
+              "pgmv": "video/x-pgm-frames",
               "png": "image/png",
               "wav": "audio/wav"}.get(kind, "image/fake")
         return pa.table({

@@ -290,9 +290,20 @@ def test_is_mp3_dispatch():
     assert not mp3.is_mp3(b"fLaC" + bytes(100))
 
 
-def test_decode_is_declared_seam():
+def test_decode_delegates_to_sample_codec():
+    """decode_mp3 now routes into mp3dec's full Layer III chain: a
+    structural frame made of 0x55 filler either decodes (garbage side
+    info can still be a legal all-zero-ish granule) or fails with the
+    untrusted-bytes contract — never any other exception. A Layer II
+    stream still names the declared subset."""
+    try:
+        samples, rate = mp3.decode_mp3(make_frame(fill=0, mode=3) * 2)
+        assert rate == 44100 and samples.shape[1] == 1
+    except (ValueError, NotImplementedError):
+        pass
+    l2 = make_frame(layer=2, kbps=384) * 2
     with pytest.raises(NotImplementedError):
-        mp3.decode_mp3(make_frame() * 2)
+        mp3.decode_mp3(l2)
 
 
 def test_fuzz_never_crashes():

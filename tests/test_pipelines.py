@@ -702,6 +702,25 @@ class TestMultimodal:
                 synth_frame(mid, 0, seed=5, width=16, height=16), 5, 7)
             assert np.array_equal(decode_png(payload), want)
 
+    def test_real_decoder_mp3_profile_streams(self):
+        """Profile-tagged MP3 clips decode through the full Layer III
+        chain into audio features; an untagged (foreign-table) stream
+        stays the declared profile seam."""
+        from hierarchical_bloom_filter_index_ray.functions.mp3dec import \
+            encode_mp3
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal import (
+            MediaFeatureExtractor, extract_features, synth_media)
+        feats = extract_features(
+            synth_media(6, seed=7, kind="mp3", width=32, height=32),
+            decoder="real", feature_dim=8, concurrency=1).to_pandas()
+        f = np.stack(feats.sort_values("media_id")["features"].tolist())
+        assert f.shape == (6, 8) and np.isfinite(f).all()
+        assert len(np.unique(f[:, 2])) > 1      # payload-dependent
+        ex = MediaFeatureExtractor(decoder="real", feature_dim=8)
+        foreign = encode_mp3(np.zeros(2000, dtype=np.int16), 44100)
+        with pytest.raises(NotImplementedError):
+            ex._real_features(foreign)
+
     def test_frame_sampler_unknown_container_is_declared_seam(self):
         """mp4, webm AND avi demux are real now (test_mp4.py /
         test_webm.py / test_avi.py); a container that is none of
