@@ -15,6 +15,9 @@ from .stats import (build_global_sketches, build_ngram_model,
                     distinct_tokens, heavy_hitters, ntok_quantiles)
 from .relational import (pricing_summary, revenue_by_nation,
                          revenue_by_priority, top_customers_by_spend)
+from .suffix_baseline import (build_suffix_index, linear_scan_membership,
+                              load_suffix_index, suffix_membership,
+                              suffix_membership_ds)
 from .super_index import build_super_index, load_super_meta, super_prune
 
 __all__ = [
@@ -32,6 +35,8 @@ __all__ = [
     "knn_kmeans",
     "build_global_sketches", "distinct_tokens", "heavy_hitters",
     "ntok_quantiles",
+    "build_suffix_index", "load_suffix_index", "suffix_membership",
+    "suffix_membership_ds", "linear_scan_membership",
     "build_super_index", "load_super_meta", "super_prune",
     "build_ngram_model", "pricing_summary", "top_customers_by_spend",
     "revenue_by_priority", "revenue_by_nation",
