@@ -116,6 +116,7 @@ def _media_decode_stage(extras: dict) -> None:
         ("gif", dict(width=96, height=96, frames=1), 8),
         ("flac", dict(width=96, height=96), 6),
         ("mp3", dict(width=96, height=96), 4),
+        ("ogg", dict(width=96, height=96), 4),
         ("wav", dict(width=96, height=96), 48),
         ("mp4", dict(width=64, height=64, frames=8), 3),
         ("webm", dict(width=64, height=64, frames=8), 3),

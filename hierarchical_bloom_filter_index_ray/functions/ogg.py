@@ -415,14 +415,49 @@ def mux_ogg(pkts: list[bytes], serial: int = 0,
     return bytes(out)
 
 
-def decode_ogg(payload: bytes):
-    """Opus/Vorbis sample decode (SILK/CELT and MDCT codebook
-    synthesis) is the declared codec seam — their codebooks and window
-    tables cannot be verified in this sandbox without external
-    fixtures, the same rationale as MP3 Layer III and the JPEG
-    QM-coder. Demux, identification, duration, cut points, carving
-    and re-mux above are real."""
-    raise NotImplementedError(
-        "Ogg Opus/Vorbis sample decode is the declared codec seam; "
-        "use ogg_info/packets/cut_points/extract_pages for the "
-        "structural layer")
+def decode_ogg(payload: bytes) -> tuple["np.ndarray", int]:
+    """Decode the first VORBIS stream of an Ogg physical stream to PCM
+    (``functions/vorbis.py`` — full from-scratch Vorbis I decode; the
+    stream's own setup header carries every codebook, so no external
+    table is involved). Returns (samples (n, channels) float64, rate).
+
+    Opus sample decode (SILK/CELT) remains the declared codec seam —
+    unlike Vorbis its codebooks are normative blobs in RFC 6716, not
+    in-stream data."""
+    from .vorbis import VorbisError, decode_vorbis_packets
+
+    pgs = parse_pages(payload)
+    if not pgs:
+        raise ValueError("no Ogg pages")
+    # find the first Vorbis stream among the BOS serials
+    serial = None
+    for pg in pgs:
+        if not pg["flags"] & 0x2:
+            continue
+        first = _first_packet(payload, pgs, pg["serial"])
+        ident = _identify(first) if first else {"codec": "unknown"}
+        if ident["codec"] == "vorbis":
+            serial = pg["serial"]
+            break
+        if ident["codec"] == "opus":
+            raise NotImplementedError(
+                "Ogg Opus sample decode is the declared codec seam "
+                "(normative RFC 6716 codebooks); the structural layer "
+                "(ogg_info/packets/cut_points/extract_pages) and full "
+                "Vorbis decode are implemented")
+    if serial is None:
+        raise VorbisError("no Vorbis stream in Ogg payload")
+    pkts = packets(payload, serial=serial, pages=pgs)
+    grans = [pg["granule"] for pg in pgs
+             if pg["serial"] == serial and pg["granule"] >= 0]
+    total = grans[-1] if grans else None
+    return decode_vorbis_packets(pkts, total)
+
+
+def encode_ogg_vorbis(pcm, rate: int, **kwargs) -> bytes:
+    """PCM → complete Ogg-Vorbis physical stream (subset encoder +
+    RFC 3533 mux with proper granule positions)."""
+    from .vorbis import encode_vorbis_packets
+
+    pkts, _total, granules = encode_vorbis_packets(pcm, rate, **kwargs)
+    return mux_ogg(pkts, serial=0xBEE5, granules=granules)

@@ -50,6 +50,10 @@ _TRACK_TYPE = 0x83
 _FLAG_LACING = 0x9C
 _CODEC_ID = 0x86
 _VIDEO = 0xE0
+_AUDIO = 0xE1
+_SAMPLING_FREQ = 0xB5
+_CHANNELS = 0x9F
+_CODEC_PRIVATE = 0x63A2
 _PIXEL_WIDTH = 0xB0
 _PIXEL_HEIGHT = 0xBA
 _CLUSTER = 0x1F43B675
@@ -165,6 +169,9 @@ class WebmTrack:
     sample_sizes: np.ndarray = field(repr=False)
     sample_times: np.ndarray = field(repr=False)
     sync_samples: np.ndarray | None = field(repr=False, default=None)
+    codec_private: bytes | None = field(repr=False, default=None)
+    sample_rate: int = 0         # audio tracks: SamplingFrequency
+    channels: int = 0            # audio tracks: Channels
 
     @property
     def n_samples(self) -> int:
@@ -297,6 +304,14 @@ def parse_webm(payload: bytes) -> list[WebmTrack]:
                         h = _find(payload, cs, ce, _PIXEL_HEIGHT)
                         ent["w"] = _uint(payload, *w) if w else 0
                         ent["h"] = _uint(payload, *h) if h else 0
+                    elif cid == _AUDIO:
+                        sf = _find(payload, cs, ce, _SAMPLING_FREQ)
+                        chn = _find(payload, cs, ce, _CHANNELS)
+                        ent["rate"] = (round(_float(payload, *sf))
+                                       if sf else 0)
+                        ent["ch"] = _uint(payload, *chn) if chn else 0
+                    elif cid == _CODEC_PRIVATE:
+                        ent["priv"] = payload[cs:ce]
                 if "num" in ent:
                     meta[ent["num"]] = ent
         elif eid == _CLUSTER:
@@ -335,7 +350,10 @@ def parse_webm(payload: bytes) -> list[WebmTrack]:
             codec=ent["codec"], width=int(ent["w"]), height=int(ent["h"]),
             timescale=ticks_per_sec, duration=int(duration_ticks),
             sample_offsets=offs, sample_sizes=sizes, sample_times=times,
-            sync_samples=None if len(sync) == len(rows) else sync))
+            sync_samples=None if len(sync) == len(rows) else sync,
+            codec_private=ent.get("priv"),
+            sample_rate=int(ent.get("rate", 0)),
+            channels=int(ent.get("ch", 0))))
     return tracks
 
 
@@ -422,5 +440,129 @@ def encode_webm_video(frames: list[bytes], *, codec: str = "V_MJPEG",
             body.append(_el(_SIMPLE_BLOCK,
                             b"\x81" + struct.pack(">h", rel)
                             + bytes([flags]) + frames[i]))
+        clusters.append(_el(_CLUSTER, b"".join(body)))
+    return header + _el(_SEGMENT, info + tracks + b"".join(clusters))
+
+
+# ------------------------------------------------------- audio (Vorbis) ----
+
+def audio_track(payload: bytes) -> WebmTrack:
+    """First audio track."""
+    for t in parse_webm(payload):
+        if t.handler == "soun":
+            return t
+    raise ValueError("no audio track in webm payload")
+
+
+def split_xiph_private(priv: bytes) -> list[bytes]:
+    """CodecPrivate for Vorbis-in-Matroska: Xiph lacing of the three
+    header packets — count byte (must be 2 = n-1), 255-run sizes for
+    the first two, remainder is the third (Matroska codec spec)."""
+    if not priv or priv[0] != 2:
+        raise ValueError("CodecPrivate is not 3 Xiph-laced packets")
+    sizes = []
+    pos = 1
+    for _ in range(2):
+        n = 0
+        while True:
+            if pos >= len(priv):
+                raise ValueError("truncated Xiph lacing")
+            b = priv[pos]
+            pos += 1
+            n += b
+            if b < 255:
+                break
+        sizes.append(n)
+    out = []
+    for n in sizes:
+        if pos + n > len(priv):
+            raise ValueError("Xiph lacing overruns CodecPrivate")
+        out.append(priv[pos:pos + n])
+        pos += n
+    out.append(priv[pos:])
+    return out
+
+
+def _xiph_private(pkts: list[bytes]) -> bytes:
+    assert len(pkts) == 3
+    out = bytearray([2])
+    for p in pkts[:2]:
+        n = len(p)
+        out += b"\xff" * (n // 255) + bytes([n % 255])
+    for p in pkts:
+        out += p
+    return bytes(out)
+
+
+def decode_webm_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """Decode the first audio track (A_VORBIS) to PCM (n, channels):
+    CodecPrivate carries the three Vorbis headers (Xiph lacing), each
+    block frame is one Vorbis audio packet. A_OPUS remains the declared
+    Opus seam."""
+    trk = audio_track(payload)
+    if trk.codec == "A_OPUS":
+        raise NotImplementedError(
+            "Opus sample decode is the declared codec seam (normative "
+            "RFC 6716 codebooks); A_VORBIS decodes fully")
+    if trk.codec != "A_VORBIS":
+        raise ValueError(f"unsupported webm audio codec {trk.codec!r}")
+    from .vorbis import decode_vorbis_packets
+
+    if trk.codec_private is None:
+        raise ValueError("A_VORBIS track without CodecPrivate headers")
+    headers = split_xiph_private(trk.codec_private)
+    frames = [extract_sample(payload, trk, i)
+              for i in range(trk.n_samples)]
+    pcm, rate = decode_vorbis_packets(headers + frames, None)
+    if trk.duration and trk.timescale:
+        total = round(trk.duration * rate / trk.timescale)
+        if 0 < total < len(pcm):
+            pcm = pcm[:total]
+    return pcm, rate
+
+
+def encode_webm_audio(pcm, rate: int, *, packets_per_cluster: int = 16,
+                      **vorbis_kwargs) -> bytes:
+    """PCM → audio-only WebM with an A_VORBIS track: subset Vorbis
+    encoder + Xiph-laced CodecPrivate, one packet per SimpleBlock,
+    millisecond timestamp scale."""
+    import numpy as _np
+
+    from .vorbis import encode_vorbis_packets
+
+    pkts, total, granules = encode_vorbis_packets(pcm, rate,
+                                                  **vorbis_kwargs)
+    channels = 1 if _np.asarray(pcm).ndim == 1 \
+        else _np.asarray(pcm).shape[1]
+    header = _el(_EBML, b"".join([
+        _uint_el(0x4286, 1), _uint_el(0x42F7, 1),
+        _uint_el(0x42F2, 4), _uint_el(0x42F3, 8),
+        _el(_DOCTYPE, b"webm"),
+        _uint_el(0x4287, 2), _uint_el(0x4285, 2)]))
+    ts_scale = 1_000_000                     # 1 ms ticks
+    dur_ms = float(total) * 1000.0 / rate
+    info = _el(_INFO, b"".join([
+        _uint_el(_TIMESTAMP_SCALE, ts_scale),
+        _el(_DURATION, struct.pack(">d", dur_ms)),
+        _el(_MUXING_APP, b"hbir"), _el(_WRITING_APP, b"hbir")]))
+    tracks = _el(_TRACKS, _el(_TRACK_ENTRY, b"".join([
+        _uint_el(_TRACK_NUMBER, 1), _uint_el(_TRACK_UID, 1),
+        _uint_el(_FLAG_LACING, 0), _uint_el(_TRACK_TYPE, 2),
+        _el(_CODEC_ID, b"A_VORBIS"),
+        _el(_CODEC_PRIVATE, _xiph_private(pkts[:3])),
+        _el(_AUDIO, _el(_SAMPLING_FREQ, struct.pack(">f", float(rate)))
+            + _uint_el(_CHANNELS, channels))])))
+    audio = pkts[3:]
+    agrans = granules[3:]
+    clusters = []
+    for first in range(0, len(audio), packets_per_cluster):
+        chunk = audio[first:first + packets_per_cluster]
+        t0 = round(agrans[first] * 1000.0 / rate)
+        body = [_uint_el(_CLUSTER_TS, t0)]
+        for j, frame in enumerate(chunk):
+            t = round(agrans[first + j] * 1000.0 / rate)
+            body.append(_el(_SIMPLE_BLOCK,
+                            b"\x81" + struct.pack(">h", t - t0)
+                            + b"\x80" + frame))
         clusters.append(_el(_CLUSTER, b"".join(body)))
     return header + _el(_SEGMENT, info + tracks + b"".join(clusters))

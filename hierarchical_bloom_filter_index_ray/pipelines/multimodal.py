@@ -228,12 +228,16 @@ class MediaFeatureExtractor:
                 "(mp3_info/parse_frames/extract_frames) are implemented")
         from ..functions.ogg import is_ogg
         if is_ogg(payload):
-            # page demux / codec ident / duration / cut points are
-            # real (functions/ogg.py); features need decoded samples
-            raise NotImplementedError(
-                "Ogg Opus/Vorbis sample decode is the declared codec "
-                "seam — the structural layer (ogg_info/packets/"
-                "cut_points/extract_pages) is implemented")
+            # full from-scratch Vorbis I decode (functions/vorbis.py);
+            # Opus remains the declared seam (normative RFC 6716
+            # codebooks) and raises NotImplementedError inside
+            from ..functions.ogg import decode_ogg
+            samples, srate = decode_ogg(payload)
+            # Vorbis decodes to float ±1; wav_features keys its peak
+            # off integer dtypes — quantize to 16-bit PCM
+            s16 = np.clip(samples * 32767.0, -32768, 32767) \
+                .astype(np.int16)
+            return wav_features(s16, srate, self.feature_dim)
         mod = _container_module(payload)
         if mod is not None:
             if depth > 0:
@@ -244,8 +248,19 @@ class MediaFeatureExtractor:
                 raise ValueError(
                     "container sample is itself a container — refusing "
                     "nested demux")
-            # thumbnail features: the middle keyframe of the video track
-            trk = mod.video_track(payload)
+            # thumbnail features: the middle keyframe of the video
+            # track; an audio-only WebM falls through to its A_VORBIS
+            # track (full Vorbis decode, functions/webm.py)
+            try:
+                trk = mod.video_track(payload)
+            except ValueError:
+                from ..functions import webm as _webm
+                if mod is _webm:
+                    samples, srate = _webm.decode_webm_audio(payload)
+                    s16 = np.clip(samples * 32767.0, -32768, 32767) \
+                        .astype(np.int16)
+                    return wav_features(s16, srate, self.feature_dim)
+                raise
             mid = trk.sync_at_or_before(trk.n_samples // 2)
             return self._real_features(
                 mod.extract_sample(payload, trk, mid), depth=depth + 1)
@@ -565,9 +580,9 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
     seeded bytes; every other kind emits REAL payloads through the
     from-scratch codecs: ``pgm``/``png``/``bmp``/``tiff``/``gif``
     (animated, 256-grey palette)/``jpeg``/``jpeg_rgb``/``jpeg_ll``
-    (lossless) images, ``wav``/``flac`` audio tones, and
-    ``pgmv``/``mp4``/``webm``/``avi`` Motion-JPEG videos (``frames``
-    per item, keyframe every 4)."""
+    (lossless) images, ``wav``/``flac``/``mp3``/``ogg`` (Ogg-Vorbis)
+    audio tones, and ``pgmv``/``mp4``/``webm``/``avi`` Motion-JPEG
+    videos (``frames`` per item, keyframe every 4)."""
     def gen(batch: dict) -> pa.Table:
         from ..functions.codecs import encode_png, encode_wav
         from ..functions.jpeg import encode_jpeg_color, encode_jpeg_gray
@@ -678,6 +693,14 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                 payloads.append(encode_mp3(
                     (tone * 20000).astype(np.int16), 32000,
                     bitrate=64, reservoir=True, tag=True))
+            elif kind == "ogg":
+                # Ogg-Vorbis: full from-scratch MDCT codec round trip
+                # (functions/vorbis.py), RFC 3533 pages
+                from ..functions.ogg import encode_ogg_vorbis
+                t = np.arange(width * height, dtype=np.float64)
+                tone = 0.5 * np.sin(2 * np.pi * (220 + 11 * (int(i) % 8))
+                                    * t / 8000.0)
+                payloads.append(encode_ogg_vorbis(tone, 8000))
             else:
                 payloads.append(bytes((
                     hash_u64(np.arange(64, dtype=np.uint64)
@@ -690,6 +713,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
               "avi": "video/x-msvideo", "gif": "image/gif",
               "bmp": "image/bmp", "tiff": "image/tiff",
               "flac": "audio/flac", "mp3": "audio/mpeg",
+              "ogg": "audio/ogg",
               "pgmv": "video/x-pgm-frames",
               "png": "image/png",
               "wav": "audio/wav"}.get(kind, "image/fake")

@@ -323,6 +323,9 @@ class TestFuzz:
             except ValueError:
                 pass
 
-    def test_decode_seam_declared(self):
-        with pytest.raises(NotImplementedError):
+    def test_decode_dispatch(self):
+        # Vorbis decodes for real now (functions/vorbis.py); junk that
+        # contains no decodable page stream raises ValueError, and Opus
+        # remains the declared seam (pinned in test_vorbis.py)
+        with pytest.raises(ValueError):
             ogg.decode_ogg(b"OggS")

@@ -721,6 +721,20 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             ex._real_features(foreign)
 
+    def test_real_decoder_ogg_vorbis_streams(self):
+        """Ogg-Vorbis clips decode through the full from-scratch Vorbis
+        I chain (functions/vorbis.py — in-stream codebooks, no profile
+        seam) into audio features, distributed through the actor-pool
+        stage."""
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import extract_features, synth_media
+        feats = extract_features(
+            synth_media(6, seed=7, kind="ogg", width=32, height=32),
+            decoder="real", feature_dim=8, concurrency=1).to_pandas()
+        f = np.stack(feats.sort_values("media_id")["features"].tolist())
+        assert f.shape == (6, 8) and np.isfinite(f).all()
+        assert len(np.unique(f[:, 2])) > 1      # payload-dependent
+
     def test_frame_sampler_unknown_container_is_declared_seam(self):
         """mp4, webm AND avi demux are real now (test_mp4.py /
         test_webm.py / test_avi.py); a container that is none of
