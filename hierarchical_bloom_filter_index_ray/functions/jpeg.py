@@ -971,7 +971,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (T.81 lossless carries component samples verbatim — typically RGB
     already). dtype is uint8 for 8-bit precision, uint16 above.
     Raises ``NotImplementedError`` for arithmetic / hierarchical
-    streams, ``ValueError`` for malformed data."""
+    streams, ``ValueError`` for malformed data. Profile-tagged
+    arithmetic (SOF9) streams — ours — decode via ``jpeg_arith``."""
+    if payload[:2] == b"\xff\xd8" and payload.find(b"\xff\xc9") > 0:
+        from .jpeg_arith import decode_jpeg_arith, is_profile_arith
+        if is_profile_arith(payload):
+            return decode_jpeg_arith(payload)
     planes, _, _, prec, lossless = _planes_checked(payload)
     if len(planes) == 1:
         return _to_clip(planes[0], prec)

@@ -579,7 +579,8 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
     """Deterministic media table for tests. ``kind="fake"`` -> opaque
     seeded bytes; every other kind emits REAL payloads through the
     from-scratch codecs: ``pgm``/``png``/``bmp``/``tiff``/``gif``
-    (animated, 256-grey palette)/``jpeg``/``jpeg_rgb``/``jpeg_ll``
+    (animated, 256-grey palette)/``jpeg``/``jpeg_rgb``/``jpeg_ll``/
+    ``jpeg_arith`` (arithmetic SOF9)
     (lossless) images, ``wav``/``flac``/``mp3``/``ogg`` (Ogg-Vorbis)
     audio tones, and ``pgmv``/``mp4``/``webm``/``avi`` Motion-JPEG
     videos (``frames`` per item, keyframe every 4)."""
@@ -675,6 +676,13 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                 from ..functions.jpeg import encode_jpeg_lossless
                 payloads.append(encode_jpeg_lossless(synth_frame(
                     i, 0, seed=seed, width=width, height=height)))
+            elif kind == "jpeg_arith":
+                # profile-tagged arithmetic SOF9 (functions/jpeg_arith):
+                # QM-family entropy layer over the same DCT/quant
+                from ..functions.jpeg_arith import encode_jpeg_arith
+                payloads.append(encode_jpeg_arith(synth_frame(
+                    i, 0, seed=seed, width=width, height=height),
+                    quality=92, restart_mcus=2))
             elif kind == "flac":
                 from ..functions.flac import encode_flac
                 t = np.arange(width * height, dtype=np.float64)
@@ -709,6 +717,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
         mt = {"pgm": "image/x-portable-graymap", "jpeg": "image/jpeg",
               "jpeg_dri": "image/jpeg",
               "jpeg_rgb": "image/jpeg", "jpeg_ll": "image/jpeg",
+              "jpeg_arith": "image/jpeg",
               "mp4": "video/mp4", "webm": "video/webm",
               "avi": "video/x-msvideo", "gif": "image/gif",
               "bmp": "image/bmp", "tiff": "image/tiff",

@@ -40,6 +40,12 @@ _CASES = {
                 lambda: jpeg.encode_jpeg_gray(
                     _RNG.integers(0, 256, (48, 48)).astype(np.uint8),
                     restart_mcus=1)),
+    "jpegarith": (jpeg.decode_jpeg, b"\xff\xd8",
+                  lambda: __import__(
+                      "hierarchical_bloom_filter_index_ray.functions."
+                      "jpeg_arith", fromlist=["x"]).encode_jpeg_arith(
+                      _RNG.integers(0, 256, (24, 24)).astype(np.uint8),
+                      restart_mcus=2)),
     "mp4": (mp4.video_track, b"\x00\x00\x00\x18ftypisom",
             lambda: mp4.encode_mp4_video([b"fr1", b"fr2"],
                                          codec=b"jpeg",
