@@ -335,3 +335,109 @@ class TestWebmVorbis:
         feats = mf._real_features(wb)
         assert feats.shape == (16,) and np.isfinite(feats).all()
         assert np.abs(feats).sum() > 0
+
+
+class TestFloor0:
+    """Floor type 0 (LSP, spec §6): header parse, packet decode, curve
+    synthesis, and the subset encoder's ``floor_mode="lsp"`` path."""
+    RATE = 8000
+
+    def _sig(self, n, ch=1, seed=5):
+        t = np.arange(n) / self.RATE
+        base = (0.5 * np.sin(2 * np.pi * 440 * t)
+                + 0.2 * np.sin(2 * np.pi * 1337 * t)
+                + 0.05 * np.random.default_rng(seed).standard_normal(n))
+        if ch == 1:
+            return base
+        return np.stack([base, np.roll(base, 97)], axis=1)
+
+    def test_mono_round_trip(self):
+        x = self._sig(6000)
+        pkts, total, _ = V.encode_vorbis_packets(x, self.RATE,
+                                                 floor_mode="lsp")
+        pcm, rate = V.decode_vorbis_packets(pkts, total)
+        assert rate == self.RATE and len(pcm) == 6000
+        assert snr_db(x, pcm[:, 0]) > 35
+
+    def test_stereo_mixed_blocks_round_trip(self):
+        x = self._sig(5000, ch=2)
+        plan = [1024, 1024, 256, 256, 256, 1024, 256, 1024, 1024,
+                1024, 1024, 1024, 1024]
+        pkts, total, _ = V.encode_vorbis_packets(
+            x, self.RATE, floor_mode="lsp", block_plan=plan)
+        pcm, _ = V.decode_vorbis_packets(pkts, total)
+        for c in range(2):
+            assert snr_db(x[:total, c], pcm[:total, c]) > 30
+
+    def test_silence_near_zero(self):
+        x = np.zeros(4000)
+        pkts, total, _ = V.encode_vorbis_packets(x, self.RATE,
+                                                 floor_mode="lsp")
+        pcm, _ = V.decode_vorbis_packets(pkts, total)
+        assert np.abs(pcm).max() < 1e-3
+
+    def test_curve_properties(self):
+        fl = {"type": 0, "order": 4, "rate": 8000, "bark_map_size": 64,
+              "amplitude_bits": 8, "amplitude_offset": 160,
+              "book_list": [0], "_map_cache": {}}
+        coeffs = np.array([0.5, 1.1, 1.9, 2.6])
+        c1 = V.synthesize_floor0(fl, 60, coeffs, 512)
+        c2 = V.synthesize_floor0(fl, 120, coeffs, 512)
+        assert c1.shape == (512,)
+        assert np.isfinite(c1).all() and (c1 > 0).all()
+        assert (c2 >= c1).all()          # monotone in amplitude
+        # odd order path too
+        flo = dict(fl, order=3, _map_cache={})
+        c3 = V.synthesize_floor0(flo, 60, coeffs[:3], 128)
+        assert np.isfinite(c3).all() and (c3 > 0).all()
+
+    def test_header_validation(self):
+        def parse_hdr(order=2, rate=8000, bms=64, book=0):
+            bw = V.BitWriter()
+            bw.write(order, 8)
+            bw.write(rate, 16)
+            bw.write(bms, 16)
+            bw.write(8, 6)
+            bw.write(160, 8)
+            bw.write(0, 4)
+            bw.write(book, 8)
+            br = V.BitReader(bw.bytes())
+            return V._parse_floor0(br, 1)
+        assert parse_hdr()["type"] == 0
+        with pytest.raises(ValueError):
+            parse_hdr(order=0)
+        with pytest.raises(ValueError):
+            parse_hdr(rate=0)
+        with pytest.raises(ValueError):
+            parse_hdr(bms=0)
+        with pytest.raises(ValueError):
+            parse_hdr(book=3)            # out of range
+
+    def test_fuzz_lsp_stream(self):
+        x = 0.3 * np.sin(2 * np.pi * 440 * np.arange(3000) / self.RATE)
+        pkts, total, _ = V.encode_vorbis_packets(x, self.RATE,
+                                                 floor_mode="lsp")
+        rng = np.random.default_rng(23)
+        for trial in range(40):
+            mut = [bytearray(p) for p in pkts]
+            pi = int(rng.integers(0, len(mut)))
+            if not len(mut[pi]):
+                continue
+            for _ in range(int(rng.integers(1, 6))):
+                mut[pi][int(rng.integers(0, len(mut[pi])))] = \
+                    int(rng.integers(0, 256))
+            try:
+                pcm, _ = V.decode_vorbis_packets(
+                    [bytes(p) for p in mut], total)
+                assert np.isfinite(pcm).all()
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_ogg_vorbis_lsp_container(self):
+        from hierarchical_bloom_filter_index_ray.functions.ogg import (
+            decode_ogg, encode_ogg_vorbis)
+        x = self._sig(5000)
+        payload = encode_ogg_vorbis(x, self.RATE, floor_mode="lsp")
+        pcm, rate = decode_ogg(payload)
+        assert rate == self.RATE and len(pcm) == 5000
+        assert snr_db(x, pcm[:, 0]) > 35
