@@ -977,6 +977,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         from .jpeg_arith import decode_jpeg_arith, is_profile_arith
         if is_profile_arith(payload):
             return decode_jpeg_arith(payload)
+    if payload[:2] == b"\xff\xd8" and payload.find(b"\xff\xde") > 0:
+        from .jpeg_hier import decode_jpeg_hier, is_hierarchical
+        try:
+            hier = is_hierarchical(payload)
+        except (IndexError, struct.error):
+            hier = False
+        if hier:
+            return decode_jpeg_hier(payload)
     planes, _, _, prec, lossless = _planes_checked(payload)
     if len(planes) == 1:
         return _to_clip(planes[0], prec)

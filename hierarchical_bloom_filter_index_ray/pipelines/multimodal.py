@@ -683,6 +683,13 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                 payloads.append(encode_jpeg_arith(synth_frame(
                     i, 0, seed=seed, width=width, height=height),
                     quality=92, restart_mcus=2))
+            elif kind == "jpeg_hier":
+                # hierarchical pyramid (T.81 Annex J): SOF0 base +
+                # EXP/SOF5 differential refinements
+                from ..functions.jpeg_hier import encode_jpeg_hier
+                payloads.append(encode_jpeg_hier(synth_frame(
+                    i, 0, seed=seed, width=width, height=height),
+                    quality=92, levels=3))
             elif kind == "flac":
                 from ..functions.flac import encode_flac
                 t = np.arange(width * height, dtype=np.float64)
@@ -717,7 +724,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
         mt = {"pgm": "image/x-portable-graymap", "jpeg": "image/jpeg",
               "jpeg_dri": "image/jpeg",
               "jpeg_rgb": "image/jpeg", "jpeg_ll": "image/jpeg",
-              "jpeg_arith": "image/jpeg",
+              "jpeg_arith": "image/jpeg", "jpeg_hier": "image/jpeg",
               "mp4": "video/mp4", "webm": "video/webm",
               "avi": "video/x-msvideo", "gif": "image/gif",
               "bmp": "image/bmp", "tiff": "image/tiff",

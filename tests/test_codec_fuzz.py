@@ -46,6 +46,12 @@ _CASES = {
                       "jpeg_arith", fromlist=["x"]).encode_jpeg_arith(
                       _RNG.integers(0, 256, (24, 24)).astype(np.uint8),
                       restart_mcus=2)),
+    "jpeghier": (jpeg.decode_jpeg, b"\xff\xd8",
+                 lambda: __import__(
+                     "hierarchical_bloom_filter_index_ray.functions."
+                     "jpeg_hier", fromlist=["x"]).encode_jpeg_hier(
+                     _RNG.integers(0, 256, (32, 32)).astype(np.uint8),
+                     levels=3)),
     "mp4": (mp4.video_track, b"\x00\x00\x00\x18ftypisom",
             lambda: mp4.encode_mp4_video([b"fr1", b"fr2"],
                                          codec=b"jpeg",

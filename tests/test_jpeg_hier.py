@@ -1,0 +1,129 @@
+"""Hierarchical JPEG (T.81 Annex J, ``functions/jpeg_hier.py``):
+DHP/EXP marker handling, per-frame sub-stream decode, the J.1.1.2
+upsampling filter, the closed-loop pyramid encoder, and the decode
+boundary (malformed → ValueError, declared seams →
+NotImplementedError)."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from hierarchical_bloom_filter_index_ray.functions import jpeg_hier as jh
+from hierarchical_bloom_filter_index_ray.functions.jpeg import (
+    decode_jpeg, encode_jpeg_gray)
+
+
+def _image(h, w, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.float64)
+    img += rng.normal(0, 10, size=(h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+class TestExpand:
+    def test_spec_interpolation(self):
+        a = np.array([[0, 10], [20, 30]], dtype=np.int64)
+        h = jh._expand(a, 1, 0)
+        # out[2i] = in[i], out[2i+1] = (in[i]+in[i+1]+1)>>1, edge repl.
+        assert h.tolist() == [[0, 5, 10, 10], [20, 25, 30, 30]]
+        v = jh._expand(a, 0, 1)
+        assert v.tolist() == [[0, 10], [10, 20], [20, 30], [20, 30]]
+        b = jh._expand(a, 1, 1)
+        assert b.shape == (4, 4)
+        assert b[0, 0] == 0 and b[0, 2] == 10 and b[2, 0] == 20
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("h,w,levels,quality", [
+        (64, 64, 3, 90), (33, 47, 2, 85), (96, 72, 4, 75),
+        (9, 100, 3, 90), (1, 1, 2, 90),
+    ])
+    def test_encode_decode(self, h, w, levels, quality):
+        img = _image(h, w, zlib.crc32(f"{h}x{w}".encode()))
+        p = jh.encode_jpeg_hier(img, quality=quality, levels=levels)
+        assert jh.is_hierarchical(p)
+        out = jh.decode_jpeg_hier(p)
+        assert out.shape == (h, w) and out.dtype == np.uint8
+        err = out.astype(float) - img.astype(float)
+        psnr = 10 * np.log10(255**2 / max((err**2).mean(), 1e-9))
+        assert psnr > 25.0
+
+    def test_single_level_equals_sequential(self):
+        # a 1-level hierarchical stream codes the same coefficients as
+        # the plain SOF0 encoder: decoded pixels must be identical
+        img = _image(40, 56, 3)
+        hier = jh.decode_jpeg_hier(
+            jh.encode_jpeg_hier(img, quality=88, levels=1))
+        seq = decode_jpeg(encode_jpeg_gray(img, quality=88))
+        assert np.array_equal(hier, seq)
+
+    def test_deterministic(self):
+        img = _image(48, 48, 9)
+        p1 = jh.encode_jpeg_hier(img, quality=85, levels=3)
+        p2 = jh.encode_jpeg_hier(img, quality=85, levels=3)
+        assert p1 == p2
+        assert np.array_equal(jh.decode_jpeg_hier(p1),
+                              jh.decode_jpeg_hier(p2))
+
+    def test_dispatches_through_decode_jpeg(self):
+        img = _image(32, 32, 5)
+        p = jh.encode_jpeg_hier(img, quality=90, levels=2)
+        assert np.array_equal(decode_jpeg(p), jh.decode_jpeg_hier(p))
+
+    def test_refinement_improves_over_base(self):
+        # decoding only the base frame (truncate refinements, upsample
+        # to full) must be WORSE than the full pyramid
+        img = _image(64, 64, 11)
+        p = jh.encode_jpeg_hier(img, quality=90, levels=3)
+        full = jh.decode_jpeg_hier(p)
+        # build a stream with just the base frame: cut at first EXP
+        cut = p.find(b"\xff\xdf")
+        base_only = p[:cut] + b"\xff\xd9"
+        base = jh.decode_jpeg_hier(base_only)
+        assert base.shape == img.shape        # upsampled to DHP dims
+        e_full = ((full.astype(float) - img) ** 2).mean()
+        e_base = ((base.astype(float) - img) ** 2).mean()
+        assert e_full < e_base
+
+
+class TestBoundary:
+    def test_foreign_seam_markers(self):
+        img = _image(16, 16, 1)
+        p = bytearray(jh.encode_jpeg_hier(img, levels=2))
+        i = p.find(b"\xff\xc5")
+        p[i + 1] = 0xC7                        # differential lossless
+        with pytest.raises(NotImplementedError):
+            jh.decode_jpeg_hier(bytes(p))
+        p[i + 1] = 0xCD                        # arithmetic differential
+        with pytest.raises(NotImplementedError):
+            jh.decode_jpeg_hier(bytes(p))
+
+    def test_differential_first_frame_rejected(self):
+        img = _image(16, 16, 2)
+        p = bytearray(jh.encode_jpeg_hier(img, levels=2))
+        i = p.find(b"\xff\xc0")
+        p[i + 1] = 0xC5
+        with pytest.raises((ValueError, NotImplementedError)):
+            jh.decode_jpeg_hier(bytes(p))
+
+    def test_truncation_and_bitflips_never_crash(self):
+        img = _image(40, 40, 4)
+        p = jh.encode_jpeg_hier(img, quality=85, levels=3)
+        rng = np.random.default_rng(zlib.crc32(b"hier-fuzz"))
+        for cut in (3, 20, len(p) // 3, len(p) - 2):
+            try:
+                jh.decode_jpeg_hier(p[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(60):
+            mut = bytearray(p)
+            for _ in range(int(rng.integers(1, 6))):
+                mut[int(rng.integers(2, len(mut)))] = int(
+                    rng.integers(0, 256))
+            try:
+                out = jh.decode_jpeg_hier(bytes(mut))
+                assert out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass
