@@ -696,8 +696,11 @@ def _decode_lossless(scans: list[dict], comps: list[dict],
     decoded: set[int] = set()
     for scan in scans:
         pred_sel, pt = scan["ss"], scan["al"]
-        if not 1 <= pred_sel <= 7:
+        if not 0 <= pred_sel <= 7:
             raise ValueError(f"lossless predictor selection {pred_sel}")
+        # Ss = 0: no prediction — the form differential-lossless
+        # hierarchical frames use (T.81 J.1.5); decoded values are the
+        # raw mod-2^16 differences
         if pt >= prec:
             raise ValueError("point transform >= sample precision")
         cis = [ci for ci, _, _ in scan["comps"]]
@@ -731,7 +734,9 @@ def _decode_lossless(scans: list[dict], comps: list[dict],
                     br.skip(ln)
                     diff = 32768 if t == 16 else _extend(br.read(t), t)
                     p = planes[ci]
-                    if m == start:
+                    if pred_sel == 0:
+                        px = 0
+                    elif m == start:
                         px = default
                     elif y == 0:
                         px = int(p[0, x - 1])

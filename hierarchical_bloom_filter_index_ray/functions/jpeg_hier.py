@@ -5,13 +5,15 @@ A hierarchical stream is SOI, DHP (full-image dimensions, SOF syntax at
 marker 0xDE), then a sequence of frames: the first non-differential
 (SOF0/1/2/3), each later frame optionally preceded by EXP (0xDF:
 ``Eh``/``Ev`` reference-expansion nibbles) and coded differentially
-(SOF5 = differential sequential, SOF6 = differential progressive).
-Decoding keeps integer reference component planes; each differential
-frame's IDCT output is ADDED to the (optionally 2x-upsampled) reference
-with no level shift, and the final reference clamps to [0, 2^P-1]
-(J.1). The J.1.1.2 upsampling filter is the defined bilinear doubling
-``out[2i] = in[i]``, ``out[2i+1] = (in[i] + in[i+1] + 1) >> 1`` with
-edge replication.
+(SOF5 = differential sequential, SOF6 = differential progressive,
+SOF7 = differential lossless). Decoding keeps integer reference
+component planes; a differential DCT frame's IDCT output is ADDED to
+the (optionally 2x-upsampled) reference with no level shift, a
+differential lossless frame's raw differences add modulo 2^16 (J.1.5,
+scan ``Ss = 0`` = no prediction), and the final reference clamps to
+[0, 2^P-1] (J.1). The J.1.1.2 upsampling filter is the defined
+bilinear doubling ``out[2i] = in[i]``, ``out[2i+1] = (in[i] + in[i+1]
++ 1) >> 1`` with edge replication.
 
 Everything here is structural — no data blobs — so FOREIGN hierarchical
 streams decode too: each frame is sliced into a standalone sub-stream
@@ -19,9 +21,8 @@ streams decode too: each frame is sliced into a standalone sub-stream
 spec's table-slot semantics) and entropy-decoded by
 ``jpeg._decode_planes`` with the SOF marker mapped to its
 non-differential twin; the +2^(P-1) level shift that decode applies is
-subtracted back for differential frames. Differential LOSSLESS (SOF7,
-modulo-2^16 arithmetic) and arithmetic hierarchical (SOF13-15) remain
-declared seams.
+subtracted back for differential DCT frames. Arithmetic hierarchical
+(SOF13-15) remains a declared seam.
 
 Reference parity: the reference repo has no image codecs; this closes
 the last Huffman-JPEG box of SURVEY §2's multimodal column (see
@@ -42,8 +43,8 @@ from .jpeg import (_decode_planes, _pad_edge, _quality_table, _quantize,
 # frame markers: non-differential DCT/lossless, and the differential
 # Huffman frames mapped to the non-differential decoder twin
 _NONDIFF = {0xC0, 0xC1, 0xC2, 0xC3}
-_DIFF_MAP = {0xC5: 0xC0, 0xC6: 0xC2}          # sequential, progressive
-_SEAM = {0xC7, 0xCD, 0xCE, 0xCF, 0xC9, 0xCA, 0xCB}
+_DIFF_MAP = {0xC5: 0xC0, 0xC6: 0xC2, 0xC7: 0xC3}
+_SEAM = {0xCD, 0xCE, 0xCF, 0xC9, 0xCA, 0xCB}
 
 
 def is_hierarchical(payload: bytes) -> bool:
@@ -99,8 +100,7 @@ def _expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
 def decode_jpeg_hier(payload: bytes) -> np.ndarray:
     """Decode a hierarchical (DHP) JPEG: (h, w) greyscale or (h, w, 3)
     RGB (JFIF transform, as ``decode_jpeg``). ValueError on malformed
-    streams, NotImplementedError on the declared differential-lossless
-    / arithmetic seams."""
+    streams, NotImplementedError on the declared arithmetic seam."""
     try:
         return _decode_hier_checked(payload)
     except (IndexError, struct.error) as ex:
@@ -116,6 +116,7 @@ def _decode_hier_checked(payload: bytes) -> np.ndarray:
     prec = 8
     exp_next = (0, 0)
     ref: list[np.ndarray] | None = None
+    stream_lossless = False
     n_frames = 0
     i = 2
     while i < n:
@@ -145,8 +146,8 @@ def _decode_hier_checked(payload: bytes) -> np.ndarray:
                 raise ValueError("EXP expansion nibbles must be 0/1")
         elif m in _SEAM:
             raise NotImplementedError(
-                "hierarchical differential-lossless / arithmetic "
-                f"frame (SOF marker 0x{m:02X}) is a declared seam")
+                "arithmetic-coded hierarchical frame "
+                f"(SOF marker 0x{m:02X}) is a declared seam")
         elif m in _NONDIFF or m in _DIFF_MAP:
             if not full_w:
                 raise ValueError("frame before DHP in hierarchical "
@@ -184,16 +185,22 @@ def _decode_hier_checked(payload: bytes) -> np.ndarray:
             planes, fh, fw, fprec, lossless = _decode_planes(sub)
             if fprec != prec:
                 raise ValueError("frame precision differs from DHP")
-            if diff and lossless:
-                raise NotImplementedError("differential lossless")
             shift = float(1 << (prec - 1))
             if ref is None:
                 if diff:
                     raise ValueError("first hierarchical frame must "
                                      "be non-differential")
-                ref = [np.clip(np.round(p), -32768, 32767)
-                       .astype(np.int64) for p in planes]
+                stream_lossless = lossless
+                if lossless:
+                    ref = [np.asarray(p, dtype=np.int64) & 0xFFFF
+                           for p in planes]
+                else:
+                    ref = [np.clip(np.round(p), -32768, 32767)
+                           .astype(np.int64) for p in planes]
             else:
+                if lossless != stream_lossless:
+                    raise ValueError("mixed lossless/DCT hierarchical "
+                                     "frames")
                 eh, ev = exp_next
                 cur = []
                 for p in ref:
@@ -208,9 +215,14 @@ def _decode_hier_checked(payload: bytes) -> np.ndarray:
                 if len(planes) != len(cur):
                     raise NotImplementedError(
                         "per-frame component subset")
-                ref = [np.clip(r + np.round(p - shift), -32768, 32767)
-                       .astype(np.int64)
-                       for r, p in zip(cur, planes)]
+                if lossless:
+                    # J.1.5: differences add modulo 2^16
+                    ref = [(r + np.asarray(p, dtype=np.int64)) & 0xFFFF
+                           for r, p in zip(cur, planes)]
+                else:
+                    ref = [np.clip(r + np.round(p - shift),
+                                   -32768, 32767).astype(np.int64)
+                           for r, p in zip(cur, planes)]
             exp_next = (0, 0)
             n_frames += 1
             i = j
@@ -281,17 +293,20 @@ def _sim_decode(zz: np.ndarray, q: np.ndarray, h: int, w: int,
 
 
 def encode_jpeg_hier(img: np.ndarray, quality: int = 90, *,
-                     levels: int = 3) -> bytes:
+                     levels: int = 3, lossless: bool = False) -> bytes:
     """Encode an (h, w) uint8 image as a hierarchical greyscale JPEG:
-    a non-differential SOF0 base frame at 1/2^(levels-1) scale followed
-    by EXP + SOF5 differential refinements up to full size. Closed-loop
-    (each refinement codes the difference against the exact reference
-    the decoder reconstructs), so decode equals the same pipeline's
-    output deterministically."""
+    a non-differential base frame at 1/2^(levels-1) scale followed by
+    EXP + differential refinements up to full size. Closed-loop (each
+    refinement codes the difference against the exact reference the
+    decoder reconstructs), so decode equals the same pipeline's output
+    deterministically. ``lossless=True`` emits SOF3 + SOF7 frames
+    (Annex H differences, mod-2^16): decode returns ``img`` EXACTLY."""
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("expected (h, w) uint8")
     if not 1 <= levels <= 8:
         raise ValueError("levels must be in 1..8")
+    if lossless:
+        return _encode_hier_lossless(img, levels)
     h, w = img.shape
     pyramid = [img.astype(np.int64)]
     for _ in range(levels - 1):
@@ -339,4 +354,70 @@ def encode_jpeg_hier(img: np.ndarray, quality: int = 90, *,
             plane = _sim_decode(zz, q, lh, lw, 128.0)
             ref = np.clip(up + np.round(plane - 128.0),
                           -32768, 32767).astype(np.int64)
+    return bytes(out + b"\xff\xd9")
+
+
+def _ll_code_diffs(signed: np.ndarray) -> bytes:
+    """Entropy-code a 2-D array of signed mod-2^16 differences as one
+    Annex-H scan body (flat 17-category table, same as
+    ``encode_jpeg_lossless``)."""
+    from .jpeg import _LL_BITS, _LL_VALS
+    mag = np.abs(signed)
+    with np.errstate(divide="ignore"):
+        cat = np.where(mag == 0, 0,
+                       np.floor(np.log2(np.maximum(mag, 1))) + 1
+                       ).astype(np.int64)
+    cat[signed == -32768] = 16
+    extra = np.where(signed < 0, signed + (1 << cat) - 1, signed)
+    codes = _codes(_LL_BITS, _LL_VALS)
+    bwr = _BitWriter()
+    cat_f = cat.reshape(-1)
+    ext_f = extra.reshape(-1)
+    for i in range(cat_f.size):
+        t = int(cat_f[i])
+        bwr.put(*codes[t])
+        if 0 < t < 16:
+            bwr.put(int(ext_f[i]), t)
+    bwr.flush()
+    return bytes(bwr.buf)
+
+
+def _encode_hier_lossless(img: np.ndarray, levels: int) -> bytes:
+    """SOF3 base + EXP/SOF7 refinements; exact round trip (every
+    pyramid level reconstructs exactly, so the reference IS the
+    level)."""
+    from .jpeg import _LL_BITS, _LL_VALS, encode_jpeg_lossless
+    h, w = img.shape
+    pyramid = [img.astype(np.int64)]
+    for _ in range(levels - 1):
+        if pyramid[-1].shape[0] <= 8 and pyramid[-1].shape[1] <= 8:
+            break
+        pyramid.append(_downsample2(pyramid[-1]))
+    pyramid.reverse()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDE, struct.pack(">BHHB", 8, h, w, 1)
+                + bytes([1, 0x11, 0]))                       # DHP
+    ref: np.ndarray | None = None
+    for lvl in pyramid:
+        lh, lw = lvl.shape
+        if ref is None:
+            # embed the standalone SOF3 frame (strip its SOI/EOI)
+            out += encode_jpeg_lossless(
+                lvl.astype(np.uint8), predictor=1)[2:-2]
+        else:
+            eh = int(lw > ref.shape[1])
+            ev = int(lh > ref.shape[0])
+            up = _expand(ref, eh, ev)[:lh, :lw]
+            signed = (lvl - up) & 0xFFFF
+            signed[signed >= 32768] -= 65536
+            if eh or ev:
+                out += _seg(0xDF, bytes([(eh << 4) | ev]))
+            out += _seg(0xC4, bytes([0x00]) + bytes(_LL_BITS)
+                        + bytes(_LL_VALS))
+            out += _seg(0xC7, struct.pack(">BHHB", 8, lh, lw, 1)
+                        + bytes([1, 0x11, 0]))
+            # Ss = 0: no prediction (differential, J.1.5)
+            out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+            out += _ll_code_diffs(signed)
+        ref = lvl                       # lossless: exact reconstruction
     return bytes(out + b"\xff\xd9")

@@ -93,9 +93,6 @@ class TestBoundary:
         img = _image(16, 16, 1)
         p = bytearray(jh.encode_jpeg_hier(img, levels=2))
         i = p.find(b"\xff\xc5")
-        p[i + 1] = 0xC7                        # differential lossless
-        with pytest.raises(NotImplementedError):
-            jh.decode_jpeg_hier(bytes(p))
         p[i + 1] = 0xCD                        # arithmetic differential
         with pytest.raises(NotImplementedError):
             jh.decode_jpeg_hier(bytes(p))
@@ -118,6 +115,54 @@ class TestBoundary:
             except (ValueError, NotImplementedError):
                 pass
         for _ in range(60):
+            mut = bytearray(p)
+            for _ in range(int(rng.integers(1, 6))):
+                mut[int(rng.integers(2, len(mut)))] = int(
+                    rng.integers(0, 256))
+            try:
+                out = jh.decode_jpeg_hier(bytes(mut))
+                assert out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass
+
+
+class TestLossless:
+    """SOF3 base + SOF7 differential refinements (J.1.5, Ss=0 = no
+    prediction, mod-2^16 adds): decode returns the input EXACTLY."""
+
+    @pytest.mark.parametrize("h,w,levels", [
+        (64, 64, 3), (33, 47, 2), (9, 100, 3), (1, 1, 2),
+    ])
+    def test_exact_round_trip(self, h, w, levels):
+        img = _image(h, w, zlib.crc32(f"ll{h}x{w}".encode()))
+        p = jh.encode_jpeg_hier(img, levels=levels, lossless=True)
+        assert jh.is_hierarchical(p)
+        assert np.array_equal(jh.decode_jpeg_hier(p), img)
+        assert np.array_equal(decode_jpeg(p), img)
+
+    def test_random_noise_exact(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (40, 40), np.uint8)
+        p = jh.encode_jpeg_hier(img, levels=3, lossless=True)
+        assert np.array_equal(jh.decode_jpeg_hier(p), img)
+
+    def test_mixed_frames_rejected(self):
+        # DCT base + lossless refinement (or vice versa) is malformed
+        img = _image(32, 32, 4)
+        p_dct = bytearray(jh.encode_jpeg_hier(img, levels=2))
+        p_ll = jh.encode_jpeg_hier(img, levels=2, lossless=True)
+        # graft the lossless refinement (from first EXP) onto DCT base
+        cut_d = p_dct.index(b"\xff\xdf")
+        cut_l = p_ll.index(b"\xff\xdf")
+        frank = bytes(p_dct[:cut_d]) + p_ll[cut_l:]
+        with pytest.raises((ValueError, NotImplementedError)):
+            jh.decode_jpeg_hier(frank)
+
+    def test_fuzz_lossless_stream(self):
+        img = _image(32, 32, 8)
+        p = jh.encode_jpeg_hier(img, levels=3, lossless=True)
+        rng = np.random.default_rng(zlib.crc32(b"hier-ll-fuzz"))
+        for _ in range(40):
             mut = bytearray(p)
             for _ in range(int(rng.integers(1, 6))):
                 mut[int(rng.integers(2, len(mut)))] = int(
