@@ -212,6 +212,30 @@ def _media_decode_stage(extras: dict) -> None:
             break
     extras["media_mbps_h264_parse"] = done / dt / 1e6
 
+    # VP9/AV1 structural parse: per-block frame headers over a
+    # synthetic V_VP9 WebM (superframe split + header walk per sample)
+    from hierarchical_bloom_filter_index_ray.functions.vp9av1 import (
+        vp9_frame_info, webm_video_info)
+    from hierarchical_bloom_filter_index_ray.functions.webm import (
+        encode_webm_video)
+    # hand-assembled VP9 headers (same bit layout the tests pin)
+    key = bytes([130, 73, 131, 66, 32, 19, 240, 11, 48]) + bytes(2048)
+    inter = bytes([134]) + bytes(2048)
+    ki = vp9_frame_info(key)
+    assert ki["keyframe"] and (ki["width"], ki["height"]) == (320, 180)
+    wb = encode_webm_video([key] + [inter] * 9 + [key] + [inter] * 9,
+                           codec="V_VP9", width=320, height=180,
+                           sync_every=10)
+    webm_video_info(wb)                            # warm
+    done, t0 = 0, time.perf_counter()
+    while True:
+        webm_video_info(wb)
+        done += len(wb)
+        dt = time.perf_counter() - t0
+        if dt >= 0.25:
+            break
+    extras["media_mbps_vp9_parse"] = done / dt / 1e6
+
 
 def main(gen_only: bool = False) -> None:
     import ray

@@ -158,11 +158,12 @@ class MediaFeatureExtractor:
     def _real_features(self, payload: bytes,
                        depth: int = 0) -> np.ndarray:
         """Dispatch on payload magic bytes: PNG, GIF, BMP, WAV, FLAC,
-        JPEG (baseline, extended 12-bit, progressive or lossless) and
-        P5 decode through the pure-numpy codecs; MP4, Matroska/WebM
-        and AVI demux to their middle keyframe. What remains of the
-        codec seam: arithmetic and hierarchical JPEG, and
-        H.264/VP9/AV1 samples."""
+        JPEG (baseline, extended 12-bit, progressive, lossless,
+        profile-tagged arithmetic, hierarchical) and P5 decode through
+        the pure-numpy codecs; MP4, Matroska/WebM and AVI demux to
+        their middle keyframe. What remains of the codec seam:
+        H.264/VP9/AV1 and Opus SAMPLE decode (their structural layers
+        — ``h264.py``, ``vp9av1.py``, ``ogg.py`` — are real)."""
         from ..functions.codecs import decode_bmp, decode_png, \
             decode_wav, is_bmp, wav_features
         from ..functions.gif import decode_gif_first, is_gif
@@ -265,9 +266,10 @@ class MediaFeatureExtractor:
             return self._real_features(
                 mod.extract_sample(payload, trk, mid), depth=depth + 1)
         raise NotImplementedError(
-            "payload is not PNG/GIF/BMP/WAV/FLAC/PGM/JPEG/MP4/WebM/AVI"
-            " — arithmetic and hierarchical JPEG variants are the "
-            "declared codec seam (README media matrix)")
+            "payload is not PNG/GIF/BMP/TIFF/WAV/FLAC/PGM/JPEG/MP3/"
+            "Ogg/MP4/WebM/AVI — H.264/VP9/AV1/Opus sample decode is "
+            "the declared codec seam (README media matrix; structural "
+            "layers in h264.py / vp9av1.py / ogg.py)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:
         """Deterministic stand-in: features = seeded hash-mix of payload
