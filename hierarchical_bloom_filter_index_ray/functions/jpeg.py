@@ -676,8 +676,8 @@ def _decode_scan(scan: dict, comps: list[dict], geom, coef,
 
 
 def _decode_lossless(scans: list[dict], comps: list[dict],
-                     width: int, height: int, prec: int
-                     ) -> list[np.ndarray]:
+                     width: int, height: int, prec: int, *,
+                     differential: bool = False) -> list[np.ndarray]:
     """Entropy-decode a lossless (SOF3) frame per T.81 Annex H:
     Huffman-coded prediction differences (DC-table categories 0-16,
     category 16 = difference 32768 with no appended bits), predictors
@@ -696,11 +696,16 @@ def _decode_lossless(scans: list[dict], comps: list[dict],
     decoded: set[int] = set()
     for scan in scans:
         pred_sel, pt = scan["ss"], scan["al"]
-        if not 0 <= pred_sel <= 7:
+        if scan["se"] != 0:
+            # lossless SOS carries (predictor, 0, Pt) — a nonzero Se is
+            # a DCT scan header under a lossless SOF (T.81 B.2.3)
+            raise ValueError("lossless scan with DCT spectral selection")
+        lo = 0 if differential else 1
+        if not lo <= pred_sel <= 7:
             raise ValueError(f"lossless predictor selection {pred_sel}")
-        # Ss = 0: no prediction — the form differential-lossless
-        # hierarchical frames use (T.81 J.1.5); decoded values are the
-        # raw mod-2^16 differences
+        # Ss = 0: no prediction — ONLY the differential-lossless
+        # hierarchical frames may use it (T.81 J.1.5); decoded values
+        # are the raw mod-2^16 differences
         if pt >= prec:
             raise ValueError("point transform >= sample precision")
         cis = [ci for ci, _, _ in scan["comps"]]
@@ -768,7 +773,7 @@ def _decode_lossless(scans: list[dict], comps: list[dict],
     return [p << s for p, s in zip(planes, shifts)]
 
 
-def _decode_planes(payload: bytes
+def _decode_planes(payload: bytes, *, differential: bool = False
                    ) -> tuple[list[np.ndarray], int, int, int, bool]:
     """Parse + entropy-decode a sequential (SOF0/SOF1, interleaved or
     multi-scan non-interleaved), progressive (SOF2, spectral selection
@@ -892,7 +897,8 @@ def _decode_planes(payload: bytes
             f"JPEG dimensions {width}x{height} exceed the "
             f"HBI_JPEG_MAX_PIXELS cap ({max_px})")
     if lossless:
-        planes = _decode_lossless(scans, comps, width, height, prec)
+        planes = _decode_lossless(scans, comps, width, height, prec,
+                                  differential=differential)
         return planes, height, width, prec, True
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

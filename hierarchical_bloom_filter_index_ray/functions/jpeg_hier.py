@@ -182,7 +182,8 @@ def _decode_hier_checked(payload: bytes) -> np.ndarray:
             if diff:
                 frame[1] = _DIFF_MAP[m]
             sub = b"\xff\xd8" + pre_tables + bytes(frame) + b"\xff\xd9"
-            planes, fh, fw, fprec, lossless = _decode_planes(sub)
+            planes, fh, fw, fprec, lossless = _decode_planes(
+                sub, differential=diff)
             if fprec != prec:
                 raise ValueError("frame precision differs from DHP")
             shift = float(1 << (prec - 1))
