@@ -839,6 +839,7 @@ def _q_media_features(sf_dir: str):
              ("jpeg", 32, 8), ("mp4", 16, 6), ("gif", 16, 6),
              ("bmp", 16, 8), ("tiff", 16, 8), ("jpeg_ll", 16, 8),
              ("jpeg_arith", 16, 8), ("jpeg_hier", 16, 8),
+             ("jpeg_hier_arith", 16, 8),
              ("flac", 16, 8), ("webm", 8, 6), ("avi", 8, 6),
              ("mp3", 8, 6), ("ogg", 8, 6)]
     corpus = None

@@ -112,6 +112,7 @@ def _media_decode_stage(extras: dict) -> None:
         ("jpeg_ll", dict(width=96, height=96), 6),
         ("jpeg_arith", dict(width=96, height=96), 6),
         ("jpeg_hier", dict(width=96, height=96), 6),
+        ("jpeg_hier_arith", dict(width=96, height=96), 6),
         ("png", dict(width=96, height=96), 32),
         ("bmp", dict(width=96, height=96), 48),
         ("tiff", dict(width=96, height=96), 8),

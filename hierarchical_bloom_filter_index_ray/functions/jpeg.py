@@ -984,11 +984,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Raises ``NotImplementedError`` for arithmetic / hierarchical
     streams, ``ValueError`` for malformed data. Profile-tagged
     arithmetic (SOF9) streams — ours — decode via ``jpeg_arith``."""
-    if payload[:2] == b"\xff\xd8" and payload.find(b"\xff\xc9") > 0:
-        from .jpeg_arith import decode_jpeg_arith, is_profile_arith
-        if is_profile_arith(payload):
-            return decode_jpeg_arith(payload)
     if payload[:2] == b"\xff\xd8" and payload.find(b"\xff\xde") > 0:
+        # DHP first: a hierarchical arithmetic pyramid also carries the
+        # APP11 tag + SOF9, but its frames accumulate, not stand alone
         from .jpeg_hier import decode_jpeg_hier, is_hierarchical
         try:
             hier = is_hierarchical(payload)
@@ -996,6 +994,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             hier = False
         if hier:
             return decode_jpeg_hier(payload)
+    if payload[:2] == b"\xff\xd8" and payload.find(b"\xff\xc9") > 0:
+        from .jpeg_arith import decode_jpeg_arith, is_profile_arith
+        if is_profile_arith(payload):
+            return decode_jpeg_arith(payload)
     planes, _, _, prec, lossless = _planes_checked(payload)
     if len(planes) == 1:
         return _to_clip(planes[0], prec)

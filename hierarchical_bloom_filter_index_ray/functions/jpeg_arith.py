@@ -522,20 +522,31 @@ def decode_jpeg_arith(payload: bytes) -> np.ndarray:
     Malformed streams raise ValueError (fuzz contract of the media
     actor pool: never struct.error/IndexError)."""
     try:
-        return _decode_arith_checked(payload)
+        plane, height, width = _decode_arith_planes(payload)
     except (IndexError, struct.error) as ex:
         raise ValueError(f"malformed arithmetic JPEG: {ex}") from ex
+    return np.clip(np.round(plane), 0, 255).astype(np.uint8)
 
 
-def _decode_arith_checked(payload: bytes) -> np.ndarray:
+def _decode_arith_planes(payload: bytes, *, allow_differential:
+                         bool = False
+                         ) -> tuple[np.ndarray, int, int]:
+    """Parse + entropy-decode one arithmetic frame into a float64
+    plane with the +2^(P-1) level shift applied (mirroring
+    ``jpeg._decode_planes``; the hierarchical accumulator subtracts it
+    back for differential frames). ``allow_differential`` additionally
+    accepts the SOF13 (0xCD) differential-sequential marker — only the
+    hierarchical decoder passes it; a standalone differential frame is
+    malformed (T.81 B.2/J.1)."""
     import os
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
-    if not is_profile_arith(payload):
+    if PROFILE_TAG not in payload:
         raise NotImplementedError(
             "arithmetic JPEG for foreign streams needs ISO Table D.3 "
             "loaded into a QmProfile — the full structural chain "
             "(SOF9/DAC/QM coder/Annex-F model) is implemented")
+    differential = False
     qtab = None
     width = height = 0
     dc_lu = (0, 1)
@@ -563,7 +574,12 @@ def _decode_arith_checked(payload: bytes) -> np.ndarray:
             z = np.frombuffer(seg[1:65], dtype=np.uint8)
             qtab = np.zeros(64, dtype=np.int64)
             qtab[ZIGZAG] = z
-        elif m == 0xC9:
+        elif m in (0xC9, 0xCD):
+            differential = m == 0xCD
+            if differential and not allow_differential:
+                raise ValueError(
+                    "differential frame (SOF13) outside a "
+                    "hierarchical stream")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or ncomp != 1:
                 raise NotImplementedError(
@@ -590,7 +606,7 @@ def _decode_arith_checked(payload: bytes) -> np.ndarray:
                 i = _entropy_end(payload, i + 2)
             continue
         i += 2 + seg_len
-    if qtab is None or scan_data is None or not width:
+    if qtab is None or scan_data is None or not width or not height:
         raise ValueError("missing DQT/SOF9/SOS")
     max_px = int(os.environ.get("HBI_JPEG_MAX_PIXELS", 1 << 27))
     if width * height > max_px:
@@ -619,7 +635,13 @@ def _decode_arith_checked(payload: bytes) -> np.ndarray:
                             _DC_BANK + _AC_BANK)
             dec._prev_diff = 0
             pred = 0
-        pred = _decode_block(dec, zz[bi], pred, 0, _DC_BANK, lo, hi, kx)
+        if differential:
+            # differential frames carry the DC value directly (no
+            # prediction chain, T.81 F.1.4 / J.1.5 shape)
+            _decode_block(dec, zz[bi], 0, 0, _DC_BANK, lo, hi, kx)
+        else:
+            pred = _decode_block(dec, zz[bi], pred, 0, _DC_BANK,
+                                 lo, hi, kx)
     # zz rows are zigzag-ordered: natural[ZIGZAG[k]] = zz[k]
     nat = np.zeros((nblocks, 64), dtype=np.int64)
     nat[:, ZIGZAG] = zz
@@ -627,4 +649,4 @@ def _decode_arith_checked(payload: bytes) -> np.ndarray:
     pix = np.einsum("ki,nkl,lj->nij", _A, blocks, _A) + 128.0
     plane = pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3) \
         .reshape(nby * 8, nbx * 8)[:height, :width]
-    return np.clip(np.round(plane), 0, 255).astype(np.uint8)
+    return plane, height, width

@@ -44,7 +44,11 @@ from .jpeg import (_decode_planes, _pad_edge, _quality_table, _quantize,
 # Huffman frames mapped to the non-differential decoder twin
 _NONDIFF = {0xC0, 0xC1, 0xC2, 0xC3}
 _DIFF_MAP = {0xC5: 0xC0, 0xC6: 0xC2, 0xC7: 0xC3}
-_SEAM = {0xCD, 0xCE, 0xCF, 0xC9, 0xCA, 0xCB}
+# arithmetic sequential frames (marker -> differential?) decode for
+# profile-tagged streams via jpeg_arith's QM coder; untagged = seam
+_ARITH = {0xC9: False, 0xCD: True}
+# arithmetic progressive/lossless (SOF10/11/14/15) stay declared seams
+_SEAM = {0xCE, 0xCF, 0xCA, 0xCB}
 
 
 def is_hierarchical(payload: bytes) -> bool:
@@ -76,6 +80,18 @@ def _entropy_end(payload: bytes, start: int) -> int:
             continue
         i += 1
     return n
+
+
+def _entropy_end_arith(payload: bytes, start: int) -> int:
+    """Arithmetic-scan analogue (7-bit stuffing instead of 0xFF00, see
+    ``jpeg_arith._entropy_end``), skipping RSTn-separated segments."""
+    from .jpeg_arith import _entropy_end as _aend
+    i = _aend(payload, start)
+    n = len(payload)
+    while (i + 1 < n and payload[i] == 0xFF
+           and 0xD0 <= payload[i + 1] <= 0xD7):
+        i = _aend(payload, i + 2)
+    return i
 
 
 def _expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
@@ -132,7 +148,7 @@ def _decode_hier_checked(payload: bytes) -> np.ndarray:
             raise ValueError("truncated marker segment")
         seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
         seg = payload[i + 4:i + 2 + seg_len]
-        if m in (0xDB, 0xC4, 0xDD):
+        if m in (0xDB, 0xC4, 0xDD, 0xCC):
             tables.append(payload[i:i + 2 + seg_len])
         elif m == 0xDE:                                    # DHP
             if full_w:
@@ -148,11 +164,19 @@ def _decode_hier_checked(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "arithmetic-coded hierarchical frame "
                 f"(SOF marker 0x{m:02X}) is a declared seam")
-        elif m in _NONDIFF or m in _DIFF_MAP:
+        elif m in _NONDIFF or m in _DIFF_MAP or m in _ARITH:
             if not full_w:
                 raise ValueError("frame before DHP in hierarchical "
                                  "stream")
-            diff = m in _DIFF_MAP
+            arith = m in _ARITH
+            if arith:
+                from .jpeg_arith import PROFILE_TAG
+                if PROFILE_TAG not in payload:
+                    raise NotImplementedError(
+                        "arithmetic-coded hierarchical frame (SOF "
+                        f"marker 0x{m:02X}) in a foreign stream needs "
+                        "ISO Table D.3 loaded into a QmProfile")
+            diff = m in _DIFF_MAP or (arith and _ARITH[m])
             # slice this frame (header through its scans) into a
             # standalone sub-stream: tables accumulated BEFORE the
             # frame replay in order (table-slot persistence); tables
@@ -169,21 +193,32 @@ def _decode_hier_checked(payload: bytes) -> np.ndarray:
                     continue
                 if fm == 0xD9 or fm == 0xDE or fm == 0xDF \
                         or fm in _NONDIFF or fm in _DIFF_MAP \
-                        or fm in _SEAM:
+                        or fm in _ARITH or fm in _SEAM:
                     if j > i:
                         break
                 flen = struct.unpack(">H", payload[j + 2:j + 4])[0]
-                if fm in (0xDB, 0xC4, 0xDD):
+                if fm in (0xDB, 0xC4, 0xDD, 0xCC):
                     tables.append(payload[j:j + 2 + flen])
                 j += 2 + flen
                 if fm == 0xDA:
-                    j = _entropy_end(payload, j)
+                    j = (_entropy_end_arith if arith
+                         else _entropy_end)(payload, j)
             frame = bytearray(payload[i:j])
-            if diff:
-                frame[1] = _DIFF_MAP[m]
-            sub = b"\xff\xd8" + pre_tables + bytes(frame) + b"\xff\xd9"
-            planes, fh, fw, fprec, lossless = _decode_planes(
-                sub, differential=diff)
+            if arith:
+                from .jpeg_arith import (PROFILE_TAG,
+                                         _decode_arith_planes)
+                sub = (b"\xff\xd8" + _seg(0xEB, PROFILE_TAG + b"default")
+                       + pre_tables + bytes(frame) + b"\xff\xd9")
+                plane, fh, fw = _decode_arith_planes(
+                    sub, allow_differential=True)
+                planes, fprec, lossless = [plane], 8, False
+            else:
+                if diff:
+                    frame[1] = _DIFF_MAP[m]
+                sub = (b"\xff\xd8" + pre_tables + bytes(frame)
+                       + b"\xff\xd9")
+                planes, fh, fw, fprec, lossless = _decode_planes(
+                    sub, differential=diff)
             if fprec != prec:
                 raise ValueError("frame precision differs from DHP")
             shift = float(1 << (prec - 1))
@@ -235,6 +270,10 @@ def _decode_hier_checked(payload: bytes) -> np.ndarray:
         raise ValueError("hierarchical stream with no frames")
     if ref[0].shape != (full_h, full_w):
         # final frame smaller than DHP dims: upsample to full size
+        # (a zero-size plane would double 0 -> 0 forever; every frame
+        # decoder validates its dims, so this is belt-and-braces)
+        if min(ref[0].shape) == 0:
+            raise ValueError("hierarchical frame with a zero dimension")
         while ref[0].shape[0] < full_h or ref[0].shape[1] < full_w:
             ref = [_expand(p, int(p.shape[1] < full_w),
                            int(p.shape[0] < full_h)) for p in ref]
@@ -294,18 +333,30 @@ def _sim_decode(zz: np.ndarray, q: np.ndarray, h: int, w: int,
 
 
 def encode_jpeg_hier(img: np.ndarray, quality: int = 90, *,
-                     levels: int = 3, lossless: bool = False) -> bytes:
+                     levels: int = 3, lossless: bool = False,
+                     arithmetic: bool = False) -> bytes:
     """Encode an (h, w) uint8 image as a hierarchical greyscale JPEG:
     a non-differential base frame at 1/2^(levels-1) scale followed by
     EXP + differential refinements up to full size. Closed-loop (each
     refinement codes the difference against the exact reference the
     decoder reconstructs), so decode equals the same pipeline's output
     deterministically. ``lossless=True`` emits SOF3 + SOF7 frames
-    (Annex H differences, mod-2^16): decode returns ``img`` EXACTLY."""
+    (Annex H differences, mod-2^16): decode returns ``img`` EXACTLY.
+    ``arithmetic=True`` emits SOF9 + EXP/SOF13 frames QM-coded under
+    the APP11-tagged profile (``jpeg_arith``); pixel output is
+    identical to the Huffman pyramid at the same quality/levels (the
+    quantized coefficients are the same — only the entropy layer
+    differs)."""
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("expected (h, w) uint8")
     if not 1 <= levels <= 8:
         raise ValueError("levels must be in 1..8")
+    if arithmetic:
+        if lossless:
+            raise NotImplementedError(
+                "arithmetic lossless hierarchical (SOF11/SOF15) is a "
+                "declared seam")
+        return _encode_hier_arith(img, quality, levels)
     if lossless:
         return _encode_hier_lossless(img, levels)
     h, w = img.shape
@@ -421,4 +472,76 @@ def _encode_hier_lossless(img: np.ndarray, levels: int) -> bytes:
             out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
             out += _ll_code_diffs(signed)
         ref = lvl                       # lossless: exact reconstruction
+    return bytes(out + b"\xff\xd9")
+
+
+def _encode_hier_arith(img: np.ndarray, quality: int, levels: int, *,
+                       dc_lu: tuple[int, int] = (0, 1),
+                       kx: int = 5) -> bytes:
+    """SOF9 base + EXP/SOF13 differential refinements, QM-coded under
+    the APP11-tagged default profile. Same closed-loop pyramid as the
+    Huffman path — identical quantized coefficients, so decode output
+    is pixel-identical to ``encode_jpeg_hier(..., arithmetic=False)``.
+    Differential frames code the DC value directly (no prediction
+    chain), mirroring ``jpeg_arith._decode_arith_planes``."""
+    from .jpeg_arith import (PROFILE_TAG, QmEncoder, default_profile,
+                             _AC_BANK, _DC_BANK,
+                             _encode_block as _qm_encode_block)
+    h, w = img.shape
+    pyramid = [img.astype(np.int64)]
+    for _ in range(levels - 1):
+        if pyramid[-1].shape[0] <= 8 and pyramid[-1].shape[1] <= 8:
+            break
+        pyramid.append(_downsample2(pyramid[-1]))
+    pyramid.reverse()                       # smallest first
+    q = _quality_table(_QUANT_LUMA, quality)
+    zz_q = np.empty(64, dtype=np.uint8)
+    zz_q[:] = q[ZIGZAG]
+    l_, u_ = dc_lu
+    lo, hi = (1 << l_) >> 1, 1 << u_
+    prof = default_profile()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xEB, PROFILE_TAG + b"default")            # APP11
+    out += _seg(0xDE, struct.pack(">BHHB", 8, h, w, 1)
+                + bytes([1, 0x11, 0]))                     # DHP
+    out += _seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+    # DAC: DC conditioning table 0 (U<<4 | L), AC table 0 (Kx)
+    out += _seg(0xCC, bytes([0x00, (u_ << 4) | l_, 0x10, kx]))
+    ref: np.ndarray | None = None
+    for lvl in pyramid:
+        lh, lw = lvl.shape
+        if ref is None:
+            tiles = _tile_blocks(_pad_edge(lvl.astype(np.float64),
+                                           8, 8) - 128.0)
+            zz = _quantize(tiles, q)
+            marker, diff_frame, up = 0xC9, False, None
+        else:
+            eh = int(lw > ref.shape[1])
+            ev = int(lh > ref.shape[0])
+            up = _expand(ref, eh, ev)[:lh, :lw]
+            d = (lvl - up).astype(np.float64)
+            zz = _quantize(_tile_blocks(_pad_edge(d, 8, 8)), q)
+            if eh or ev:
+                out += _seg(0xDF, bytes([(eh << 4) | ev]))  # EXP
+            marker, diff_frame = 0xCD, True
+        enc = QmEncoder(prof, _DC_BANK + _AC_BANK)
+        enc._prev_diff = 0
+        pred = 0
+        for row in zz:
+            if diff_frame:
+                _qm_encode_block(enc, row, 0, 0, _DC_BANK, lo, hi, kx)
+            else:
+                pred = _qm_encode_block(enc, row, pred, 0, _DC_BANK,
+                                        lo, hi, kx)
+        out += _seg(marker, struct.pack(">BHHB", 8, lh, lw, 1)
+                    + bytes([1, 0x11, 0]))
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += enc.flush()
+        plane = _sim_decode(zz, q, lh, lw, 128.0)
+        if ref is None:
+            ref = np.clip(np.round(plane), -32768, 32767) \
+                .astype(np.int64)
+        else:
+            ref = np.clip(up + np.round(plane - 128.0),
+                          -32768, 32767).astype(np.int64)
     return bytes(out + b"\xff\xd9")

@@ -692,6 +692,13 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                 payloads.append(encode_jpeg_hier(synth_frame(
                     i, 0, seed=seed, width=width, height=height),
                     quality=92, levels=3))
+            elif kind == "jpeg_hier_arith":
+                # arithmetic pyramid: SOF9 base + EXP/SOF13 QM-coded
+                # refinements (profile-tagged)
+                from ..functions.jpeg_hier import encode_jpeg_hier
+                payloads.append(encode_jpeg_hier(synth_frame(
+                    i, 0, seed=seed, width=width, height=height),
+                    quality=92, levels=3, arithmetic=True))
             elif kind == "flac":
                 from ..functions.flac import encode_flac
                 t = np.arange(width * height, dtype=np.float64)
@@ -727,6 +734,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
               "jpeg_dri": "image/jpeg",
               "jpeg_rgb": "image/jpeg", "jpeg_ll": "image/jpeg",
               "jpeg_arith": "image/jpeg", "jpeg_hier": "image/jpeg",
+              "jpeg_hier_arith": "image/jpeg",
               "mp4": "video/mp4", "webm": "video/webm",
               "avi": "video/x-msvideo", "gif": "image/gif",
               "bmp": "image/bmp", "tiff": "image/tiff",

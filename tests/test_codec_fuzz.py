@@ -6,6 +6,8 @@ media stages run over untrusted crawl payloads; a stray exception type
 there kills a whole Ray task batch instead of being handled as one
 malformed row. Deterministic seeds keep this reproducible."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -14,6 +16,25 @@ from hierarchical_bloom_filter_index_ray.functions import (
 from hierarchical_bloom_filter_index_ray.functions import codecs
 
 _OK = (ValueError, NotImplementedError)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _small_pixel_cap():
+    """Tighten the decode-work cap for the whole fuzz module: every
+    valid fixture here is <= 48x48, but one bit flip in a u16
+    dimension field can otherwise claim a frame just under the default
+    2^27-pixel cap — harmless memory-wise, yet minutes of per-symbol
+    work in the pure-Python entropy decoders (arithmetic JPEG
+    especially) multiplied by 1500 flips. The cap is the documented
+    production knob for exactly this bound; fuzzing under a small
+    value exercises the same ValueError path."""
+    old = os.environ.get("HBI_JPEG_MAX_PIXELS")
+    os.environ["HBI_JPEG_MAX_PIXELS"] = str(1 << 16)
+    yield
+    if old is None:
+        os.environ.pop("HBI_JPEG_MAX_PIXELS", None)
+    else:
+        os.environ["HBI_JPEG_MAX_PIXELS"] = old
 
 _RNG = np.random.default_rng(12345)
 _IMG = _RNG.integers(0, 256, (9, 11)).astype(np.uint8)
@@ -52,6 +73,14 @@ _CASES = {
                      "jpeg_hier", fromlist=["x"]).encode_jpeg_hier(
                      _RNG.integers(0, 256, (32, 32)).astype(np.uint8),
                      levels=3)),
+    "jpeghierarith": (jpeg.decode_jpeg, b"\xff\xd8",
+                      lambda: __import__(
+                          "hierarchical_bloom_filter_index_ray."
+                          "functions.jpeg_hier", fromlist=["x"]
+                      ).encode_jpeg_hier(
+                          _RNG.integers(0, 256, (32, 32)).astype(
+                              np.uint8),
+                          levels=3, arithmetic=True)),
     "mp4": (mp4.video_track, b"\x00\x00\x00\x18ftypisom",
             lambda: mp4.encode_mp4_video([b"fr1", b"fr2"],
                                          codec=b"jpeg",

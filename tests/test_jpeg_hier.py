@@ -172,3 +172,77 @@ class TestLossless:
                 assert out.dtype == np.uint8
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestArithmeticPyramid:
+    """SOF9 base + EXP/SOF13 QM-coded refinements (T.81 Annex J x
+    Annex D/F structure, profile-tagged): pixel-identical to the
+    Huffman pyramid, foreign/standalone forms stay declared seams."""
+
+    @pytest.mark.parametrize("h,w,levels", [
+        (64, 64, 3), (41, 53, 2), (8, 8, 1), (100, 37, 3),
+    ])
+    def test_matches_huffman_pyramid(self, h, w, levels):
+        img = _image(h, w, zlib.crc32(f"ah{h}x{w}".encode()))
+        ph = jh.encode_jpeg_hier(img, 85, levels=levels)
+        pa = jh.encode_jpeg_hier(img, 85, levels=levels,
+                                 arithmetic=True)
+        assert jh.is_hierarchical(pa)
+        da = jh.decode_jpeg_hier(pa)
+        assert np.array_equal(da, jh.decode_jpeg_hier(ph))
+        # magic dispatch routes DHP+tag streams to the hier decoder
+        assert np.array_equal(decode_jpeg(pa), da)
+
+    def test_usually_smaller_than_huffman(self):
+        img = _image(96, 96, 11)
+        ph = jh.encode_jpeg_hier(img, 85, levels=3)
+        pa = jh.encode_jpeg_hier(img, 85, levels=3, arithmetic=True)
+        assert len(pa) < len(ph)
+
+    def test_foreign_untagged_is_declared_seam(self):
+        img = _image(32, 32, 12)
+        pa = bytearray(jh.encode_jpeg_hier(img, 85, levels=2,
+                                           arithmetic=True))
+        i = pa.index(b"\xff\xeb")                  # APP11 profile tag
+        seg_len = int.from_bytes(pa[i + 2:i + 4], "big")
+        del pa[i:i + 2 + seg_len]
+        with pytest.raises(NotImplementedError):
+            jh.decode_jpeg_hier(bytes(pa))
+
+    def test_standalone_differential_rejected(self):
+        from hierarchical_bloom_filter_index_ray.functions.jpeg_arith \
+            import decode_jpeg_arith, encode_jpeg_arith
+        img = _image(24, 24, 13)
+        p = bytearray(encode_jpeg_arith(img, 85))
+        p[p.index(b"\xff\xc9") + 1] = 0xCD         # SOF9 -> SOF13
+        with pytest.raises(ValueError):
+            decode_jpeg_arith(bytes(p))
+
+    def test_lossless_arithmetic_is_declared_seam(self):
+        img = _image(16, 16, 14)
+        with pytest.raises(NotImplementedError):
+            jh.encode_jpeg_hier(img, levels=2, lossless=True,
+                                arithmetic=True)
+
+    def test_fuzz_arith_pyramid(self, monkeypatch):
+        # small pixel cap: a flipped u16 dimension otherwise buys
+        # minutes of per-symbol QM decode (see test_codec_fuzz)
+        monkeypatch.setenv("HBI_JPEG_MAX_PIXELS", str(1 << 16))
+        img = _image(32, 32, 15)
+        p = jh.encode_jpeg_hier(img, 85, levels=3, arithmetic=True)
+        rng = np.random.default_rng(zlib.crc32(b"hier-arith-fuzz"))
+        for _ in range(60):
+            mut = bytearray(p)
+            for _ in range(int(rng.integers(1, 6))):
+                mut[int(rng.integers(2, len(mut)))] = int(
+                    rng.integers(0, 256))
+            try:
+                out = jh.decode_jpeg_hier(bytes(mut))
+                assert out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass
+        for cut in range(4, len(p), 97):
+            try:
+                jh.decode_jpeg_hier(p[:cut])
+            except (ValueError, NotImplementedError):
+                pass
