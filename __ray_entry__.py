@@ -841,7 +841,7 @@ def _q_media_features(sf_dir: str):
              ("jpeg_arith", 16, 8), ("jpeg_hier", 16, 8),
              ("jpeg_hier_arith", 16, 8),
              ("flac", 16, 8), ("webm", 8, 6), ("avi", 8, 6),
-             ("mp3", 8, 6), ("ogg", 8, 6)]
+             ("mp3", 8, 6), ("ogg", 8, 6), ("h264", 8, 6)]
     corpus = None
     for off, (kind, n, frames) in enumerate(kinds):
         ds = synth_media(n, seed=SEED, kind=kind,

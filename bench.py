@@ -124,6 +124,7 @@ def _media_decode_stage(extras: dict) -> None:
         ("mp4", dict(width=64, height=64, frames=8), 3),
         ("webm", dict(width=64, height=64, frames=8), 3),
         ("avi", dict(width=64, height=64, frames=8), 3),
+        ("h264", dict(width=64, height=64, frames=8), 3),
     ]
     for kind, kw, n in kinds:
         rows = synth_media(n, seed=SEED, kind=kind, **kw).take_all()

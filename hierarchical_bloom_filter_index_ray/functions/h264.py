@@ -160,10 +160,12 @@ def parse_sps(ebsp: bytes) -> dict:
                     _skip_scaling_list(br, 16 if i < 6 else 64)
     log2_max_frame_num = br.ue() + 4
     poc_type = br.ue()
+    log2_max_poc_lsb = 0
+    delta_poc_always_zero = True
     if poc_type == 0:
-        br.ue()                             # log2_max_pic_order_cnt_lsb
+        log2_max_poc_lsb = br.ue() + 4
     elif poc_type == 1:
-        br.u(1)
+        delta_poc_always_zero = bool(br.u(1))
         br.se()
         br.se()
         for _ in range(br.ue()):
@@ -200,6 +202,8 @@ def parse_sps(ebsp: bytes) -> dict:
         "bit_depth_luma": bd_luma, "bit_depth_chroma": bd_chroma,
         "log2_max_frame_num": log2_max_frame_num,
         "pic_order_cnt_type": poc_type,
+        "log2_max_pic_order_cnt_lsb": log2_max_poc_lsb,
+        "delta_pic_order_always_zero": delta_poc_always_zero,
         "max_num_ref_frames": max_ref_frames,
         "frame_mbs_only": bool(fmof), "frame_crop": crop,
         "width": width, "height": height,
@@ -374,12 +378,426 @@ def is_annexb(payload: bytes) -> bool:
     return len(payload) > off and not payload[off] & 0x80
 
 
-def decode_h264(payload: bytes):
-    """Slice decode (CAVLC/CABAC entropy, intra/inter prediction,
-    deblocking) is the declared codec seam — same rationale as
-    VP9/AV1 and the JPEG QM-coder. NAL demux, SPS parameters,
-    keyframe cut points and avcC conversion above are real."""
-    raise NotImplementedError(
-        "H.264 slice decode is the declared codec seam; use "
-        "h264_info/split_nals/cut_points/parse_avcc/"
-        "avcc_sample_to_annexb for the structural layer")
+# ---------------------------------------------------------------------------
+# I_PCM sample lane (§7.3.5 mb_type 25): spec-valid encode + decode
+# ---------------------------------------------------------------------------
+# I_PCM macroblocks carry raw byte-aligned samples — the one H.264
+# coding mode with no entropy tables, no prediction and no transform,
+# so a from-scratch implementation is exact and conformant: streams we
+# emit decode in any H.264 decoder, and foreign all-I_PCM streams
+# decode here. Slices containing predicted/transformed macroblocks
+# (CAVLC residual tables / CABAC) remain the declared codec seam.
+
+
+class _BitsW:
+    """MSB-first RBSP writer with the Exp-Golomb codes of §9.1."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def u(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        nbits = k.bit_length()
+        self.u(0, nbits - 1)
+        self.u(k, nbits)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align_zero(self) -> None:
+        if self.n:
+            self.u(0, 8 - self.n)
+
+    def trailing(self) -> None:
+        self.u(1, 1)
+        self.align_zero()
+
+
+def _escape_rbsp(rbsp: bytes) -> bytes:
+    """RBSP → EBSP: insert an emulation-prevention 0x03 before any
+    byte ≤ 3 that follows two zero bytes (§7.4.1.1)."""
+    out = bytearray()
+    pos = 0
+    zeros = 0
+    # candidate scan via find keeps the common case one C pass
+    i = rbsp.find(b"\x00\x00", 0)
+    while i >= 0:
+        nxt = rbsp[i + 2] if i + 2 < len(rbsp) else None
+        if nxt is not None and nxt <= 3:
+            out += rbsp[pos:i + 2]
+            out.append(3)
+            pos = i + 2
+            i = rbsp.find(b"\x00\x00", pos)
+        else:
+            i = rbsp.find(b"\x00\x00", i + 1)
+    out += rbsp[pos:]
+    del zeros
+    return bytes(out)
+
+
+def _write_sps_ipcm(width: int, height: int) -> bytes:
+    """Baseline-profile SPS (§7.3.2.1.1) for a frame-coded 4:2:0
+    stream, poc_type 2 (no per-slice POC fields), cropping for
+    non-multiple-of-16 even dimensions. Returns the full NAL (header
+    0x67) as RBSP→EBSP bytes."""
+    mbw = (width + 15) // 16
+    mbh = (height + 15) // 16
+    w = _BitsW()
+    w.u(66, 8)                          # profile_idc: Baseline
+    w.u(0, 8)                           # constraint flags + reserved
+    w.u(30, 8)                          # level_idc 3.0
+    w.ue(0)                             # sps_id
+    w.ue(0)                             # log2_max_frame_num_minus4
+    w.ue(2)                             # pic_order_cnt_type
+    w.ue(0)                             # max_num_ref_frames
+    w.u(0, 1)                           # gaps_in_frame_num allowed
+    w.ue(mbw - 1)
+    w.ue(mbh - 1)
+    w.u(1, 1)                           # frame_mbs_only_flag
+    w.u(1, 1)                           # direct_8x8_inference
+    crop_r = (mbw * 16 - width) // 2    # CropUnitX = 2 (4:2:0)
+    crop_b = (mbh * 16 - height) // 2   # CropUnitY = 2 (frame)
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)                           # vui_parameters_present
+    w.trailing()
+    return b"\x67" + _escape_rbsp(bytes(w.buf))
+
+
+def _write_pps_ipcm() -> bytes:
+    """CAVLC PPS (§7.3.2.2) with deblocking control present so slices
+    can disable the loop filter (PCM samples pass through exactly)."""
+    w = _BitsW()
+    w.ue(0)                             # pps_id
+    w.ue(0)                             # sps_id
+    w.u(0, 1)                           # entropy_coding_mode: CAVLC
+    w.u(0, 1)                           # bottom_field_poc_present
+    w.ue(0)                             # num_slice_groups_minus1
+    w.ue(0)                             # num_ref_idx_l0_default
+    w.ue(0)                             # num_ref_idx_l1_default
+    w.u(0, 1)                           # weighted_pred
+    w.u(0, 2)                           # weighted_bipred_idc
+    w.se(0)                             # pic_init_qp_minus26
+    w.se(0)                             # pic_init_qs_minus26
+    w.se(0)                             # chroma_qp_index_offset
+    w.u(1, 1)                           # deblocking_filter_control
+    w.u(0, 1)                           # constrained_intra_pred
+    w.u(0, 1)                           # redundant_pic_cnt_present
+    w.trailing()
+    return b"\x68" + _escape_rbsp(bytes(w.buf))
+
+
+def encode_h264_ipcm(frames: np.ndarray) -> bytes:
+    """Encode greyscale frames ((n, h, w) or (h, w) uint8, even
+    dimensions) as a spec-valid Annex B H.264 stream of all-IDR
+    pictures whose macroblocks are all I_PCM (luma = samples, chroma
+    flat 128): exact round trip, decodable by any conformant decoder.
+    ~1.007x the raw YUV size — PCM is a carriage, not a compressor;
+    its value here is a real, verifiable sample lane through the
+    otherwise-declared H.264 entropy seam."""
+    a = np.asarray(frames)
+    if a.ndim == 2:
+        a = a[None]
+    if a.ndim != 3 or a.dtype != np.uint8:
+        raise ValueError("expected (n, h, w) or (h, w) uint8 frames")
+    n, h, w = a.shape
+    if not n or not h or not w:
+        raise ValueError("empty frame stack")
+    if h % 2 or w % 2:
+        raise ValueError("4:2:0 frame cropping needs even dimensions")
+    mbw = (w + 15) // 16
+    mbh = (h + 15) // 16
+    pad = np.empty((n, mbh * 16, mbw * 16), dtype=np.uint8)
+    pad[:, :h, :w] = a
+    pad[:, h:, :w] = a[:, -1:, :]
+    pad[:, :, w:] = pad[:, :, w - 1:w]
+    chroma = np.full(64, 128, dtype=np.uint8).tobytes() * 2
+    out = bytearray()
+    out += b"\x00\x00\x00\x01" + _write_sps_ipcm(w, h)
+    out += b"\x00\x00\x00\x01" + _write_pps_ipcm()
+    # per-MB payload after the first MB is byte-aligned and constant-
+    # shaped: ue(25) = 9 bits '000011010' + 7 alignment zeros = 0x0D
+    # 0x00, then 256 luma + 128 chroma PCM bytes
+    mb_hdr = b"\x0d\x00"
+    for fi in range(n):
+        wtr = _BitsW()
+        wtr.ue(0)                       # first_mb_in_slice
+        wtr.ue(7)                       # slice_type: I (all slices I)
+        wtr.ue(0)                       # pps_id
+        wtr.u(0, 4)                     # frame_num (log2_max = 4)
+        wtr.ue(fi & 1)                  # idr_pic_id (alternates)
+        wtr.u(0, 1)                     # no_output_of_prior_pics
+        wtr.u(0, 1)                     # long_term_reference
+        wtr.se(0)                       # slice_qp_delta
+        wtr.ue(1)                       # disable_deblocking_filter
+        mbs = []
+        first = True
+        for my in range(mbh):
+            for mx in range(mbw):
+                luma = pad[fi, my * 16:my * 16 + 16,
+                           mx * 16:mx * 16 + 16].tobytes()
+                if first:
+                    wtr.ue(25)          # mb_type I_PCM
+                    wtr.align_zero()    # pcm_alignment_zero_bit(s)
+                    mbs.append(bytes(wtr.buf))
+                    first = False
+                else:
+                    mbs.append(mb_hdr)
+                mbs.append(luma)
+                mbs.append(chroma)
+        rbsp = b"".join(mbs) + b"\x80"  # rbsp_trailing_bits
+        out += b"\x00\x00\x00\x01\x65" + _escape_rbsp(rbsp)
+    return bytes(out)
+
+
+def encode_mp4_h264_ipcm(frames: np.ndarray, *, timescale: int = 30,
+                         frame_duration: int = 1) -> bytes:
+    """Mux I_PCM-coded frames as a proper ``avc1`` MP4 track:
+    length-prefixed slice NALs as samples, parameter sets in an
+    ``avcC`` record (ISO/IEC 14496-15 §5.3.3.1) — the inverse of
+    ``mp4_h264_sample_annexb``, closing the H.264-in-MP4 loop for the
+    PCM lane."""
+    from .mp4 import encode_mp4_video
+    a = np.asarray(frames)
+    if a.ndim == 2:
+        a = a[None]
+    annexb = encode_h264_ipcm(a)
+    nals = split_nals(annexb)
+    sps_nal = pps_nal = None
+    samples = []
+    for nal in nals:
+        raw = annexb[nal["data_off"]:nal["data_off"] + nal["size"]]
+        if nal["type"] == 7:
+            sps_nal = raw
+        elif nal["type"] == 8:
+            pps_nal = raw
+        elif nal["type"] == 5:
+            samples.append(struct.pack(">I", len(raw)) + raw)
+    sps = parse_sps(sps_nal)
+    avcc = (bytes([1, 66, 0, sps["level_idc"], 0xFC | 3, 0xE0 | 1])
+            + struct.pack(">H", len(sps_nal)) + sps_nal
+            + bytes([1]) + struct.pack(">H", len(pps_nal)) + pps_nal)
+    return encode_mp4_video(
+        samples, codec=b"avc1", width=sps["width"],
+        height=sps["height"], timescale=timescale,
+        frame_duration=frame_duration, sync_every=1,
+        codec_config=(b"avcC", avcc))
+
+
+def _parse_pps_min(ebsp: bytes) -> dict:
+    """The PPS fields slice-header parsing needs (§7.3.2.2)."""
+    if ebsp and ebsp[0] & 0x1F == 8:
+        ebsp = ebsp[1:]
+    br = _Bits(ebsp_to_rbsp(ebsp))
+    pps_id = br.ue()
+    sps_id = br.ue()
+    cabac = br.u(1)
+    bottom_poc = br.u(1)
+    if br.ue():                         # num_slice_groups_minus1
+        raise NotImplementedError("slice groups (FMO)")
+    br.ue()
+    br.ue()
+    br.u(1)
+    br.u(2)
+    br.se()
+    br.se()
+    br.se()
+    deblock_ctl = br.u(1)
+    br.u(1)
+    redundant = br.u(1)
+    return {"pps_id": pps_id, "sps_id": sps_id, "cabac": bool(cabac),
+            "bottom_poc": bool(bottom_poc),
+            "deblock_ctl": bool(deblock_ctl),
+            "redundant": bool(redundant)}
+
+
+def decode_h264_ipcm(payload: bytes) -> dict:
+    """Decode an Annex B stream whose coded pictures are IDR slices of
+    I_PCM macroblocks: returns ``{"y": (n, h, w) uint8, "cb"/"cr":
+    (n, h/2, w/2) uint8, "width", "height"}``. Any predicted or
+    transform-coded macroblock (mb_type != 25), CABAC slice data,
+    non-IDR picture, field coding or non-4:2:0 sampling raises
+    NotImplementedError — the declared entropy/prediction seam.
+    Malformed streams raise ValueError."""
+    try:
+        return _decode_ipcm_checked(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"malformed H.264 stream: {ex}") from ex
+
+
+def _decode_ipcm_checked(payload: bytes) -> dict:
+    import os
+    nals = split_nals(payload)
+    sps = pps = None
+    frames_y: list[np.ndarray] = []
+    frames_cb: list[np.ndarray] = []
+    frames_cr: list[np.ndarray] = []
+    cur = None                         # (y, cb, cr, filled mb flags)
+    max_px = int(os.environ.get("HBI_JPEG_MAX_PIXELS", 1 << 27))
+    for nal in nals:
+        ebsp = payload[nal["data_off"]:nal["data_off"] + nal["size"]]
+        t = nal["type"]
+        if t == 7:
+            sps = parse_sps(ebsp)
+            if sps["chroma_format_idc"] != 1 \
+                    or sps["bit_depth_luma"] != 8 \
+                    or sps["bit_depth_chroma"] != 8:
+                raise NotImplementedError(
+                    "I_PCM lane is 8-bit 4:2:0; other sampling is the "
+                    "declared seam")
+            if not sps["frame_mbs_only"]:
+                raise NotImplementedError("field/MBAFF coding")
+            if sps["width"] * sps["height"] > max_px:
+                raise ValueError(
+                    f"frame {sps['width']}x{sps['height']} exceeds "
+                    f"the HBI_JPEG_MAX_PIXELS cap ({max_px})")
+        elif t == 8:
+            pps = _parse_pps_min(ebsp)
+            if pps["cabac"]:
+                raise NotImplementedError(
+                    "CABAC slice data is the declared seam")
+        elif t == 1:
+            raise NotImplementedError(
+                "non-IDR picture (inter prediction) is the declared "
+                "seam")
+        elif t == 5:
+            if sps is None or pps is None:
+                raise ValueError("IDR slice before SPS/PPS")
+            cur = _decode_ipcm_slice(ebsp, sps, pps, cur)
+            if cur[3].all():           # picture complete
+                frames_y.append(cur[0])
+                frames_cb.append(cur[1])
+                frames_cr.append(cur[2])
+                cur = None
+    if cur is not None:
+        raise ValueError("stream ends mid-picture (missing slices)")
+    if not frames_y:
+        raise ValueError("no coded pictures in stream")
+    h, w = sps["height"], sps["width"]
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    return {
+        "y": np.stack(frames_y)[:, :h, :w],
+        "cb": np.stack(frames_cb)[:, :ch, :cw],
+        "cr": np.stack(frames_cr)[:, :ch, :cw],
+        "width": w, "height": h,
+    }
+
+
+def _decode_ipcm_slice(ebsp: bytes, sps: dict, pps: dict, cur):
+    """Parse one IDR slice header (§7.3.3) + all-I_PCM slice data
+    (§7.3.4/7.3.5) into the current picture buffers."""
+    if ebsp and ebsp[0] & 0x1F == 5:
+        ebsp = ebsp[1:]
+    rbsp = ebsp_to_rbsp(ebsp)
+    br = _Bits(rbsp)
+    first_mb = br.ue()
+    slice_type = br.ue()
+    if slice_type % 5 != 2:            # 2/7 = I
+        raise NotImplementedError(
+            "non-I slice in IDR (SP/SI) is the declared seam")
+    br.ue()                            # pps_id (single-PPS streams)
+    br.u(sps["log2_max_frame_num"])    # frame_num
+    br.ue()                            # idr_pic_id
+    if sps["pic_order_cnt_type"] == 0:
+        br.u(sps["log2_max_pic_order_cnt_lsb"])
+        if pps["bottom_poc"]:
+            br.se()
+    elif sps["pic_order_cnt_type"] == 1 \
+            and not sps["delta_pic_order_always_zero"]:
+        br.se()
+        if pps["bottom_poc"]:
+            br.se()
+    if pps["redundant"]:
+        br.ue()
+    br.u(1)                            # no_output_of_prior_pics
+    br.u(1)                            # long_term_reference
+    br.se()                            # slice_qp_delta
+    if pps["deblock_ctl"]:
+        if br.ue() != 1:               # disable_deblocking_filter_idc
+            br.se()
+            br.se()
+    mbw = (sps["width"] + 15) // 16
+    mbh = (sps["height"] + 15) // 16
+    total = mbw * mbh
+    if first_mb >= total:
+        raise ValueError("first_mb_in_slice beyond picture")
+    if cur is None:
+        y = np.zeros((mbh * 16, mbw * 16), dtype=np.uint8)
+        cb = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
+        cr = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
+        filled = np.zeros(total, dtype=bool)
+    else:
+        y, cb, cr, filled = cur
+    # locate the final 1 bit (the rbsp stop bit): more_rbsp_data()
+    last = len(rbsp) - 1
+    while last >= 0 and rbsp[last] == 0:
+        last -= 1
+    if last < 0:
+        raise ValueError("slice RBSP carries no stop bit")
+    stop_bit = last * 8 + 7 - ((rbsp[last] & -rbsp[last]).bit_length()
+                               - 1)
+    mb = first_mb
+    while br.pos < stop_bit:
+        if mb >= total:
+            raise ValueError("slice data overruns the picture")
+        if br.ue() != 25:
+            raise NotImplementedError(
+                "predicted/transform-coded macroblock: CAVLC residual "
+                "decode is the declared seam (only I_PCM decodes)")
+        if br.pos & 7:                 # pcm_alignment_zero_bit(s)
+            if br.u(8 - (br.pos & 7)):
+                raise ValueError("nonzero PCM alignment bits")
+        off = br.pos >> 3
+        if off + 384 > len(rbsp):
+            raise ValueError("PCM macroblock truncated")
+        my, mx = divmod(mb, mbw)
+        block = np.frombuffer(rbsp, dtype=np.uint8,
+                              count=384, offset=off)
+        y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+            block[:256].reshape(16, 16)
+        cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+            block[256:320].reshape(8, 8)
+        cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+            block[320:].reshape(8, 8)
+        filled[mb] = True
+        br.pos = (off + 384) * 8
+        mb += 1
+    return y, cb, cr, filled
+
+
+def decode_h264(payload: bytes) -> np.ndarray:
+    """Decode an Annex B H.264 stream through the I_PCM lane: returns
+    (n, h, w, 3) uint8 RGB frames (full-range BT.601, the same
+    transform the JPEG path uses — exact for our flat-chroma grey
+    encodes). Streams using predicted/transform-coded macroblocks
+    (CAVLC residuals / CABAC — i.e. virtually all crawled video)
+    raise NotImplementedError: that entropy/prediction layer is the
+    declared codec seam. The structural layer (NAL demux, SPS
+    parameters, keyframe cut points, avcC conversion) is real either
+    way."""
+    d = decode_h264_ipcm(payload)
+    y = d["y"].astype(np.float64)
+    cb = d["cb"].astype(np.float64).repeat(2, axis=1).repeat(2, axis=2)
+    cr = d["cr"].astype(np.float64).repeat(2, axis=1).repeat(2, axis=2)
+    cb = cb[:, :y.shape[1], :y.shape[2]] - 128.0
+    cr = cr[:, :y.shape[1], :y.shape[2]] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=3)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -353,7 +353,9 @@ _UNITY_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
 
 def encode_mp4_video(frames: list[bytes], *, codec: bytes = b"jpeg",
                      width: int, height: int, timescale: int = 30,
-                     frame_duration: int = 1, sync_every: int = 1) -> bytes:
+                     frame_duration: int = 1, sync_every: int = 1,
+                     codec_config: tuple[bytes, bytes] | None = None
+                     ) -> bytes:
     """Mux per-frame payloads into a single-video-track MP4.
 
     ``codec=b"jpeg"`` with JPEG payloads is Motion-JPEG in MP4 — every
@@ -361,6 +363,10 @@ def encode_mp4_video(frames: list[bytes], *, codec: bytes = b"jpeg",
     exercises the keyframe-seek path. Layout: ftyp, mdat, moov (trailing
     moov keeps chunk offsets computable in one pass). One chunk per
     ``sync_every`` samples so stsc/stco have real multi-chunk structure.
+    ``codec_config`` appends a codec-configuration child box
+    ``(fourcc, body)`` — e.g. ``(b"avcC", record)`` for ``avc1``
+    length-prefixed samples — to the visual sample entry
+    (``visual_config_box`` reads it back).
     """
     if not frames:
         raise ValueError("need at least one frame")
@@ -378,15 +384,21 @@ def encode_mp4_video(frames: list[bytes], *, codec: bytes = b"jpeg",
     stco_entries = offsets[chunk_first]
     duration = n * frame_duration
 
-    stsd_entry = (
-        _U32.pack(8 + 70) + codec
-        + b"\x00" * 6 + struct.pack(">H", 1)          # dref index
+    cfg = (b"" if codec_config is None
+           else _box(codec_config[0], codec_config[1]))
+    # VisualSampleEntry body is 78 bytes (ISO/IEC 14496-12 §12.1.3.2);
+    # declare the size from the built bytes — an earlier hard-coded
+    # 8+70 under-declared it, which only mattered once codec_config
+    # boxes (read from offset 78 by visual_config_box) followed
+    entry_body = (
+        b"\x00" * 6 + struct.pack(">H", 1)            # dref index
         + b"\x00" * 16
         + struct.pack(">HH", width, height)
         + _U32.pack(0x480000) + _U32.pack(0x480000)   # 72 dpi
         + _U32.pack(0) + struct.pack(">H", 1)         # frame_count
         + b"\x00" * 32                                # compressorname
-        + struct.pack(">Hh", 24, -1))
+        + struct.pack(">Hh", 24, -1) + cfg)
+    stsd_entry = _U32.pack(8 + len(entry_body)) + codec + entry_body
     stsd = _full(b"stsd", 0, 0, _U32.pack(1) + stsd_entry)
     stts = _full(b"stts", 0, 0,
                  _U32.pack(1) + _U32.pack(n) + _U32.pack(frame_duration))

@@ -263,13 +263,30 @@ class MediaFeatureExtractor:
                     return wav_features(s16, srate, self.feature_dim)
                 raise
             mid = trk.sync_at_or_before(trk.n_samples // 2)
-            return self._real_features(
-                mod.extract_sample(payload, trk, mid), depth=depth + 1)
+            sample = mod.extract_sample(payload, trk, mid)
+            if getattr(trk, "codec", None) in ("avc1", "avc3"):
+                # length-prefixed AVC sample: convert to a
+                # self-contained Annex B unit and run the I_PCM lane
+                from ..functions.h264 import mp4_h264_sample_annexb
+                sample = mp4_h264_sample_annexb(payload, mid)
+            return self._real_features(sample, depth=depth + 1)
+        from ..functions.h264 import is_annexb
+        if is_annexb(payload):
+            # I_PCM sample lane (h264.py): exact decode for all-PCM
+            # streams; predicted/CAVLC/CABAC macroblocks raise the
+            # declared seam error inside
+            from ..functions.h264 import decode_h264
+            frames = decode_h264(payload)
+            mid_f = frames[len(frames) // 2]
+            img = mid_f.mean(axis=2).astype(np.uint8) \
+                if mid_f.ndim == 3 else mid_f
+            return pgm_features(img, self.feature_dim)
         raise NotImplementedError(
             "payload is not PNG/GIF/BMP/TIFF/WAV/FLAC/PGM/JPEG/MP3/"
-            "Ogg/MP4/WebM/AVI — H.264/VP9/AV1/Opus sample decode is "
-            "the declared codec seam (README media matrix; structural "
-            "layers in h264.py / vp9av1.py / ogg.py)")
+            "Ogg/MP4/WebM/AVI/AnnexB-H.264 — H.264 predicted-MB, "
+            "VP9/AV1 and Opus sample decode are the declared codec "
+            "seam (README media matrix; structural layers in "
+            "h264.py / vp9av1.py / ogg.py)")
 
     def _fake_decode(self, payloads: list[bytes]) -> np.ndarray:
         """Deterministic stand-in: features = seeded hash-mix of payload
@@ -692,6 +709,14 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
                 payloads.append(encode_jpeg_hier(synth_frame(
                     i, 0, seed=seed, width=width, height=height),
                     quality=92, levels=3))
+            elif kind == "h264":
+                # Annex B all-IDR I_PCM stream (functions/h264.py):
+                # spec-valid, exact sample lane through the entropy seam
+                from ..functions.h264 import encode_h264_ipcm
+                fr = np.stack([synth_frame(i, k, seed=seed, width=width,
+                                           height=height)
+                               for k in range(frames)])
+                payloads.append(encode_h264_ipcm(fr))
             elif kind == "jpeg_hier_arith":
                 # arithmetic pyramid: SOF9 base + EXP/SOF13 QM-coded
                 # refinements (profile-tagged)
@@ -735,6 +760,7 @@ def synth_media(n: int, *, seed: int = 42, kind: str = "fake",
               "jpeg_rgb": "image/jpeg", "jpeg_ll": "image/jpeg",
               "jpeg_arith": "image/jpeg", "jpeg_hier": "image/jpeg",
               "jpeg_hier_arith": "image/jpeg",
+              "h264": "video/h264",
               "mp4": "video/mp4", "webm": "video/webm",
               "avi": "video/x-msvideo", "gif": "image/gif",
               "bmp": "image/bmp", "tiff": "image/tiff",

@@ -97,6 +97,14 @@ _CASES = {
                  8000, blocksize=256)),
     "tiff": (tiff.decode_tiff, b"II*\x00",
              lambda: tiff.encode_tiff(_IMG, compression="lzw")),
+    "h264": (lambda p: __import__(
+                 "hierarchical_bloom_filter_index_ray.functions.h264",
+                 fromlist=["x"]).decode_h264(p),
+             b"\x00\x00\x00\x01\x67",
+             lambda: __import__(
+                 "hierarchical_bloom_filter_index_ray.functions.h264",
+                 fromlist=["x"]).encode_h264_ipcm(
+                 _RNG.integers(0, 256, (2, 32, 32)).astype(np.uint8))),
 }
 
 

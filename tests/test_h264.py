@@ -385,5 +385,83 @@ class TestFuzz:
                 pass
 
     def test_decode_seam_declared(self):
-        with pytest.raises(NotImplementedError):
+        # truncated junk is malformed, not a seam (the lane decodes
+        # I_PCM for real now; see TestIpcmLane for the seam cases)
+        with pytest.raises(ValueError):
             h264.decode_h264(b"\x00\x00\x01\x67")
+
+
+class TestIpcmLane:
+    """I_PCM sample lane (§7.3.5 mb_type 25): spec-valid all-IDR
+    streams round-trip exactly; everything entropy-coded stays the
+    declared seam."""
+
+    def test_round_trip_exact(self):
+        rng = np.random.default_rng(21)
+        for shape in [(1, 16, 16), (2, 32, 32), (3, 20, 36),
+                      (1, 34, 50)]:
+            frames = rng.integers(0, 256, shape).astype(np.uint8)
+            enc = h264.encode_h264_ipcm(frames)
+            d = h264.decode_h264_ipcm(enc)
+            assert np.array_equal(d["y"], frames)
+            assert (d["cb"] == 128).all() and (d["cr"] == 128).all()
+            rgb = h264.decode_h264(enc)
+            assert np.array_equal(rgb[..., 0], frames)
+            assert np.array_equal(rgb[..., 1], frames)
+
+    def test_structural_layer_agrees(self):
+        frames = np.zeros((3, 48, 64), np.uint8)
+        enc = h264.encode_h264_ipcm(frames)
+        info = h264.h264_info(enc)
+        assert (info["width"], info["height"]) == (64, 48)
+        assert info["profile_idc"] == 66
+        assert info["n_idr"] == 3
+        assert len(h264.cut_points(enc)) == 3
+
+    def test_odd_dimensions_rejected(self):
+        with pytest.raises(ValueError):
+            h264.encode_h264_ipcm(np.zeros((17, 16), np.uint8))
+
+    def test_predicted_mb_is_declared_seam(self):
+        enc = bytearray(h264.encode_h264_ipcm(
+            np.full((16, 16), 7, np.uint8)))
+        # the slice payload begins with the header bits then ue(25);
+        # zero the whole first slice-data byte run so mb_type decodes
+        # as something else
+        nals = h264.split_nals(bytes(enc))
+        idr = next(n for n in nals if n["type"] == 5)
+        off = idr["data_off"] + 3              # into slice header bits
+        enc[off] = 0xFF                        # mb_type != 25
+        with pytest.raises((NotImplementedError, ValueError)):
+            h264.decode_h264(bytes(enc))
+
+    def test_mp4_avc1_loop(self):
+        rng = np.random.default_rng(22)
+        frames = rng.integers(0, 256, (4, 32, 48)).astype(np.uint8)
+        m = h264.encode_mp4_h264_ipcm(frames)
+        info = h264.mp4_h264_info(m)
+        assert (info["width"], info["height"]) == (48, 32)
+        assert info["n_samples"] == 4 and info["n_keyframes"] == 4
+        for i in range(4):
+            d = h264.decode_h264_ipcm(h264.mp4_h264_sample_annexb(m, i))
+            assert np.array_equal(d["y"][0], frames[i])
+
+    def test_fuzz_ipcm_stream(self, monkeypatch):
+        monkeypatch.setenv("HBI_JPEG_MAX_PIXELS", str(1 << 16))
+        rng = np.random.default_rng(23)
+        enc = h264.encode_h264_ipcm(
+            rng.integers(0, 256, (2, 32, 32)).astype(np.uint8))
+        for _ in range(300):
+            mut = bytearray(enc)
+            for _ in range(int(rng.integers(1, 6))):
+                mut[int(rng.integers(0, len(mut)))] = int(
+                    rng.integers(0, 256))
+            try:
+                h264.decode_h264(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass
+        for cut in range(4, len(enc), 53):
+            try:
+                h264.decode_h264(enc[:cut])
+            except (ValueError, NotImplementedError):
+                pass
