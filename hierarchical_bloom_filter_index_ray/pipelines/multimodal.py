@@ -159,11 +159,13 @@ class MediaFeatureExtractor:
                        depth: int = 0) -> np.ndarray:
         """Dispatch on payload magic bytes: PNG, GIF, BMP, WAV, FLAC,
         JPEG (baseline, extended 12-bit, progressive, lossless,
-        profile-tagged arithmetic, hierarchical) and P5 decode through
-        the pure-numpy codecs; MP4, Matroska/WebM and AVI demux to
-        their middle keyframe. What remains of the codec seam:
-        H.264/VP9/AV1 and Opus SAMPLE decode (their structural layers
-        — ``h264.py``, ``vp9av1.py``, ``ogg.py`` — are real)."""
+        profile-tagged arithmetic, hierarchical incl. arithmetic
+        pyramid) and P5 decode through the pure-numpy codecs; MP4,
+        Matroska/WebM and AVI demux to their middle keyframe; Annex B
+        H.264 and avc1-in-MP4 decode through the I_PCM lane. What
+        remains of the codec seam: predicted-MB H.264 (CAVLC/CABAC),
+        VP9/AV1 tile decode and Opus (their structural layers —
+        ``h264.py``, ``vp9av1.py``, ``ogg.py`` — are real)."""
         from ..functions.codecs import decode_bmp, decode_png, \
             decode_wav, is_bmp, wav_features
         from ..functions.gif import decode_gif_first, is_gif
@@ -495,11 +497,13 @@ class FrameSampler:
     evenly-spaced sample indices, optionally snapped to the nearest
     preceding sync sample (true keyframe seek); each sampled frame's
     own payload is emitted (Motion-JPEG tracks then decode through
-    ``functions/jpeg.py`` downstream). ``decoder="pgmv"`` accepts only
-    pgmv; ``decoder="fake"`` replicates the opaque payload per frame
-    (plumbing drill). Sample DECODE of H.264/VP9/AV1 tracks stays the
-    declared seam — demux/seek/extract here is codec-independent
-    (README media matrix)."""
+    ``functions/jpeg.py`` downstream; ``avc1`` tracks are emitted as
+    self-contained Annex B units that decode through the H.264 I_PCM
+    lane). ``decoder="pgmv"`` accepts only pgmv; ``decoder="fake"``
+    replicates the opaque payload per frame (plumbing drill). Sample
+    DECODE of predicted-MB H.264 and VP9/AV1 tracks stays the declared
+    seam — demux/seek/extract here is codec-independent (README media
+    matrix)."""
 
     def __init__(self, *, n_frames: int, decoder: str = "real",
                  snap_to_sync: bool = False, on_error: str = "raise"):
@@ -524,6 +528,13 @@ class FrameSampler:
             if self.snap_to_sync:
                 idx = np.unique([trk.sync_at_or_before(int(i))
                                  for i in idx]).astype(np.int64)
+            if getattr(trk, "codec", None) in ("avc1", "avc3"):
+                # emit self-contained Annex B units (parameter sets
+                # prepended) so each sampled frame decodes standalone
+                # through the I_PCM lane
+                from ..functions.h264 import mp4_h264_sample_annexb
+                return idx, [mp4_h264_sample_annexb(p, int(i))
+                             for i in idx]
             return idx, [mod.extract_sample(p, trk, int(i)) for i in idx]
         if self.decoder == "real":
             from ..functions.gif import is_gif

@@ -446,6 +446,26 @@ class TestIpcmLane:
             d = h264.decode_h264_ipcm(h264.mp4_h264_sample_annexb(m, i))
             assert np.array_equal(d["y"][0], frames[i])
 
+    def test_frame_sampler_avc1(self, ray_session):
+        import ray
+        from hierarchical_bloom_filter_index_ray.pipelines.multimodal \
+            import FrameSampler
+        rng = np.random.default_rng(24)
+        frames = rng.integers(0, 256, (6, 16, 16)).astype(np.uint8)
+        m = h264.encode_mp4_h264_ipcm(frames)
+        out = (ray.data.from_items([{"media_id": 0, "payload": m}])
+               .map_batches(FrameSampler, batch_format="pyarrow",
+                            concurrency=1,
+                            fn_constructor_kwargs={
+                                "n_frames": 3, "decoder": "real"})
+               .to_pandas())
+        assert len(out) == 3
+        for _, row in out.iterrows():
+            # each emitted payload is a self-contained Annex B unit
+            d = h264.decode_h264_ipcm(bytes(row["payload"]))
+            assert np.array_equal(d["y"][0],
+                                  frames[int(row["frame_no"])])
+
     def test_fuzz_ipcm_stream(self, monkeypatch):
         monkeypatch.setenv("HBI_JPEG_MAX_PIXELS", str(1 << 16))
         rng = np.random.default_rng(23)
