@@ -566,6 +566,26 @@ def encode_h264_ipcm(frames: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _build_avcc(sps_list: list[bytes], pps_list: list[bytes]) -> bytes:
+    """AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3.1) with
+    4-byte NAL length prefixes; profile/compat/level mirror the first
+    SPS's own bytes."""
+    if not sps_list or not pps_list:
+        raise ValueError("avcC needs at least one SPS and one PPS")
+    s0 = sps_list[0]
+    body = s0[1:] if s0 and s0[0] & 0x1F == 7 else s0
+    if len(body) < 3:
+        raise ValueError("SPS too short for profile/level bytes")
+    rec = bytearray([1, body[0], body[1], body[2], 0xFC | 3,
+                     0xE0 | len(sps_list)])
+    for s in sps_list:
+        rec += struct.pack(">H", len(s)) + s
+    rec.append(len(pps_list))
+    for p in pps_list:
+        rec += struct.pack(">H", len(p)) + p
+    return bytes(rec)
+
+
 def encode_mp4_h264_ipcm(frames: np.ndarray, *, timescale: int = 30,
                          frame_duration: int = 1) -> bytes:
     """Mux I_PCM-coded frames as a proper ``avc1`` MP4 track:
@@ -573,31 +593,88 @@ def encode_mp4_h264_ipcm(frames: np.ndarray, *, timescale: int = 30,
     ``avcC`` record (ISO/IEC 14496-15 §5.3.3.1) — the inverse of
     ``mp4_h264_sample_annexb``, closing the H.264-in-MP4 loop for the
     PCM lane."""
-    from .mp4 import encode_mp4_video
     a = np.asarray(frames)
     if a.ndim == 2:
         a = a[None]
-    annexb = encode_h264_ipcm(a)
-    nals = split_nals(annexb)
-    sps_nal = pps_nal = None
-    samples = []
+    return h264_remux_mp4(encode_h264_ipcm(a), timescale=timescale,
+                          frame_duration=frame_duration)
+
+
+def _first_mb_in_slice(ebsp: bytes) -> int:
+    """First ue(v) of the slice header; only the leading bytes matter
+    so the EPB strip is bounded."""
+    if ebsp and ebsp[0] & 0x1F in (1, 2, 5):
+        ebsp = ebsp[1:]
+    return _Bits(ebsp_to_rbsp(ebsp[:16])).ue()
+
+
+def h264_remux_mp4(payload: bytes, *, timescale: int = 30,
+                   frame_duration: int = 1) -> bytes:
+    """Package ANY Annex B H.264 elementary stream (not just the PCM
+    lane — no sample decode happens) as an ``avc1`` MP4: access units
+    detected structurally (a VCL NAL with ``first_mb_in_slice == 0``
+    starts a picture, §7.4.1.2.4), parameter sets lifted into the
+    ``avcC`` record, keyframe flags (``stss``) from IDR membership.
+    The inverse, ``mp4_h264_sample_annexb``, converts samples back —
+    together they are the carve/repackage primitives a crawl pipeline
+    needs for raw ``.h264`` payloads. Data-partitioned slices (NAL
+    types 2-4) raise NotImplementedError."""
+    from .mp4 import encode_mp4_video
+    nals = split_nals(payload)
+    sps_list: list[bytes] = []
+    pps_list: list[bytes] = []
+    samples: list[bytes] = []
+    sync: list[int] = []
+    cur: list[bytes] = []
+    cur_vcl = cur_idr = False
+
+    def flush() -> None:
+        nonlocal cur, cur_vcl, cur_idr
+        if cur_vcl:
+            if cur_idr:
+                sync.append(len(samples))
+            samples.append(b"".join(
+                struct.pack(">I", len(n)) + n for n in cur))
+        cur, cur_vcl, cur_idr = [], False, False
+
     for nal in nals:
-        raw = annexb[nal["data_off"]:nal["data_off"] + nal["size"]]
-        if nal["type"] == 7:
-            sps_nal = raw
-        elif nal["type"] == 8:
-            pps_nal = raw
-        elif nal["type"] == 5:
-            samples.append(struct.pack(">I", len(raw)) + raw)
-    sps = parse_sps(sps_nal)
-    avcc = (bytes([1, 66, 0, sps["level_idc"], 0xFC | 3, 0xE0 | 1])
-            + struct.pack(">H", len(sps_nal)) + sps_nal
-            + bytes([1]) + struct.pack(">H", len(pps_nal)) + pps_nal)
+        raw = payload[nal["data_off"]:nal["data_off"] + nal["size"]]
+        t = nal["type"]
+        if t == 7:
+            flush()
+            if raw not in sps_list:
+                sps_list.append(raw)
+        elif t == 8:
+            flush()
+            if raw not in pps_list:
+                pps_list.append(raw)
+        elif t in (2, 3, 4):
+            raise NotImplementedError(
+                "data-partitioned slices (NAL types 2-4)")
+        elif t in (1, 5):
+            if _first_mb_in_slice(raw) == 0 and cur_vcl:
+                flush()
+            cur.append(raw)
+            cur_vcl = True
+            cur_idr = cur_idr or t == 5
+        else:                           # SEI/AUD/filler ride along
+            if cur_vcl:
+                flush()
+            cur.append(raw)
+    flush()
+    if cur:                             # trailing non-VCL NALs: append
+        samples[-1:] = [samples[-1] + b"".join(
+            struct.pack(">I", len(n)) + n for n in cur)] \
+            if samples else []
+    if not samples:
+        raise ValueError("Annex B stream carries no coded pictures")
+    sps = parse_sps(sps_list[0] if sps_list else b"")
     return encode_mp4_video(
         samples, codec=b"avc1", width=sps["width"],
         height=sps["height"], timescale=timescale,
         frame_duration=frame_duration, sync_every=1,
-        codec_config=(b"avcC", avcc))
+        codec_config=(b"avcC", _build_avcc(sps_list, pps_list)),
+        sync_samples=sync)
 
 
 def _parse_pps_min(ebsp: bytes) -> dict:

@@ -354,8 +354,8 @@ _UNITY_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
 def encode_mp4_video(frames: list[bytes], *, codec: bytes = b"jpeg",
                      width: int, height: int, timescale: int = 30,
                      frame_duration: int = 1, sync_every: int = 1,
-                     codec_config: tuple[bytes, bytes] | None = None
-                     ) -> bytes:
+                     codec_config: tuple[bytes, bytes] | None = None,
+                     sync_samples: list[int] | None = None) -> bytes:
     """Mux per-frame payloads into a single-video-track MP4.
 
     ``codec=b"jpeg"`` with JPEG payloads is Motion-JPEG in MP4 — every
@@ -415,8 +415,18 @@ def encode_mp4_video(frames: list[bytes], *, codec: bytes = b"jpeg",
                  + b"".join(_U32.pack(int(s)) for s in sizes))
     stco = _full(b"stco", 0, 0, _U32.pack(n_chunks) + b"".join(
         _U32.pack(int(o)) for o in stco_entries))
-    stss = b"" if sync_every == 1 else _full(
-        b"stss", 0, 0, _U32.pack(n_chunks) + b"".join(
+    if sync_samples is not None:
+        # explicit 0-based keyframe indices (e.g. from an H.264
+        # remux's IDR detection) override the sync_every pattern
+        ss = sorted(set(int(i) for i in sync_samples))
+        if not ss or ss[0] < 0 or ss[-1] >= n:
+            raise ValueError("sync_samples out of range")
+        stss = _full(b"stss", 0, 0, _U32.pack(len(ss)) + b"".join(
+            _U32.pack(i + 1) for i in ss))
+    elif sync_every == 1:
+        stss = b""
+    else:
+        stss = _full(b"stss", 0, 0, _U32.pack(n_chunks) + b"".join(
             _U32.pack(int(i) + 1) for i in chunk_first))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
     dinf = _box(b"dinf", _full(b"dref", 0, 0, _U32.pack(1)

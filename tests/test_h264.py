@@ -466,6 +466,42 @@ class TestIpcmLane:
             assert np.array_equal(d["y"][0],
                                   frames[int(row["frame_no"])])
 
+    def test_remux_annexb_to_mp4(self):
+        rng = np.random.default_rng(25)
+        frames = rng.integers(0, 256, (5, 32, 32)).astype(np.uint8)
+        ab = h264.encode_h264_ipcm(frames)
+        m = h264.h264_remux_mp4(ab)
+        info = h264.mp4_h264_info(m)
+        assert info["n_samples"] == 5 and info["n_keyframes"] == 5
+        for i in range(5):
+            d = h264.decode_h264_ipcm(h264.mp4_h264_sample_annexb(m, i))
+            assert np.array_equal(d["y"][0], frames[i])
+
+    def test_remux_mixed_nals(self):
+        # interleave SEI NALs and a fabricated non-IDR picture: AU
+        # detection is structural (first_mb ue + NAL types), so the
+        # remux needs no sample decode; only IDR AUs land in stss
+        frames = np.zeros((2, 16, 16), np.uint8)
+        ab = h264.encode_h264_ipcm(frames)
+        nals = h264.split_nals(ab)
+        idr = next(n for n in nals if n["type"] == 5)
+        idr_raw = ab[idr["data_off"]:idr["data_off"] + idr["size"]]
+        non_idr = bytes([0x41]) + idr_raw[1:]   # type 1, same payload
+        sei = bytes([0x06, 5, 1, 0xAA, 0x80])
+        stream = (ab + b"\x00\x00\x00\x01" + sei
+                  + b"\x00\x00\x00\x01" + non_idr)
+        m = h264.h264_remux_mp4(stream)
+        info = h264.mp4_h264_info(m)
+        assert info["n_samples"] == 3                # 2 IDR + 1 non-IDR
+        assert info["n_keyframes"] == 2
+
+    def test_remux_no_pictures_rejected(self):
+        nals = h264.split_nals(h264.encode_h264_ipcm(
+            np.zeros((16, 16), np.uint8)))
+        # SPS+PPS only
+        with pytest.raises(ValueError):
+            h264.h264_remux_mp4(b"\x00\x00\x00\x01\x67\x42\x00\x1e")
+
     def test_fuzz_ipcm_stream(self, monkeypatch):
         monkeypatch.setenv("HBI_JPEG_MAX_PIXELS", str(1 << 16))
         rng = np.random.default_rng(23)
