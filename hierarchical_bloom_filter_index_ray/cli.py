@@ -119,6 +119,73 @@ def cmd_query(a: argparse.Namespace) -> int:
     return 0
 
 
+def _read_media(a: argparse.Namespace):
+    """Media input: a parquet dir with (media_id, payload[, media_type])
+    — the canonical shape — or a directory/glob of raw files read as
+    binary payloads (``media_id`` = stable row index, original path
+    kept)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    if a.format == "parquet":
+        return rd.read_parquet(a.input)
+
+    def attach_ids(batch: pa.Table) -> pa.Table:
+        import mimetypes
+        import zlib
+        paths = batch["path"].to_pylist()
+        ids = [zlib.crc32(p.encode()) for p in paths]
+        types = [mimetypes.guess_type(p)[0]
+                 or "application/octet-stream" for p in paths]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": batch["bytes"],
+            "media_type": pa.array(types, pa.string()),
+            "path": batch["path"],
+        })
+
+    return rd.read_binary_files(a.input, include_paths=True) \
+        .map_batches(attach_ids, batch_format="pyarrow")
+
+
+def cmd_media(a: argparse.Namespace) -> int:
+    """Run one media stage over a corpus of binary payloads — the
+    actor-pool decode surface (README media matrix) as a job
+    entrypoint: features (decode → pooled feature vector), resize
+    (own-format re-encode), or frames (container demux + keyframe
+    sampling, one output row per sampled frame)."""
+    from .pipelines.multimodal import (FrameSampler, ImageResizer,
+                                       extract_features)
+    _ensure_ray(a.address)
+    ds = _read_media(a)
+    if a.op == "features":
+        out = extract_features(ds, decoder="real",
+                               feature_dim=a.feature_dim,
+                               batch_size=a.batch_size,
+                               concurrency=a.concurrency,
+                               on_error=a.on_error)
+    elif a.op == "resize":
+        out = ds.map_batches(
+            ImageResizer, batch_format="pyarrow",
+            batch_size=a.batch_size, concurrency=a.concurrency,
+            fn_constructor_kwargs={"width": a.width, "height": a.height,
+                                   "decoder": "real",
+                                   "on_error": a.on_error})
+    else:                               # frames
+        out = ds.map_batches(
+            FrameSampler, batch_format="pyarrow",
+            batch_size=a.batch_size, concurrency=a.concurrency,
+            fn_constructor_kwargs={"n_frames": a.n_frames,
+                                   "decoder": "real",
+                                   "snap_to_sync": a.snap_to_sync,
+                                   "on_error": a.on_error})
+    out.write_parquet(a.out)
+    import ray.data as rd
+    n = rd.read_parquet(a.out).count()
+    print(json.dumps({"out": a.out, "op": a.op, "rows": n}))
+    return 0
+
+
 def _add_cfg_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--address", default=None,
                    help="Ray address ('auto' joins an existing cluster; "
@@ -174,6 +241,32 @@ def main(argv: list[str] | None = None) -> int:
                         "identical results)")
     _add_cfg_args(q)
     q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser(
+        "media", help="media decode stages over binary payloads")
+    m.add_argument("--input", required=True,
+                   help="parquet dir of (media_id, payload[, ...]) or "
+                        "a directory of raw media files per --format")
+    m.add_argument("--out", required=True)
+    m.add_argument("--op", default="features",
+                   choices=["features", "resize", "frames"])
+    m.add_argument("--format", default="parquet",
+                   choices=["parquet", "files"])
+    m.add_argument("--feature-dim", type=int, default=16)
+    m.add_argument("--width", type=int, default=64)
+    m.add_argument("--height", type=int, default=64)
+    m.add_argument("--n-frames", type=int, default=4)
+    m.add_argument("--snap-to-sync", action="store_true",
+                   help="snap sampled frames to container keyframes")
+    m.add_argument("--batch-size", type=int, default=64)
+    m.add_argument("--concurrency", type=int, default=2)
+    m.add_argument("--on-error", default="skip",
+                   choices=["skip", "raise"],
+                   help="crawl posture: drop undecodable rows (skip) "
+                        "or fail the job (raise)")
+    m.add_argument("--address", default=None,
+                   help="Ray address ('auto' joins an existing cluster)")
+    m.set_defaults(fn=cmd_media)
 
     a = ap.parse_args(argv)
     return a.fn(a)

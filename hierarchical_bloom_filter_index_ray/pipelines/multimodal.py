@@ -478,12 +478,14 @@ class ImageResizer:
                 batch.schema.get_field_index("payload"), "payload",
                 pa.array(payloads, pa.binary()))
         n = batch.num_rows
-        return (batch.set_column(batch.schema.get_field_index("width"),
-                                 "width",
-                                 pa.array([self.width] * n, pa.int32()))
-                .set_column(batch.schema.get_field_index("height"),
-                            "height",
-                            pa.array([self.height] * n, pa.int32())))
+        for name, v in (("width", self.width), ("height", self.height)):
+            col = pa.array([v] * n, pa.int32())
+            i = batch.schema.get_field_index(name)
+            # arbitrary corpora (e.g. the media CLI's raw-file reader)
+            # may not carry typed dims — append instead of set
+            batch = (batch.set_column(i, name, col) if i >= 0
+                     else batch.append_column(name, col))
+        return batch
 
 
 class FrameSampler:

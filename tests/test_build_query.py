@@ -605,3 +605,52 @@ def test_default_concurrency_never_starves_the_read(ray_session,
         n = default_concurrency()
         assert 1 <= n <= max(1, cpus - 1), (cpus, n)
         assert n == want_max, (cpus, n)
+
+
+class TestMediaCli:
+    def test_cli_media_ops(self, ray_session, tmp_path):
+        """`python -m hierarchical_bloom_filter_index_ray media` over a
+        directory of raw files: features (undecodable rows skipped),
+        frames (containers only) and resize (stills re-encoded)."""
+        import numpy as np
+        import pyarrow.parquet as pq2
+
+        from hierarchical_bloom_filter_index_ray.cli import main
+        from hierarchical_bloom_filter_index_ray.functions import h264
+        from hierarchical_bloom_filter_index_ray.functions.codecs import \
+            encode_png
+        files = tmp_path / "files"
+        files.mkdir()
+        rng = np.random.default_rng(31)
+        for i in range(4):
+            (files / f"img{i}.png").write_bytes(encode_png(
+                rng.integers(0, 256, (20, 20)).astype(np.uint8)))
+        (files / "vid.mp4").write_bytes(h264.encode_mp4_h264_ipcm(
+            rng.integers(0, 256, (4, 32, 32)).astype(np.uint8)))
+        (files / "junk.bin").write_bytes(b"not a media file")
+
+        rc = main(["media", "--input", str(files), "--format", "files",
+                   "--op", "features", "--out", str(tmp_path / "feat"),
+                   "--feature-dim", "8"])
+        assert rc == 0
+        feat = pq2.read_table(str(tmp_path / "feat")).to_pandas()
+        assert len(feat) == 5            # junk row skipped
+        assert all(len(f) == 8 for f in feat["features"])
+
+        rc = main(["media", "--input", str(files), "--format", "files",
+                   "--op", "frames", "--out", str(tmp_path / "frames"),
+                   "--n-frames", "2"])
+        assert rc == 0
+        fr = pq2.read_table(str(tmp_path / "frames")).to_pandas()
+        assert len(fr) == 2              # only the container splits
+        for _, row in fr.iterrows():
+            d = h264.decode_h264_ipcm(bytes(row["payload"]))
+            assert d["y"].shape == (1, 32, 32)
+
+        rc = main(["media", "--input", str(files), "--format", "files",
+                   "--op", "resize", "--out", str(tmp_path / "rs"),
+                   "--width", "8", "--height", "8"])
+        assert rc == 0
+        rs = pq2.read_table(str(tmp_path / "rs")).to_pandas()
+        assert len(rs) == 4              # junk AND the container skipped
+        assert (rs["width"] == 8).all() and (rs["height"] == 8).all()
