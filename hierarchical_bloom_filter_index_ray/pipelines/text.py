@@ -228,3 +228,115 @@ def sequences_table(sf_dir: str, seed: int = 42) -> "rd.Dataset":
     per-row token-array equality invariant is tested on this)."""
     return read_documents(sf_dir, ["doc_id", "text", "source"]).map_batches(
         tokenize_documents, batch_format="pyarrow", fn_kwargs={"seed": seed})
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (byte-level, GPT-2-shaped)
+# ---------------------------------------------------------------------------
+
+def train_bpe(sf_dir: str, *, n_merges: int = 64,
+              max_words: int = 1_000_000) -> pa.Table:
+    """Train a byte-level BPE merge table over the corpus.
+
+    100-TB posture: the O(corpus) work — scanning every document and
+    counting distinct words — is fully distributed (the
+    ``word_frequencies`` combiner + one groupby); the merge loop then
+    runs over the BOUNDED distinct-word table (O(vocabulary), the same
+    state every production BPE trainer holds in memory), vectorized
+    with numpy over a flat symbol array. ``max_words`` caps the word
+    table by frequency (deterministic tie-break) as a skew guard.
+
+    Returns a merge table ``(rank, left, right, merged, pair_count)``
+    with ``left/right/merged`` as binary symbol byte strings (initial
+    alphabet = the 256 byte values; 0x00-free words use an implicit
+    end-of-word boundary — pairs never cross words).
+    """
+    tbl = (word_frequencies(sf_dir)
+           .sort(["cnt", "word"], descending=[True, False])
+           .limit(max_words).to_pandas())
+    words = [w.encode("utf-8") for w in tbl["word"]]
+    cnts = tbl["cnt"].to_numpy().astype(np.int64)
+    return _bpe_merge_loop(words, cnts, n_merges)
+
+
+def _bpe_merge_loop(words: list[bytes], cnts: np.ndarray,
+                    n_merges: int) -> pa.Table:
+    """Greedy BPE merges over a (distinct word, count) table; fully
+    vectorized pair counting and non-overlapping left-to-right merge
+    application (run-parity trick for aaa-style overlaps)."""
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64,
+                       count=len(words))
+    sym = np.frombuffer(b"".join(words), dtype=np.uint8) \
+        .astype(np.int32)
+    word_id = np.repeat(np.arange(len(words)), lens)
+    weight = np.repeat(cnts, lens)
+    vocab: list[bytes] = [bytes([i]) for i in range(256)]
+    out_rank, out_l, out_r, out_m, out_c = [], [], [], [], []
+    for rank in range(n_merges):
+        if len(sym) < 2:
+            break
+        same = word_id[:-1] == word_id[1:]
+        a = sym[:-1][same].astype(np.int64)
+        b = sym[1:][same].astype(np.int64)
+        wts = weight[:-1][same]
+        if not len(a):
+            break
+        key = a * np.int64(len(vocab) + 1) + b
+        uniq, inv = np.unique(key, return_inverse=True)
+        pc_ = np.bincount(inv, weights=wts)
+        # deterministic argmax: count desc, then (a, b) asc == key asc
+        best = int(np.flatnonzero(pc_ == pc_.max())[0])
+        best_cnt = int(pc_[best])
+        if best_cnt < 1:
+            break
+        ba = int(uniq[best] // (len(vocab) + 1))
+        bb = int(uniq[best] % (len(vocab) + 1))
+        new_id = len(vocab)
+        vocab.append(vocab[ba] + vocab[bb])
+        out_rank.append(rank)
+        out_l.append(vocab[ba])
+        out_r.append(vocab[bb])
+        out_m.append(vocab[new_id])
+        out_c.append(best_cnt)
+        # hit positions (start of pair), non-overlapping left-to-right:
+        # within each run of consecutive hits keep even run offsets
+        hits = np.flatnonzero((sym[:-1] == ba) & (sym[1:] == bb)
+                              & (word_id[:-1] == word_id[1:]))
+        if len(hits):
+            run_start = np.flatnonzero(
+                np.concatenate([[True], np.diff(hits) > 1]))
+            run_of = np.cumsum(
+                np.concatenate([[0], (np.diff(hits) > 1)]))
+            off_in_run = np.arange(len(hits)) - run_start[run_of]
+            keep = hits[off_in_run % 2 == 0]
+            sym[keep] = new_id
+            mask = np.ones(len(sym), dtype=bool)
+            mask[keep + 1] = False
+            sym = sym[mask]
+            word_id = word_id[mask]
+            weight = weight[mask]
+    return pa.table({
+        "rank": pa.array(out_rank, pa.int32()),
+        "left": pa.array(out_l, pa.binary()),
+        "right": pa.array(out_r, pa.binary()),
+        "merged": pa.array(out_m, pa.binary()),
+        "pair_count": pa.array(out_c, pa.int64()),
+    })
+
+
+def apply_bpe(word: bytes, merges: pa.Table) -> list[bytes]:
+    """Segment one word with a trained merge table (rank order, the
+    standard greedy application). Small helper for tests and per-batch
+    encode stages (cache per distinct word when batching)."""
+    ranks = {(l_.as_py(), r.as_py()): i for i, (l_, r) in enumerate(
+        zip(merges["left"], merges["right"]))}
+    parts = [bytes([c]) for c in word]
+    while len(parts) > 1:
+        cand = [(ranks.get((parts[i], parts[i + 1]), None), i)
+                for i in range(len(parts) - 1)]
+        cand = [(r, i) for r, i in cand if r is not None]
+        if not cand:
+            break
+        r, i = min(cand)
+        parts[i:i + 2] = [parts[i] + parts[i + 1]]
+    return parts

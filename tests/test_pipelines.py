@@ -1492,3 +1492,89 @@ class TestPgmMultimodal:
                 expect = synth_frame(mid, r["frame_no"], seed=9,
                                      width=7, height=5)
                 assert np.array_equal(decode_pgm(r["payload"]), expect)
+
+
+class TestBpe:
+    """Byte-level BPE training: distributed word-count scan + bounded
+    vectorized merge loop, pinned against a slow dict-based reference
+    with identical tie-break (count desc, then creation-order symbol
+    ids asc) and left-to-right non-overlapping merge application."""
+
+    @staticmethod
+    def _ref_bpe(words, cnts, n_merges):
+        vocab = [bytes([i]) for i in range(256)]
+        seqs = [list(w) for w in words]
+        merges = []
+        for rank in range(n_merges):
+            pairs = {}
+            for s, c in zip(seqs, cnts):
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] = pairs.get(
+                        (s[i], s[i + 1]), 0) + c
+            if not pairs:
+                break
+            best_cnt = max(pairs.values())
+            ba, bb = min(p for p, c in pairs.items() if c == best_cnt)
+            new_id = len(vocab)
+            vocab.append(vocab[ba] + vocab[bb])
+            merges.append((rank, vocab[ba], vocab[bb], vocab[new_id],
+                           best_cnt))
+            for s in seqs:
+                i = 0
+                while i < len(s) - 1:
+                    if s[i] == ba and s[i + 1] == bb:
+                        s[i:i + 2] = [new_id]
+                    i += 1
+        return merges
+
+    def test_matches_reference(self):
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            _bpe_merge_loop
+        import numpy as np
+        rng = np.random.default_rng(17)
+        alphabet = "abcde"
+        words = sorted({"".join(rng.choice(list(alphabet),
+                                           size=rng.integers(1, 9)))
+                        for _ in range(200)})
+        cnts = rng.integers(1, 50, len(words)).astype(np.int64)
+        got = _bpe_merge_loop([w.encode() for w in words], cnts, 30)
+        want = self._ref_bpe([w.encode() for w in words],
+                             [int(c) for c in cnts], 30)
+        assert len(got) == len(want)
+        for i, (rank, l_, r, m, c) in enumerate(want):
+            assert got["rank"][i].as_py() == rank
+            assert got["left"][i].as_py() == l_
+            assert got["right"][i].as_py() == r
+            assert got["merged"][i].as_py() == m
+            assert got["pair_count"][i].as_py() == c
+
+    def test_overlapping_runs(self):
+        # "aaaa" x3: pair (a,a) counts 9 (every adjacent position),
+        # merge is left-to-right non-overlapping -> "aa","aa"
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            _bpe_merge_loop, apply_bpe
+        import numpy as np
+        got = _bpe_merge_loop([b"aaaa"], np.array([3], np.int64), 2)
+        assert got["pair_count"][0].as_py() == 9
+        assert got["merged"][0].as_py() == b"aa"
+        # second merge: (aa, aa) count 3
+        assert got["merged"][1].as_py() == b"aaaa"
+        assert got["pair_count"][1].as_py() == 3
+        segs = apply_bpe(b"aaaaa", got)
+        assert b"".join(segs) == b"aaaaa"
+        assert segs[0] == b"aaaa"
+
+    def test_train_on_documents(self, ray_session):
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            train_bpe, apply_bpe
+        tbl = train_bpe("/root/testdata/sf0.001", n_merges=24)
+        assert len(tbl) == 24
+        for i in range(len(tbl)):
+            assert tbl["merged"][i].as_py() == \
+                tbl["left"][i].as_py() + tbl["right"][i].as_py()
+        # counts are non-increasing in rank? not guaranteed strictly,
+        # but the first merge must be the globally most frequent pair
+        counts = tbl["pair_count"].to_pylist()
+        assert counts[0] == max(counts)
+        segs = apply_bpe(b"the", tbl)
+        assert b"".join(segs) == b"the"
