@@ -612,3 +612,198 @@ def knn_lsh(ds: "rd.Dataset", query_vectors: np.ndarray, k: int = 10, *,
                            zero_copy_batch=True, batch_size=4096,
                            concurrency=concurrency).to_pandas()
     return _merge_topk(parts, k)
+
+
+# ------------------------------------------------ product quantization --
+def pq_fit(ds: "rd.Dataset", *, m: int = 4, k: int = 16,
+           iters: int = 8, seed: int = 42,
+           vec_col: str = "embedding") -> np.ndarray:
+    """Fit PQ codebooks: per-subspace L2 k-means, ALL ``m`` subspaces in
+    one distributed pass per iteration (per-batch assignment +
+    sum/count combiner over (subspace, cluster) keys, then one tiny
+    groupby — only the (m, k, d/m) codebook tensor moves between
+    driver and workers). Deterministic seeded init, empty clusters
+    re-seeded from the same chain. Returns ``(m, k, d//m)``."""
+    first = ds.take_batch(2, batch_format="pyarrow")
+    d = _matrix(first[vec_col]).shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    keys = np.arange(m * k * dsub, dtype=np.uint64) ^ np.uint64(
+        derive_seed(seed, "pq_init") & 0xFFFFFFFFFFFFFFFF)
+    u = (splitmix64(keys) >> np.uint64(11)).astype(np.float64) / (1 << 53)
+    books = (u.reshape(m, k, dsub) - 0.5) * 0.2
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)                     # (m, k, dsub)
+            x = _matrix(batch[vec_col]).reshape(-1, m, dsub)
+            sums = np.zeros_like(c)
+            cnts = np.zeros((m, k), dtype=np.int64)
+            for j in range(m):
+                # L2 assignment: argmin ||x_j - c_j||^2
+                d2 = (np.square(x[:, j, None, :] - c[j][None]).sum(2))
+                a = d2.argmin(axis=1)
+                np.add.at(sums[j], a, x[:, j])
+                cnts[j] = np.bincount(a, minlength=k)
+            sub, cl = np.meshgrid(np.arange(m), np.arange(k),
+                                  indexing="ij")
+            return pa.table({
+                "key": pa.array((sub * k + cl).reshape(-1), pa.int32()),
+                "vsum": pa.array(list(sums.reshape(m * k, dsub)),
+                                 pa.list_(pa.float64())),
+                "cnt": pa.array(cnts.reshape(-1)),
+            })
+
+        def merge_sums(df: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(df["vsum"].to_numpy())
+            out = pd.DataFrame({"key": [int(df["key"].iloc[0])]})
+            out["vsum"] = [mat.sum(axis=0)]
+            out["cnt"] = int(df["cnt"].sum())
+            return out
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("key").map_groups(merge_sums,
+                                          batch_format="pandas")
+               .to_pandas())
+        new = books.copy()
+        counts = np.zeros((m, k), dtype=np.int64)
+        for _, r in agg.iterrows():
+            j, c = divmod(int(r["key"]), k)
+            counts[j, c] = r["cnt"]
+            if r["cnt"] > 0:
+                new[j, c] = np.asarray(r["vsum"]) / r["cnt"]
+        # empty clusters: deterministic split of the largest cluster
+        # (clone + tiny seeded offset) so all k codes end up used —
+        # without this most of the random init never captures points
+        for j in range(m):
+            for c in np.flatnonzero(counts[j] == 0):
+                big = int(counts[j].argmax())
+                kk2 = np.arange(dsub, dtype=np.uint64) ^ np.uint64(
+                    derive_seed(seed, f"pq_split_{j}_{c}")
+                    & 0xFFFFFFFFFFFFFFFF)
+                u2 = (splitmix64(kk2) >> np.uint64(11)).astype(
+                    np.float64) / (1 << 53) - 0.5
+                new[j, c] = new[j, big] + u2 * 1e-3
+        books = new
+    return books
+
+
+def pq_encode_batch(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float -> (n, m) uint8 nearest-centroid codes per
+    subspace (the vectorized encode kernel)."""
+    m, k, dsub = books.shape
+    xs = x.reshape(len(x), m, dsub)
+    codes = np.empty((len(x), m), dtype=np.uint8)
+    for j in range(m):
+        d2 = np.square(xs[:, j, None, :] - books[j][None]).sum(2)
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def build_ann_index_pq(ds: "rd.Dataset", out_dir: str, *, m: int = 4,
+                       k: int = 16, iters: int = 8, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> dict:
+    """Persist a product-quantized store: codebooks (fit distributed)
+    plus (id, codes) parquet — d*8 bytes/vector compressed to m bytes.
+    At 100 TB this is the memory-resident scan path: the ADC query
+    never touches the raw vectors."""
+    import json
+    from pathlib import Path
+
+    import pyarrow.parquet as pq_
+    books = pq_fit(ds, m=m, k=k, iters=iters, seed=seed,
+                   vec_col=vec_col)
+    ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        codes = pq_encode_batch(_matrix(batch[vec_col]), b)
+        return pa.table({
+            id_col: batch[id_col],
+            "codes": pa.array(list(codes), pa.list_(pa.uint8())),
+        })
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (ds.map_batches(encode, batch_format="pyarrow",
+                    zero_copy_batch=True)
+       .write_parquet(str(out / "codes")))
+    mm, kk, dsub = books.shape
+    pq_.write_table(pa.table({
+        "subspace": pa.array(np.repeat(np.arange(mm), kk), pa.int32()),
+        "cluster": pa.array(np.tile(np.arange(kk), mm), pa.int32()),
+        "centroid": pa.array(list(books.reshape(mm * kk, dsub)),
+                             pa.list_(pa.float64())),
+    }), str(out / "codebooks.parquet"))
+    meta = {"m": m, "k": k, "id_col": id_col, "vec_col": vec_col,
+            "seed": seed, "dsub": dsub}
+    (out / "pq_meta.json").write_text(json.dumps(meta))
+    return meta
+
+
+def _load_pq(out_dir: str) -> tuple[dict, np.ndarray]:
+    import json
+    from pathlib import Path
+    import pyarrow.parquet as pq_
+    meta = json.loads((Path(out_dir) / "pq_meta.json").read_text())
+    t = pq_.read_table(str(Path(out_dir) / "codebooks.parquet"))
+    books = np.stack(
+        [np.asarray(v) for v in t["centroid"].to_pylist()]) \
+        .reshape(meta["m"], meta["k"], meta["dsub"])
+    return meta, books
+
+
+def knn_pq(out_dir: str, query_vectors: np.ndarray, k: int = 10, *,
+           concurrency=None) -> pd.DataFrame:
+    """Approximate cosine top-k via asymmetric distance computation
+    over the compressed code store: per batch, per query, an (m, k)
+    LUT of subspace distances, then one uint8 gather-sum per code row
+    — the scan reads m bytes/vector. Scores are reported as
+    ``cosine`` = 1 - d^2/2 (exact for unit-normalized corpora up to
+    quantization error). -> (query_idx, neighbor_id, cosine, rank)."""
+    from ..stages.resources import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
+    meta, books = _load_pq(out_dir)
+    q = np.asarray(query_vectors, dtype=np.float64)
+    m, kk, dsub = books.shape
+    luts = np.empty((len(q), m, kk), dtype=np.float64)
+    qs = q.reshape(len(q), m, dsub)
+    for j in range(m):
+        luts[:, j, :] = np.square(
+            qs[:, j, None, :] - books[j][None]).sum(2)
+    lref = ray.put(luts)
+    id_col = meta["id_col"]
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lref)                      # (Q, m, kk)
+        codes_col = batch["codes"].combine_chunks() \
+            if isinstance(batch["codes"], pa.ChunkedArray) \
+            else batch["codes"]
+        flat = codes_col.values.to_numpy(zero_copy_only=False)
+        codes = flat.reshape(-1, lut.shape[1]).astype(np.int64)
+        n = len(codes)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        qi_all, nid, cos = [], [], []
+        gather_idx = codes + np.arange(lut.shape[1]) * lut.shape[2]
+        for qi in range(len(lut)):
+            d2 = lut[qi].reshape(-1)[gather_idx].sum(axis=1)
+            kl = min(k, n)
+            top = np.argpartition(d2, kl - 1)[:kl]
+            qi_all.append(np.full(kl, qi, dtype=np.int64))
+            nid.append(ids[top])
+            cos.append(1.0 - d2[top] / 2.0)
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(qi_all)),
+            "neighbor_id": pa.array(np.concatenate(nid)),
+            "cosine": pa.array(np.concatenate(cos)),
+        })
+
+    parts = rd.read_parquet(f"{out_dir}/codes").map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8192, concurrency=concurrency).to_pandas()
+    return _merge_topk(parts, k)
