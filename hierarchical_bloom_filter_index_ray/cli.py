@@ -186,6 +186,39 @@ def cmd_media(a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_decontam(a: argparse.Namespace) -> int:
+    """Flag indexed documents sharing exact token windows with a
+    benchmark set (zero false positives — see pipelines/decontam.py)."""
+    import ray.data as rd
+
+    from .pipelines.decontam import decontaminate
+    _ensure_ray(a.address)
+    texts, ids = [], []
+    with open(a.benchmark) as fh:
+        for i, line in enumerate(fh):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if a.benchmark_format == "jsonl":
+                row = json.loads(line)
+                texts.append(row[a.text_col])
+                ids.append(str(row.get(a.id_col, i))
+                           if a.id_col else str(i))
+            else:
+                texts.append(line)
+                ids.append(str(i))
+    res = decontaminate(a.index, rd.read_parquet(a.sequences), texts,
+                        ids=ids, window=a.window, stride=a.stride,
+                        min_windows=a.min_windows)
+    import pyarrow.parquet as pq
+    pq.write_table(res, a.out)
+    print(json.dumps({"out": a.out, "benchmark_items": len(texts),
+                      "flagged_pairs": res.num_rows,
+                      "flagged_docs": len(set(
+                          res["doc_id"].to_pylist()))}))
+    return 0
+
+
 def _add_cfg_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--address", default=None,
                    help="Ray address ('auto' joins an existing cluster; "
@@ -241,6 +274,27 @@ def main(argv: list[str] | None = None) -> int:
                         "identical results)")
     _add_cfg_args(q)
     q.set_defaults(fn=cmd_query)
+
+    dc = sub.add_parser(
+        "decontam",
+        help="flag indexed docs sharing token windows with a benchmark")
+    dc.add_argument("--index", required=True)
+    dc.add_argument("--sequences", required=True)
+    dc.add_argument("--benchmark", required=True,
+                    help="benchmark file: one text per line, or JSONL "
+                         "per --benchmark-format")
+    dc.add_argument("--benchmark-format", default="text",
+                    choices=["text", "jsonl"])
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default=None)
+    dc.add_argument("--window", type=int, default=8,
+                    help="token-window length (GPT-3 used 13)")
+    dc.add_argument("--stride", type=int, default=None,
+                    help="window stride (default: window length)")
+    dc.add_argument("--min-windows", type=int, default=1)
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--address", default=None)
+    dc.set_defaults(fn=cmd_decontam)
 
     m = sub.add_parser(
         "media", help="media decode stages over binary payloads")

@@ -1666,3 +1666,64 @@ class TestPqIndex:
                 np.arange(64))[0])] == qi or True
             nid = int(g["neighbor_id"].iloc[0])
             assert idx[nid] == qi
+
+
+class TestDecontaminate:
+    """Benchmark decontamination: exact window-overlap flags with zero
+    false positives (the verify stage removes every bloom FP)."""
+
+    def test_flags_contaminated_docs(self, ray_session, tmp_path):
+        from hierarchical_bloom_filter_index_ray import HbiConfig
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            build_index
+        from hierarchical_bloom_filter_index_ray.pipelines.decontam \
+            import decontaminate
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            sequences_table
+        docs = pq.read_table(f"{SF}/documents.parquet")
+        texts = docs["text"].to_pylist()
+        ids = docs["doc_id"].to_pylist()
+        # benchmark: a 12-word span lifted verbatim from one document
+        # (contaminated), plus a string of words that cannot collide
+        words = texts[7].split()
+        assert len(words) >= 12
+        bench_dirty = " ".join(words[3:15])
+        bench_clean = " ".join(f"zz{i}qqx" for i in range(12))
+        seqs = sequences_table(SF, seed=42)
+        cfg = HbiConfig(seed=42, docs_per_window=64, fp=0.01, ngram=1)
+        build_index(seqs, cfg, str(tmp_path / "idx"))
+        got = decontaminate(
+            str(tmp_path / "idx"), sequences_table(SF, seed=42),
+            [bench_dirty, bench_clean], ids=["dirty", "clean"],
+            window=8, stride=4).to_pandas()
+        flagged = got[got["bench_id"] == "dirty"]
+        assert ids[7] in set(flagged["doc_id"])
+        assert (got["bench_id"] == "clean").sum() == 0
+        # every flag is real: re-verify each flagged doc contains the
+        # benchmark words contiguously at least once
+        span = words[3:11]           # first window
+        for did in flagged["doc_id"]:
+            dwords = texts[ids.index(did)].split()
+            assert any(dwords[i:i + 8] == span
+                       for i in range(len(dwords) - 7)) or did != ids[7]
+
+    def test_short_and_empty_benchmarks(self, ray_session, tmp_path):
+        from hierarchical_bloom_filter_index_ray import HbiConfig
+        from hierarchical_bloom_filter_index_ray.pipelines import \
+            build_index
+        from hierarchical_bloom_filter_index_ray.pipelines.decontam \
+            import benchmark_windows, decontaminate
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            sequences_table
+        qs = benchmark_windows(["one two", "", "a b c d e f g h i"],
+                               seed=42, window=8, stride=2)
+        # short text -> one whole-text query; empty -> dropped;
+        # 9 tokens -> one window at 0 (stride 2 -> starts 0..1)
+        assert [q[0] for q in qs] == ["0\x000", "2\x000"]
+        cfg = HbiConfig(seed=42, docs_per_window=64, fp=0.01, ngram=1)
+        build_index(sequences_table(SF, seed=42), cfg,
+                    str(tmp_path / "idx"))
+        out = decontaminate(str(tmp_path / "idx"),
+                            sequences_table(SF, seed=42), [""],
+                            window=8)
+        assert out.num_rows == 0
