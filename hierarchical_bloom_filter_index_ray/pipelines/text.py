@@ -340,3 +340,76 @@ def apply_bpe(word: bytes, merges: pa.Table) -> list[bytes]:
         r, i = min(cand)
         parts[i:i + 2] = [parts[i] + parts[i + 1]]
     return parts
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture sampling (per-source token budgets)
+# ---------------------------------------------------------------------------
+
+def sample_mixture(ds: "rd.Dataset", budgets: dict[str, float], *,
+                   seed: int = 42, token_col: str = "n_tok",
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> "rd.Dataset":
+    """Deterministic per-source corpus resampling to hit a token
+    mixture: for each source with ``budgets[source]`` target tokens, a
+    doc is kept iff ``hash(doc_id) < rate * 2^64`` with ``rate =
+    min(1, budget / actual_tokens)`` — a pure per-row predicate, so
+    the sample is identical under any partitioning, retry, or
+    cluster size (no shuffle, no RNG state). Sources absent from
+    ``budgets`` are dropped; budgets >= the source's actual token
+    count keep every doc. Two passes over the corpus: one aggregate
+    for per-source totals (map-side combiner + tiny groupby), one
+    streaming filter. Expected sampled tokens per source =
+    ``min(budget, actual)``; the realized count concentrates around
+    it (docs are the sampling unit)."""
+    from ray.data.aggregate import Sum
+
+    from ..state.splitmix import hash_str_u64, splitmix64
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        src = batch[source_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        sd = src.dictionary_encode()
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        codes = sd.indices.to_numpy(zero_copy_only=False)
+        names = sd.dictionary.to_pylist()
+        ntok = batch[token_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            source_col: pa.array(names, pa.string()),
+            "_tt": pa.array(np.bincount(
+                codes, weights=ntok,
+                minlength=len(names)).astype(np.int64)),
+        })
+
+    totals = {r[source_col]: r["_tt"] for r in
+              ds.map_batches(totals_partial, batch_format="pyarrow")
+              .groupby(source_col)
+              .aggregate(Sum("_tt", alias_name="_tt")).take_all()}
+    rates = {s: min(1.0, float(b) / max(1, totals.get(s, 0)))
+             for s, b in budgets.items()}
+    thresholds = {s: np.uint64(min(int(r * 2.0**64), 2**64 - 1))
+                  for s, r in rates.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if pa.types.is_integer(ids.type):
+            h = splitmix64(
+                ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+                ^ np.uint64(hash_str_u64("mixture", seed)
+                            & 0xFFFFFFFFFFFFFFFF))
+        else:
+            h = np.fromiter(
+                (hash_str_u64(str(v), seed) for v in ids.to_pylist()),
+                dtype=np.uint64, count=len(ids))
+        src = batch[source_col].to_pylist()
+        thr = np.fromiter(
+            (thresholds.get(s, np.uint64(0)) for s in src),
+            dtype=np.uint64, count=len(src))
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1727,3 +1727,39 @@ class TestDecontaminate:
                             sequences_table(SF, seed=42), [""],
                             window=8)
         assert out.num_rows == 0
+
+
+class TestSampleMixture:
+    """Per-source token-budget resampling: pure per-row hash predicate
+    (partitioning/retry/cluster-size invariant), expected-token
+    concentration, full-keep and drop semantics."""
+
+    def test_budgets_and_determinism(self, ray_session):
+        from hierarchical_bloom_filter_index_ray.pipelines.text import \
+            sample_mixture, sequences_table
+        seqs = sequences_table(SF, seed=42)
+        totals = {}
+        for r in seqs.take_all():
+            totals[r["source"]] = totals.get(r["source"], 0) + r["n_tok"]
+        srcs = sorted(totals)
+        assert len(srcs) >= 2
+        budgets = {srcs[0]: totals[srcs[0]] * 10,   # keep all
+                   srcs[1]: totals[srcs[1]] * 0.4}  # ~40%
+        out = sample_mixture(sequences_table(SF, seed=42), budgets,
+                             seed=7).take_all()
+        got = {}
+        kept_ids = set()
+        for r in out:
+            got[r["source"]] = got.get(r["source"], 0) + r["n_tok"]
+            kept_ids.add(r["doc_id"])
+        # full-budget source keeps every token; others dropped entirely
+        assert got[srcs[0]] == totals[srcs[0]]
+        assert set(got) == {srcs[0], srcs[1]}
+        # sampled source concentrates around 40% (doc-level sampling)
+        frac = got[srcs[1]] / totals[srcs[1]]
+        assert 0.15 < frac < 0.75, frac
+        # per-row predicate: identical sample under a different layout
+        out2 = sample_mixture(
+            sequences_table(SF, seed=42).repartition(7), budgets,
+            seed=7).take_all()
+        assert {r["doc_id"] for r in out2} == kept_ids
