@@ -13,10 +13,13 @@ reconstruction is vectorized as repeated prefix-sum integration; LPC
 is the inherently-serial feedback loop (runs inside actor-pool
 ``map_batches`` stages, one clip per row — never on the driver).
 
-Encode writes a spec-correct stream with CONSTANT / VERBATIM / FIXED
-subframes (best order 0-2 by residual magnitude), single-partition
-Rice residuals and any channel decorrelation mode — exact round-trip
-for any int16 input at any of the four stereo assignments.
+Encode writes a spec-correct stream with CONSTANT / VERBATIM / FIXED /
+LPC subframes — FIXED picks order 0-2 by residual magnitude; LPC fits
+Levinson-Durbin coefficients (quantized to 14 bits + shift) at orders
+2/4/8 and is emitted only when it wins the exact per-subframe bit-cost
+comparison — single-partition Rice residuals and any channel
+decorrelation mode; exact round-trip for any int16 input at any of the
+four stereo assignments.
 """
 
 from __future__ import annotations
@@ -388,7 +391,89 @@ def _rice_param(res: np.ndarray) -> int:
     return min(14, max(0, int(np.ceil(np.log2(mean))) + 1))
 
 
-def _write_subframe(bw: _BitW, x: np.ndarray, bps: int):
+def _rice_cost(res: np.ndarray, param: int) -> int:
+    """Exact bit count of the partition-order-0 Rice body."""
+    if not len(res):
+        return 0
+    v = (res << 1) ^ (res >> 63)
+    return int(len(res) * (1 + param) + int((v >> param).sum()))
+
+
+def _lpc_fit(x: np.ndarray, order: int) -> np.ndarray | None:
+    """Levinson-Durbin over the block autocorrelation: float
+    predictor coefficients ``a`` with ``x[i] ~= sum_j a[j] *
+    x[i-1-j]`` (``a[0]`` weights the newest sample, matching the
+    decoder's ``coefs[j] * s[-1-j]``)."""
+    n = len(x)
+    if n <= order * 2:
+        return None
+    xf = x.astype(np.float64)
+    ac = np.array([np.dot(xf[:n - k], xf[k:]) for k in range(order + 1)])
+    if ac[0] <= 0:
+        return None
+    coef = np.zeros(order)
+    err = ac[0]
+    for i in range(1, order + 1):
+        acc = ac[i] - sum(coef[j] * ac[i - 1 - j] for j in range(i - 1))
+        if err <= 0:
+            return None
+        k = acc / err
+        new = coef.copy()
+        new[i - 1] = k
+        for j in range(i - 1):
+            new[j] = coef[j] - k * coef[i - 2 - j]
+        coef = new
+        err *= (1.0 - k * k)
+    if not np.all(np.isfinite(coef)):
+        return None
+    return coef
+
+
+def _quantize_lpc(a: np.ndarray, precision: int = 14
+                  ) -> tuple[np.ndarray, int] | None:
+    """Scale float coefficients into ``precision``-bit integers with a
+    non-negative shift (the decoder's ``acc >> shift``)."""
+    mx = float(np.abs(a).max())
+    if mx == 0 or not np.isfinite(mx):
+        return None
+    shift = precision - 1 - (int(np.floor(np.log2(mx))) + 1)
+    shift = max(0, min(15, shift))
+    q = np.round(a * float(1 << shift)).astype(np.int64)
+    q = np.clip(q, -(1 << (precision - 1)), (1 << (precision - 1)) - 1)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, q: np.ndarray, shift: int,
+                  order: int) -> np.ndarray:
+    """Exact mirror of the decoder's integer prediction."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(x, order)[:len(x) - order]
+    pred = (win @ q[::-1]) >> shift
+    return x[order:] - pred
+
+
+def _write_rice_body(bw: _BitW, res: np.ndarray, param: int) -> None:
+    bw.w(0, 2)                                 # 4-bit rice method
+    bw.w(0, 4)                                 # partition order 0
+    bw.w(param, 4)
+    for r in res:
+        ri = int(r)
+        v = (ri << 1) ^ (ri >> 63)             # zigzag
+        qq = v >> param
+        for _ in range(qq):
+            bw.w(0, 1)
+        bw.w(1, 1)
+        if param:
+            bw.w(v & ((1 << param) - 1), param)
+
+
+_LPC_PRECISION = 14
+
+
+def _write_subframe(bw: _BitW, x: np.ndarray, bps: int, *,
+                    max_lpc_order: int = 8):
     x = x.astype(np.int64)
     if len(np.unique(x)) == 1:
         bw.w(0, 1)
@@ -407,23 +492,47 @@ def _write_subframe(bw: _BitW, x: np.ndarray, bps: int):
         for v in x:
             bw.w(int(v), bps)
         return
+    fixed_bits = order * bps + 10 + _rice_cost(res, param)
+    # LPC candidates: exact bit cost (incl. warmup/precision/coeff
+    # header) vs the fixed predictor; emit whichever is smaller
+    best_lpc = None
+    for lo in (2, 4, max_lpc_order):
+        if lo < 1 or lo >= len(x) // 2 or lo > 32:
+            continue
+        a = _lpc_fit(x, lo)
+        if a is None:
+            continue
+        qz = _quantize_lpc(a, _LPC_PRECISION)
+        if qz is None:
+            continue
+        qc, shift = qz
+        lres = _lpc_residual(x, qc, shift, lo)
+        lparam = _rice_param(lres)
+        if lparam >= 14:
+            continue
+        bits = (lo * bps + 4 + 5 + lo * _LPC_PRECISION + 10
+                + _rice_cost(lres, lparam))
+        if best_lpc is None or bits < best_lpc[0]:
+            best_lpc = (bits, lo, qc, shift, lres, lparam)
+    if best_lpc is not None and best_lpc[0] < fixed_bits:
+        _, lo, qc, shift, lres, lparam = best_lpc
+        bw.w(0, 1)
+        bw.w(32 + lo - 1, 6)
+        bw.w(0, 1)
+        for v in x[:lo]:
+            bw.w(int(v), bps)
+        bw.w(_LPC_PRECISION - 1, 4)
+        bw.w(shift, 5)
+        for c in qc:
+            bw.w(int(c), _LPC_PRECISION)
+        _write_rice_body(bw, lres, lparam)
+        return
     bw.w(0, 1)
     bw.w(8 + order, 6)
     bw.w(0, 1)
     for v in x[:order]:
         bw.w(int(v), bps)
-    bw.w(0, 2)                                 # 4-bit rice method
-    bw.w(0, 4)                                 # partition order 0
-    bw.w(param, 4)
-    for r in res:
-        ri = int(r)
-        v = (ri << 1) ^ (ri >> 63)             # zigzag
-        q = v >> param
-        for _ in range(q):
-            bw.w(0, 1)
-        bw.w(1, 1)
-        if param:
-            bw.w(v & ((1 << param) - 1), param)
+    _write_rice_body(bw, res, param)
 
 
 def encode_flac(samples: np.ndarray, rate: int, *,

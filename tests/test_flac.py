@@ -1,9 +1,9 @@
 """FLAC codec tests.
 
-The module encoder only emits CONSTANT/VERBATIM/FIXED subframes with
-single-partition 4-bit Rice — so the decoder-only paths (LPC
-subframes, the 5-bit Rice2 method, partition orders > 0, escape
-partitions, wasted bits) are pinned by a TEST-SIDE frame serializer
+The module encoder emits CONSTANT/VERBATIM/FIXED/LPC subframes with
+single-partition 4-bit Rice — so the remaining decoder-only paths
+(the 5-bit Rice2 method, partition orders > 0, escape partitions,
+wasted bits) are pinned by a TEST-SIDE frame serializer
 written directly from RFC 9639 (own bit writer + own CRCs, sharing
 nothing with the module). Round-trips then pin the module encoder
 against the decoder across block sizes and every stereo assignment.
@@ -282,3 +282,58 @@ class TestPipeline:
         a = np.asarray(got["features"].iloc[0])
         b = np.asarray(got["features"].iloc[1])
         assert np.allclose(a, b, atol=1e-6)
+
+
+class TestLpcEncoder:
+    """Encoder-side LPC (Levinson-Durbin fit + 14-bit quantization):
+    exact round trip, chosen only when it wins the exact bit-cost
+    comparison against the FIXED predictor."""
+
+    def test_tonal_round_trip_and_wins(self):
+        import hierarchical_bloom_filter_index_ray.functions.flac as F
+        rng = np.random.default_rng(5)
+        t = np.arange(16000)
+        sig = (15000 * np.sin(2 * np.pi * 311 * t / 8000)
+               + rng.normal(0, 30, len(t))).astype(np.int64)
+        enc = F.encode_flac(sig, 8000, blocksize=4096)
+        dec, rate = F.decode_flac(enc)
+        assert rate == 8000
+        assert np.array_equal(dec.ravel(), sig)
+        orig = F._lpc_fit
+        F._lpc_fit = lambda *a, **k: None
+        try:
+            fixed_only = F.encode_flac(sig, 8000, blocksize=4096)
+        finally:
+            F._lpc_fit = orig
+        assert np.array_equal(
+            F.decode_flac(fixed_only)[0].ravel(), sig)
+        assert len(enc) < 0.8 * len(fixed_only)
+
+    def test_residual_mirrors_decoder(self):
+        from hierarchical_bloom_filter_index_ray.functions.flac import \
+            _lpc_residual
+        rng = np.random.default_rng(6)
+        x = rng.integers(-1000, 1000, 64).astype(np.int64)
+        q = np.array([9000, -4000, 1200], dtype=np.int64)
+        shift = 13
+        res = _lpc_residual(x, q, shift, 3)
+        # decoder-shape reconstruction
+        s = list(x[:3])
+        for i in range(len(x) - 3):
+            acc = sum(int(q[j]) * s[-1 - j] for j in range(3))
+            s.append((acc >> shift) + int(res[i]))
+        assert np.array_equal(np.asarray(s), x)
+
+    def test_stereo_modes_with_lpc(self):
+        from hierarchical_bloom_filter_index_ray.functions.flac import \
+            decode_flac, encode_flac
+        rng = np.random.default_rng(7)
+        t = np.arange(6000)
+        l_ = (9000 * np.sin(2 * np.pi * 200 * t / 8000)).astype(np.int64)
+        r = l_ + rng.integers(-80, 80, len(t))
+        st = np.stack([l_, r], axis=1)
+        for mode in ("independent", "left_side", "right_side",
+                     "mid_side"):
+            d, _ = decode_flac(encode_flac(st, 8000, stereo=mode,
+                                           blocksize=1024))
+            assert np.array_equal(d, st), mode
