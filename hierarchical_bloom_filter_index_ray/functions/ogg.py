@@ -212,7 +212,23 @@ def _identify(first: bytes) -> dict:
             "granule_rate": rate,
         }
     if first[:7] == b"\x80theora":
-        return {"codec": "theora"}
+        # identification header, Theora spec §6.2 (big-endian fields)
+        out = {"codec": "theora"}
+        if len(first) >= 42:
+            fmbw, fmbh = struct.unpack_from(">HH", first, 10)
+            picw = int.from_bytes(first[14:17], "big")
+            pich = int.from_bytes(first[17:20], "big")
+            frn, frd = struct.unpack_from(">II", first, 22)
+            kfg = ((first[40] & 0x03) << 3) | (first[41] >> 5)
+            pf = (first[41] >> 3) & 0x3
+            out.update(width=picw or fmbw * 16,
+                       height=pich or fmbh * 16,
+                       frame_mb_width=fmbw, frame_mb_height=fmbh,
+                       fps_num=frn, fps_den=frd,
+                       kfg_shift=kfg, pixel_format=pf)
+            if frn and frd:
+                out["granule_rate"] = frn / frd
+        return out
     if first[:5] == b"\x7fFLAC" and first[9:13] == b"fLaC":
         out = {"codec": "flac"}
         try:
@@ -316,6 +332,12 @@ def ogg_info(payload: bytes, check_crc: bool = True) -> dict:
         if g is not None and rate:
             if ident["codec"] == "opus":
                 g = max(0, g - ident["pre_skip"])
+            elif ident["codec"] == "theora":
+                # granule = (last_keyframe << kfg_shift) + offset;
+                # frame index = keyframe_no + offset (Theora §5.3.1)
+                kfg = ident.get("kfg_shift", 0)
+                g = (g >> kfg) + (g & ((1 << kfg) - 1))
+                s["n_frames"] = g + 1
             s["duration_sec"] = round(g / rate, 6)
         streams.append(s)
     out: dict = {"n_pages": len(pages), "n_streams": len(streams),
@@ -364,6 +386,33 @@ def _lacing(n: int) -> list[int]:
     """Segment-table encoding of an n-byte packet: 255s then the
     remainder — an exact multiple of 255 needs a terminating 0."""
     return [255] * (n // 255) + [n % 255]
+
+
+def theora_keyframe_pages(payload: bytes, *,
+                          check_crc: bool = True) -> np.ndarray:
+    """Byte offsets of pages in the (first) Theora stream whose
+    completed granule position sits exactly ON a keyframe (granule
+    offset bits == 0, Theora §5.3.1) — the structural carve points
+    for Ogg-Theora video, the analogue of ``h264.cut_points`` /
+    ``mp3.cut_points``. Sample (DCT/loop-filter) decode stays the
+    declared seam; granule math needs none of it."""
+    pages = parse_pages(payload, check_crc)
+    serial = kfg = None
+    for pg in pages:
+        if pg["flags"] & 0x2:               # BOS: identify
+            ident = _identify(_first_packet(payload, pages,
+                                            pg["serial"]))
+            if ident["codec"] == "theora":
+                serial = pg["serial"]
+                kfg = ident.get("kfg_shift", 0)
+                break
+    if serial is None:
+        raise ValueError("no Theora stream in Ogg payload")
+    mask = (1 << kfg) - 1
+    cuts = [pg["offset"] for pg in pages
+            if pg["serial"] == serial and pg["granule"] > 0
+            and (pg["granule"] & mask) == 0]
+    return np.asarray(sorted(set(cuts)), dtype=np.int64)
 
 
 def mux_ogg(pkts: list[bytes], serial: int = 0,

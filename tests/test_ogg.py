@@ -329,3 +329,65 @@ class TestFuzz:
         # remains the declared seam (pinned in test_vorbis.py)
         with pytest.raises(ValueError):
             ogg.decode_ogg(b"OggS")
+
+
+def _theora_ident(w=320, h=240, frn=30, frd=1, kfg=6):
+    """Hand-assembled Theora identification header (spec §6.2)."""
+    import struct as st
+    fmbw, fmbh = (w + 15) // 16, (h + 15) // 16
+    b = bytearray(b"\x80theora")
+    b += bytes([3, 2, 1])                       # VMAJ/VMIN/VREV
+    b += st.pack(">HH", fmbw, fmbh)
+    b += w.to_bytes(3, "big") + h.to_bytes(3, "big")
+    b += bytes([0, 0])                          # PICX/PICY
+    b += st.pack(">II", frn, frd)
+    b += (0).to_bytes(3, "big") + (1).to_bytes(3, "big")   # PAR
+    b += bytes([0])                             # colour space
+    b += (0).to_bytes(3, "big")                 # NOMBR
+    # QUAL=63, KFGSHIFT=kfg, PF=0, Res=0
+    word = (63 << 10) | (kfg << 5)
+    b += st.pack(">H", word)
+    return bytes(b)
+
+
+class TestTheoraStructural:
+    def test_ident_and_keyframe_pages(self):
+        from hierarchical_bloom_filter_index_ray.functions.ogg import (
+            ogg_info, mux_ogg, theora_keyframe_pages)
+        kfg = 6
+        ident = _theora_ident(w=322, h=242, frn=24, frd=1, kfg=kfg)
+        # frames 0..9: keyframes at 0, 4, 8 -> granule =
+        # (last_kf << kfg) + offset; one page per frame (the real
+        # layout for video-sized packets)
+        pgs = [page([ident], serial=7, seq=0, granule=0, flags=2)]
+        last_kf = 0
+        for i in range(10):
+            if i % 4 == 0:
+                last_kf = i
+            g = (last_kf << kfg) + (i - last_kf)
+            pgs.append(page([bytes([i]) * 20], serial=7, seq=i + 1,
+                            granule=g, flags=4 if i == 9 else 0))
+        buf = b"".join(pgs)
+        info = ogg_info(buf)
+        s = info["streams"][0]
+        assert s["codec"] == "theora"
+        assert (s["width"], s["height"]) == (322, 242)
+        assert s["kfg_shift"] == kfg
+        assert s["fps_num"] == 24 and s["fps_den"] == 1
+        # last granule = (8 << 6) + 1 -> frame index 9 -> 10 frames
+        assert s["n_frames"] == 10
+        assert s["duration_sec"] == pytest.approx(9 / 24)
+        cuts = theora_keyframe_pages(buf)
+        # pages completing granules with offset 0 AND granule > 0:
+        # keyframes 4 and 8 (frame 0's granule is 0 = stream start)
+        assert len(cuts) == 2
+        # every cut lands on a real page boundary ("OggS")
+        for c in cuts:
+            assert buf[c:c + 4] == b"OggS"
+
+    def test_no_theora_stream_raises(self):
+        from hierarchical_bloom_filter_index_ray.functions.ogg import (
+            mux_ogg, theora_keyframe_pages)
+        buf = mux_ogg([b"\x01vorbis" + b"\x00" * 23], serial=3)
+        with pytest.raises(ValueError):
+            theora_keyframe_pages(buf)
