@@ -338,3 +338,43 @@ class TestCompressedInputs:
         # basename prefix)
         assert [d.split(":")[1] for d in comp["doc_id"]] \
             == [d.split(":")[1] for d in plain["doc_id"]]
+
+
+class TestPackSequences:
+    """Cross-document sequence packing: token stream preserved in
+    order, rows exactly seq_len, provenance counts correct."""
+
+    def test_pack_preserves_token_stream(self, ray_session):
+        import ray.data as rd
+        from hierarchical_bloom_filter_index_ray.sources import \
+            pack_sequences
+        rows = [{"doc_id": i, "tokens": list(range(i * 100, i * 100 + n)),
+                 "n_tok": n, "source": "s0"}
+                for i, n in enumerate([7, 3, 12, 5, 9, 2])]
+        ds = rd.from_items(rows).repartition(1)
+        out = pack_sequences(ds, seq_len=8).take_all()
+        flat_in = [t for r in rows for t in r["tokens"]]
+        packed = [t for r in sorted(out, key=lambda r: r["seq_id"])
+                  for t in r["tokens"]]
+        assert packed == flat_in[:len(packed)]
+        assert all(len(r["tokens"]) == 8 for r in out)
+        assert len(packed) == (len(flat_in) // 8) * 8
+        # row 0 covers docs 0 (7 toks) + 1 -> n_docs 2
+        r0 = next(r for r in out if r["seq_id"] == 0)
+        assert r0["n_docs"] == 2 and r0["source"] == "s0"
+
+    def test_boundary_token_and_padding(self, ray_session):
+        import ray.data as rd
+        from hierarchical_bloom_filter_index_ray.sources import \
+            pack_sequences
+        rows = [{"doc_id": 0, "tokens": [1, 2, 3], "n_tok": 3,
+                 "source": "a"},
+                {"doc_id": 1, "tokens": [4, 5], "n_tok": 2,
+                 "source": "a"}]
+        ds = rd.from_items(rows).repartition(1)
+        out = pack_sequences(ds, seq_len=4, boundary_id=-1,
+                             drop_last=False).take_all()
+        packed = [t for r in sorted(out, key=lambda r: r["seq_id"])
+                  for t in r["tokens"]]
+        # stream: 1 2 3 -1 4 5 -1 (+ zero pad to 8)
+        assert packed == [1, 2, 3, -1, 4, 5, -1, 0]
