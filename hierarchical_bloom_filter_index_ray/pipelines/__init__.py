@@ -7,10 +7,13 @@ from .query_index import BloomProbe, ExactVerifier, compile_queries, \
     membership_query, membership_query_ds, membership_query_table, \
     prune_sequence_files, \
     window_aligned_layout
+from .decontam import benchmark_windows, decontaminate
 from .similarity import (build_ann_index, build_ann_index_kmeans,
-                         embedding_dedup, embedding_near_dup_pairs,
-                         embedding_sim_join, kmeans_fit, knn_bruteforce,
-                         knn_indexed, knn_kmeans, knn_lsh)
+                         build_ann_index_pq, embedding_dedup,
+                         embedding_near_dup_pairs, embedding_sim_join,
+                         kmeans_fit, knn_bruteforce, knn_indexed,
+                         knn_kmeans, knn_lsh, knn_pq, pq_fit)
+from .text import sample_mixture, train_bpe
 from .stats import (build_global_sketches, build_ngram_model,
                     distinct_tokens, heavy_hitters, ntok_quantiles)
 from .relational import (pricing_summary, revenue_by_nation,
@@ -32,7 +35,8 @@ __all__ = [
     "build_ann_index",
     "knn_indexed", "embedding_near_dup_pairs", "embedding_dedup",
     "embedding_sim_join", "kmeans_fit", "build_ann_index_kmeans",
-    "knn_kmeans",
+    "knn_kmeans", "pq_fit", "build_ann_index_pq", "knn_pq",
+    "decontaminate", "benchmark_windows", "train_bpe", "sample_mixture",
     "build_global_sketches", "distinct_tokens", "heavy_hitters",
     "ntok_quantiles",
     "build_suffix_index", "load_suffix_index", "suffix_membership",
